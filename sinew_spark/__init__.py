@@ -1,0 +1,22 @@
+"""sinew_spark — a PySpark-native distributed crawl/analytics engine.
+
+A from-scratch reimplementation of the query and data-processing
+capabilities of gurgeous/sinew (reference at /root/reference, v4.0.1) as a
+distributed URL-frontier + fetch scheduler over snapshot-versioned tables:
+
+- frontier rounds as BFS supersteps over DataFrames (no RDDs)
+- exactly-once fetch via canonicalized xxhash64 keys + partitioned Bloom
+  prefilter + exact left-anti join (reference: httpdisk cache semantics,
+  /root/reference/lib/sinew/base.rb:217-222, README.md:114-116)
+- per-host politeness windows, robots gating, priority queue, retry/redirect
+- vectorized Arrow/pandas UDFs for parse + normalize (no per-row Python)
+- interleaved text+media span records (kind, text, media_ref, offset)
+- byte-exact CSV emit pipeline matching sinew's normalize
+  (/root/reference/lib/sinew/csv.rb:57-87)
+- resumable from snapshot checkpoints with per-round lineage + metrics
+
+Architecture is Spark-first: declarative DataFrame plans optimized by
+Catalyst; Python appears only inside Arrow-batched UDFs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,90 @@
+"""URL canonicalization + request identity tests.
+
+Cache-identity semantics from /root/reference/test/test_base.rb:28-41,87-103.
+"""
+
+from pyspark.sql import functions as F
+
+from sinew_spark.functions.urls import (
+    canonicalize_url_str,
+    host_expr,
+    make_canonicalize_udf,
+    path_expr,
+    request_key_expr,
+)
+
+
+def test_canonicalize_basic():
+    assert (
+        canonicalize_url_str("HTTP://ExAmPle.COM:80/a/./b/../c?z=1&a=2#frag")
+        == "http://example.com/a/c?a=2&z=1"
+    )
+    assert canonicalize_url_str("http://x.com") == "http://x.com/"
+    # idempotent
+    u = canonicalize_url_str("http://x.com/p?b=2&a=1")
+    assert canonicalize_url_str(u) == u
+
+
+def test_ignore_params():
+    # test_base.rb:28-34 — ?b=1 and ?b=2 collapse when b in ignore_params
+    a = canonicalize_url_str("http://x.com/?a=1&b=1", ignore_params=frozenset({"b"}))
+    b = canonicalize_url_str("http://x.com/?a=1&b=2", ignore_params=frozenset({"b"}))
+    assert a == b == "http://x.com/?a=1"
+
+
+def test_default_params_and_prefix():
+    # test_base.rb:37-41 — defaults merged, existing params win
+    u = canonicalize_url_str(
+        "get?a=1", base="http://httpbingo.org/", default_params={"b": "2"}
+    )
+    assert u == "http://httpbingo.org/get?a=1&b=2"
+    u2 = canonicalize_url_str(
+        "get?b=9", base="http://httpbingo.org/", default_params={"b": "2"}
+    )
+    assert u2 == "http://httpbingo.org/get?b=9"
+
+
+def test_identity_spark(spark):
+    # (method, url, body) identity: same url different body -> different key
+    # (test_base.rb:87-103); GET vs POST distinct
+    rows = [
+        ("GET", "http://x.com/a", ""),
+        ("POST", "http://x.com/a", ""),
+        ("POST", "http://x.com/a", "b=1"),
+        ("POST", "http://x.com/a", "b=1"),
+        ("get", "http://x.com/a", None),
+    ]
+    df = spark.createDataFrame(rows, ["method", "url", "body"])
+    keys = [
+        r[0]
+        for r in df.select(
+            request_key_expr(F.col("method"), F.col("url"), F.col("body"))
+        ).collect()
+    ]
+    assert keys[0] != keys[1] != keys[2]
+    assert keys[2] == keys[3]
+    assert keys[0] == keys[4]  # method case-insensitive, NULL body == ''
+
+
+def test_host_path_expr(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://user@example.com:8080/a/b?q=1",),
+            ("https://example.org",),
+        ],
+        ["url"],
+    )
+    got = df.select(
+        host_expr(F.col("url")).alias("h"), path_expr(F.col("url")).alias("p")
+    ).collect()
+    assert (got[0].h, got[0].p) == ("example.com", "/a/b")
+    assert (got[1].h, got[1].p) == ("example.org", "/")
+
+
+def test_canonicalize_udf(spark):
+    udf = make_canonicalize_udf(ignore_params=("junk",))
+    df = spark.createDataFrame(
+        [("HTTP://X.com/p?junk=9&a=1",), (None,)], ["url"]
+    )
+    got = [r[0] for r in df.select(udf("url")).collect()]
+    assert got == ["http://x.com/p?a=1", None]
