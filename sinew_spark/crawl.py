@@ -1,0 +1,377 @@
+"""Crawler — the distributed frontier loop (BFS supersteps).
+
+The reference's "query lifecycle" is an imperative recipe: each `get` hits
+the cache-or-network, each emit appends a CSV row
+(/root/reference/lib/sinew/main.rb:18-29). The engine's lifecycle is a
+round loop of declarative DataFrame plans:
+
+  frontier --dedup(round)--> --bloom prefilter--> --anti-join seen-->
+  --robots--> --per-host cap--> --budget--> FETCH (per-host pandas groups)
+  --> seen += keys (+redirect hops)  --> PARSE --> documents += spans
+  --> links -> next frontier (deterministic seq)  [repeat]
+
+Durability/resumability: frontier, seen, fetched, documents, metrics are
+snapshot tables (plans/snapshots.py); each round commits one snapshot per
+table, so a killed crawl resumes from the last committed round with
+identical ordering (seq is data, not runtime state). The Bloom sidecar is
+rebuilt from `seen` if missing — it's a pure optimization, never truth.
+
+Determinism: every row carries (priority, seq); seq for discovered links is
+parent_seq * LINK_STRIDE + link_index, so replay ordering is a pure function
+of the seed list — the reference's program-order guarantee, distributed.
+
+Scale notes (100 TB design point):
+- the only shuffles per round: groupBy(key) round-dedup, left-anti join vs
+  seen (both on the 64-bit key — AQE-coalesced), and groupBy(host) for fetch
+- seen probe cost is bounded by the Bloom prefilter: candidate rows that
+  survive are O(new URLs), not O(frontier)
+- per-host caps bound fetch-task skew regardless of host distribution
+- parse is shuffle-free mapInPandas
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sinew_spark.functions.urls import host_expr, make_canonicalize_udf, request_key_expr
+from sinew_spark.operators.bloom import BloomShards
+from sinew_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    SEEN_SCHEMA,
+    anti_join_seen,
+    apply_robots,
+    bloom_prefilter,
+    dedup_within_round,
+    per_host_cap,
+    prepare_frontier,
+    take_round_budget,
+)
+from sinew_spark.operators.parse import PARSED_SCHEMA, parse_documents
+from sinew_spark.plans.snapshots import SnapshotTable
+from sinew_spark.sources.fetch import FETCHED_SCHEMA, Fetcher, fetch_rows
+
+LINK_STRIDE = 1_000  # seq slots reserved per parent for discovered links
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType()),
+        T.StructField("candidates", T.LongType()),
+        T.StructField("selected", T.LongType()),
+        T.StructField("fetched", T.LongType()),
+        T.StructField("errors", T.LongType()),
+        T.StructField("new_links", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+_FETCHED_WITH_ROUND = T.StructType(FETCHED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
+_PARSED_WITH_ROUND = T.StructType(PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
+
+
+@dataclass
+class CrawlOptions:
+    """Mirrors sinew's option surface (/root/reference/lib/sinew/base.rb:13-54)
+    plus the distributed knobs the reference doesn't need."""
+
+    rate_limit: float = 0.0
+    retries: int = 2
+    timeout: float = 30.0
+    expires: float | None = None
+    force: bool = False
+    force_errors: bool = False
+    ignore_params: tuple = ()
+    url_prefix: str | None = None
+    params: dict = field(default_factory=dict)
+    proxies: tuple = ()
+    limit: int | None = None  # emitted-row limit (recipes)
+    # distributed knobs
+    per_host_cap: int = 10_000
+    round_budget: int | None = None
+    max_rounds: int = 20
+    max_depth: int | None = None
+    follow_links: bool = False
+    bloom_capacity: int = 1_000_000
+    bloom_shards: int = 8
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        fetcher: Fetcher,
+        options: CrawlOptions | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.fetcher = fetcher
+        self.opts = options or CrawlOptions()
+        self.robots = robots
+        self.canonicalize = make_canonicalize_udf(
+            url_prefix=self.opts.url_prefix,
+            default_params=self.opts.params,
+            ignore_params=self.opts.ignore_params,
+        )
+        self.frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"), FRONTIER_SCHEMA)
+        self.seen_t = SnapshotTable(spark, os.path.join(workdir, "seen"), SEEN_SCHEMA)
+        self.fetched_t = SnapshotTable(spark, os.path.join(workdir, "fetched"), _FETCHED_WITH_ROUND)
+        self.documents_t = SnapshotTable(spark, os.path.join(workdir, "documents"), _PARSED_WITH_ROUND)
+        self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
+        self._bloom = self._load_bloom()
+
+    # --- bloom sidecar ---------------------------------------------------------
+
+    @property
+    def _bloom_path(self) -> str:
+        return os.path.join(self.workdir, "seen.bloom")
+
+    def _load_bloom(self) -> BloomShards:
+        if os.path.exists(self._bloom_path):
+            with open(self._bloom_path, "rb") as f:
+                return BloomShards.from_bytes(f.read())
+        b = BloomShards(self.opts.bloom_capacity, n_shards=self.opts.bloom_shards)
+        # rebuild from seen if the sidecar was lost — bloom is never truth
+        if self.seen_t.current_snapshot() is not None:
+            keys = [r.key for r in self.seen_t.read().select("key").collect()]
+            if keys:
+                import numpy as np
+
+                b.add(np.array(keys, dtype="int64"))
+        return b
+
+    def _save_bloom(self) -> None:
+        tmp = self._bloom_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self._bloom.to_bytes())
+        os.replace(tmp, self._bloom_path)
+
+    # --- seeding ----------------------------------------------------------------
+
+    def seed(self, urls: list[str | tuple], priority: float = 0.0) -> None:
+        """Seed the frontier. Program order -> consecutive seq (the
+        reference's recipe order, main.rb:24). urls items: str or
+        (url, method, body)."""
+        rows = []
+        for i, u in enumerate(urls):
+            if isinstance(u, tuple):
+                url, method, body = u
+            else:
+                url, method, body = u, "GET", ""
+            rows.append((url, method.upper(), body, priority, 0, i, 0))
+        df = self.spark.createDataFrame(
+            rows, "url string, method string, body string, priority double, depth int, seq long, attempt int"
+        )
+        prepared = prepare_frontier(df, self.canonicalize)
+        self.frontier_t.overwrite(prepared, {"op": "seed", "n": len(rows)})
+
+    # --- the round ---------------------------------------------------------------
+
+    def current_round(self) -> int:
+        m = self.metrics_t.read()
+        row = m.agg(F.max("round").alias("r")).collect()[0]
+        return (row.r if row.r is not None else -1) + 1
+
+    def run_round(self) -> dict:
+        t0 = time.time()
+        rnd = self.current_round()
+        frontier = self.frontier_t.read()
+
+        # 1. deterministic within-round dedup (first seq wins)
+        cand = dedup_within_round(frontier)
+        if self.opts.max_depth is not None:
+            cand = cand.where(F.col("depth") <= self.opts.max_depth)
+
+        # 2. probabilistic prefilter, then exact anti-join (the truth)
+        bloom_bytes = self._bloom.to_bytes() if self._bloom.n_added else None
+        if not (self.opts.force or self.opts.force_errors or self.opts.expires is not None):
+            cand = bloom_prefilter(cand, bloom_bytes, self.spark)
+        seen = self.seen_t.read()
+        cand = anti_join_seen(
+            cand,
+            seen,
+            expires=self.opts.expires,
+            force=self.opts.force,
+            force_errors=self.opts.force_errors,
+        )
+
+        # 3. robots gating (north-rule addition; reference lacks it)
+        if self.robots is not None:
+            cand = apply_robots(cand, self.robots)
+
+        # 4. politeness cap + global budget
+        selected = per_host_cap(cand, self.opts.per_host_cap)
+        selected = take_round_budget(selected, self.opts.round_budget)
+        selected = selected.persist()
+        n_candidates = cand.count() if self.opts.round_budget else None
+        n_selected = selected.count()
+        if n_selected == 0:
+            selected.unpersist()
+            return {"round": rnd, "selected": 0, "done": True}
+
+        # 5. fetch (per-host politeness inside)
+        fetched = fetch_rows(
+            selected,
+            self.fetcher,
+            rate_limit=self.opts.rate_limit,
+            retries=self.opts.retries,
+            proxies=list(self.opts.proxies),
+        ).persist()
+        n_fetched = fetched.count()
+        n_errors = fetched.where(F.col("error").isNotNull()).count()
+
+        # 6. commit fetched + seen (including one entry per redirect hop,
+        #    base.rb:209-211)
+        self.fetched_t.append(fetched.withColumn("round", F.lit(rnd)), {"round": rnd})
+        seen_new = fetched.select(
+            "key",
+            F.col("canonical_url").alias("url"),
+            "method",
+            "status",
+            "fetched_at",
+            F.lit(None).cast("string").alias("hop_of"),
+            F.lit(rnd).alias("round"),
+        )
+        hops = (
+            fetched.select(
+                F.col("canonical_url").alias("hop_of"),
+                F.explode("hops").alias("hop_url"),
+                "fetched_at",
+            )
+            .withColumn("url", self.canonicalize(F.col("hop_url")))
+            .withColumn("method", F.lit("GET"))
+            .withColumn("status", F.lit(302))
+            .withColumn(
+                "key", request_key_expr(F.col("method"), F.col("url"), F.lit(""))
+            )
+            .select("key", "url", "method", "status", "fetched_at", "hop_of", F.lit(rnd).alias("round"))
+        )
+        # also mark the final_url identity as seen when redirects moved us
+        finals = (
+            fetched.where(F.col("final_url") != F.col("canonical_url"))
+            .withColumn("url", self.canonicalize(F.col("final_url")))
+            .withColumn("method", F.lit("GET"))
+            .withColumn("key", request_key_expr(F.col("method"), F.col("url"), F.lit("")))
+            .select(
+                "key", "url", "method", "status", "fetched_at",
+                F.col("canonical_url").alias("hop_of"), F.lit(rnd).alias("round"),
+            )
+        )
+        all_seen_new = seen_new.unionByName(hops).unionByName(finals).dropDuplicates(["key"])
+        self.seen_t.append(all_seen_new, {"round": rnd})
+        new_keys = [r.key for r in all_seen_new.select("key").collect()]
+        if new_keys:
+            import numpy as np
+
+            self._bloom.add(np.array(new_keys, dtype="int64"))
+            self._save_bloom()
+
+        # 7. parse -> documents
+        parsed = parse_documents(fetched).withColumn("round", F.lit(rnd)).persist()
+        self.documents_t.append(parsed, {"round": rnd})
+
+        # 8. next frontier: leftover (capped-out) + discovered links.
+        # Everything that can never be fetched must leave the frontier or the
+        # loop never drains: seen keys (any round), robots-blocked, over-depth.
+        leftover = frontier
+        n_new_links = 0
+        if self.opts.follow_links:
+            links = parsed.select(
+                F.col("seq").alias("parent_seq"),
+                F.col("depth").alias("parent_depth"),
+                F.posexplode("links").alias("link_idx", "url"),
+            )
+            # deterministic seq: parent slot + in-document order
+            links = links.select(
+                F.col("url"),
+                F.lit("GET").alias("method"),
+                F.lit("").alias("body"),
+                (F.col("parent_depth") + 1).cast("double").alias("priority"),
+                (F.col("parent_depth") + 1).alias("depth"),
+                (F.col("parent_seq") * LINK_STRIDE + F.col("link_idx") + 1).alias("seq"),
+                F.lit(0).alias("attempt"),
+            )
+            new_frontier_rows = prepare_frontier(links, self.canonicalize)
+            n_new_links = new_frontier_rows.count()
+            next_frontier = leftover.unionByName(new_frontier_rows)
+        else:
+            next_frontier = leftover
+        seen_after = self.seen_t.read()  # includes this round's commits
+        next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
+        if self.opts.max_depth is not None:
+            next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
+        if self.robots is not None:
+            next_frontier = apply_robots(next_frontier, self.robots)
+        self.frontier_t.overwrite(dedup_within_round(next_frontier), {"round": rnd})
+
+        dur = time.time() - t0
+        stats = {
+            "round": rnd,
+            "candidates": n_candidates if n_candidates is not None else n_selected,
+            "selected": n_selected,
+            "fetched": n_fetched,
+            "errors": n_errors,
+            "new_links": n_new_links,
+            "duration_sec": dur,
+            "ts": time.time(),
+        }
+        self.metrics_t.append(
+            self.spark.createDataFrame([tuple(stats.values())], METRICS_SCHEMA), {"round": rnd}
+        )
+        selected.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
+        stats["done"] = False
+        return stats
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Run rounds until the frontier drains or max_rounds. Safe to call
+        again after a crash — state is whatever the snapshot tables say."""
+        out = []
+        for _ in range(max_rounds or self.opts.max_rounds):
+            stats = self.run_round()
+            out.append(stats)
+            if stats.get("done"):
+                break
+        return out
+
+    # --- cache probe API (sinew's status/cached?/uncache, base.rb:95-122) -------
+
+    def _key_for(self, url: str, method: str = "GET", body: str = ""):
+        df = self.spark.createDataFrame([(url, method.upper(), body)], "url string, method string, body string")
+        row = df.select(
+            self.canonicalize(F.col("url")).alias("curl")
+        ).select(
+            "curl", request_key_expr(F.lit(method.upper()), F.col("curl"), F.lit(body)).alias("key")
+        ).collect()[0]
+        return row.key, row.curl
+
+    def status(self, url: str, method: str = "GET", body: str = "") -> dict:
+        key, curl = self._key_for(url, method, body)
+        rows = self.seen_t.read().where(F.col("key") == key).limit(1).collect()
+        if not rows:
+            return {"status": "miss", "key": key, "url": curl}
+        r = rows[0]
+        return {"status": int(r.status), "key": key, "url": curl, "fetched_at": r.fetched_at}
+
+    def cached(self, url: str, method: str = "GET", body: str = "") -> bool:
+        return self.status(url, method, body)["status"] != "miss"
+
+    def uncache(self, url: str, method: str = "GET", body: str = "") -> None:
+        """Row-level delete (sinew's uncache). The Bloom may retain the key
+        (false positive) — the exact anti-join no longer blocks, and
+        bloom_prefilter is skipped when force/expires semantics demand
+        refetch; to fully honor uncache we rebuild the bloom."""
+        key, _ = self._key_for(url, method, body)
+        self.seen_t.delete_where(F.col("key") == F.lit(key))
+        if os.path.exists(self._bloom_path):
+            os.remove(self._bloom_path)
+        self._bloom = self._load_bloom()

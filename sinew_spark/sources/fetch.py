@@ -1,0 +1,218 @@
+"""Distributed fetch stage — per-host grouped, politeness-paced, retrying.
+
+Replaces the reference's single-threaded Faraday middleware stack
+(/root/reference/lib/sinew/base.rb:198-240) with a per-host
+``applyInPandas`` stage:
+
+- frontier rows are hash-partitioned by host; each host group is fetched
+  sequentially inside one task => per-host politeness is exact while hosts
+  proceed in parallel (the reference's rate limiter is global because it is
+  single-threaded; per-host is the distributed generalization, README.md:153)
+- retry with backoff on 5xx/error, max ``retries`` extra attempts, backoff
+  capped at rate_limit (base.rb:232-239 "negates Retry-After: 86400")
+- redirects followed in-stage; every hop is recorded so each hop can be
+  cached as its own seen entry (base.rb:209-211)
+- per-transfer timeout (base.rb:30)
+- proxy rotation: deterministic pseudo-random proxy per request
+  (base.rb:62-64,178-184) — derived from the key hash so replay is stable
+
+Skew control: per-host round caps (operators/frontier.py) bound group size
+before this stage; a hot host never exceeds ``per_host_cap`` rows per round.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_REDIRECT_HOPS = 10
+
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("resp_body", T.StringType()),
+        T.StructField("final_url", T.StringType()),
+        T.StructField("n_attempts", T.IntegerType()),
+        T.StructField("hops", T.ArrayType(T.StringType())),
+        T.StructField("error", T.StringType()),
+        T.StructField("fetched_at", T.DoubleType()),
+        T.StructField("proxy", T.StringType()),
+    ]
+)
+
+
+class Fetcher:
+    """Transport interface. resolve() must be a pure function of
+    (url, method, body, attempt) for deterministic replay."""
+
+    def resolve(self, url: str, method: str, body: str, attempt: int) -> tuple:
+        """-> (status:int, content_type:str, body:str|None, redirect_to:str|None)"""
+        raise NotImplementedError
+
+
+class FixtureFetcher(Fetcher):
+    """Fetch from the synthetic web (sources/web_fixture.py). ``flaky`` maps
+    host -> k: return 500 for the first k-1 attempts then succeed (models
+    webmock retry tests, /root/reference/test/test_base.rb:57-61)."""
+
+    def __init__(self, seed: int = 42, extra_pages: dict | None = None, flaky: dict | None = None, synthetic: bool = False, synthetic_links: int = 8, synthetic_hosts: int = 1000):
+        self.seed = seed
+        self.extra_pages = extra_pages or {}
+        self.flaky = flaky or {}
+        self.synthetic = synthetic
+        self.synthetic_links = synthetic_links
+        self.synthetic_hosts = synthetic_hosts
+        self._web = None  # built lazily on the executor
+
+    def _ensure(self):
+        if self._web is None:
+            from sinew_spark.sources.web_fixture import SyntheticWeb
+
+            self._web = SyntheticWeb(self.seed, self.extra_pages)
+
+    def resolve(self, url, method, body, attempt):
+        from urllib.parse import urlsplit
+
+        self._ensure()
+        host = urlsplit(url).hostname or ""
+        if host in self.flaky and attempt < self.flaky[host] - 1:
+            return (500, "text/plain", "flaky", None)
+        if self.synthetic:
+            from sinew_spark.sources.web_fixture import synthetic_body
+
+            return (
+                200,
+                "text/html",
+                synthetic_body(url, self.seed, self.synthetic_links, self.synthetic_hosts),
+                None,
+            )
+        return self._web.resolve(url, method, body)
+
+
+class HttpFetcher(Fetcher):
+    """Real-network transport via urllib (used only outside tests/bench; the
+    sandbox has no network). Decodes per charset with invalid bytes -> '?'
+    like the reference's utf8 option (base.rb:2, response.rb:12-15)."""
+
+    def __init__(self, timeout: float = 30.0, headers: dict | None = None):
+        self.timeout = timeout
+        self.headers = headers or {}
+
+    def resolve(self, url, method, body, attempt):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=body.encode() if body else None, method=method, headers=self.headers
+        )
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        try:
+            with opener.open(req, timeout=self.timeout) as resp:
+                ct = resp.headers.get("Content-Type", "")
+                charset = resp.headers.get_content_charset() or "utf-8"
+                text = resp.read().decode(charset, errors="replace").replace("�", "?")
+                return (resp.status, ct, text, None)
+        except urllib.error.HTTPError as e:
+            if e.code in (301, 302, 303, 307, 308):
+                return (e.code, "", "", e.headers.get("Location"))
+            return (e.code, "", "", None)
+        except Exception as e:  # timeout, conn refused, ...
+            return (-1, "", str(e), None)
+
+
+def _fetch_one(fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01):
+    """One request: retry loop around a redirect-following loop.
+    Returns (status, content_type, resp_body, final_url, n_attempts, hops, error)."""
+    n_attempts = 0
+    hops: list[str] = []
+    status, ct, resp_body, final_url, error = None, None, None, url, None
+    for attempt in range(retries + 1):
+        n_attempts += 1
+        cur, cur_method, cur_body = url, method, body
+        hops = []
+        status, ct, resp_body, redirect = fetcher.resolve(cur, cur_method, cur_body, attempt)
+        hop_count = 0
+        while redirect is not None and hop_count < MAX_REDIRECT_HOPS:
+            hops.append(cur)
+            from urllib.parse import urljoin
+
+            cur = urljoin(cur, redirect)
+            cur_method, cur_body = "GET", ""  # 302 => GET, like faraday follow_redirects
+            hop_count += 1
+            status, ct, resp_body, redirect = fetcher.resolve(cur, cur_method, cur_body, attempt)
+        final_url = cur
+        if status is not None and (200 <= status < 500):
+            error = None
+            break
+        error = f"status {status}"
+        if attempt < retries:
+            # backoff capped at rate_limit (reference base.rb:233)
+            time.sleep(min(rate_limit, backoff_base * (2**attempt)))
+    return status, ct, resp_body, final_url, n_attempts, hops, error
+
+
+def make_fetch_fn(fetcher: Fetcher, rate_limit: float, retries: int, proxies: list[str] | None = None):
+    """Build the per-host-group pandas function. The group is fetched in
+    (priority, seq) order with rate_limit pacing between network requests."""
+    proxies = proxies or []
+
+    def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
+        out = {
+            "status": [], "content_type": [], "resp_body": [], "final_url": [],
+            "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
+        }
+        first = True
+        for row in pdf.itertuples(index=False):
+            if not first and rate_limit > 0:
+                time.sleep(rate_limit)  # politeness window within the host
+            first = False
+            # deterministic proxy rotation (replayable, unlike reference's rand)
+            proxy = proxies[row.key % len(proxies)] if proxies else None
+            status, ct, body, final_url, n_att, hops, error = _fetch_one(
+                fetcher, row.url, row.method or "GET", row.body or "", retries, rate_limit
+            )
+            out["status"].append(status)
+            out["content_type"].append(ct)
+            out["resp_body"].append(body)
+            out["final_url"].append(final_url)
+            out["n_attempts"].append(n_att)
+            out["hops"].append(hops)
+            out["error"].append(error)
+            out["fetched_at"].append(time.time())
+            out["proxy"].append(proxy)
+        for c, v in out.items():
+            pdf[c] = v
+        return pdf
+
+    return fetch_group
+
+
+def fetch_rows(frontier: DataFrame, fetcher: Fetcher, rate_limit: float = 0.0, retries: int = 2, proxies: list[str] | None = None) -> DataFrame:
+    """Run the fetch stage: group by host, fetch each group in one task.
+
+    Input columns: key, url, canonical_url, method, body, priority, depth,
+    seq, attempt, host. Output: FETCHED_SCHEMA.
+    """
+    fn = make_fetch_fn(fetcher, rate_limit, retries, proxies)
+    return frontier.groupBy("host").applyInPandas(fn, FETCHED_SCHEMA)

@@ -1,0 +1,288 @@
+"""End-to-end crawl loop: exactly-once, redirects, retries, politeness,
+robots, resume. Cache-semantic assertions ported from
+/root/reference/test/test_base.rb (:13-26, :57-61, :87-103)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.crawl import Crawler, CrawlOptions
+from sinew_spark.sources.fetch import FixtureFetcher
+
+
+def make_crawler(spark, tmpdir_path, **opts):
+    o = CrawlOptions(**opts)
+    return Crawler(spark, tmpdir_path + "/crawl", FixtureFetcher(seed=42), o)
+
+
+def test_basic_fetch_and_parse(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/html", "http://httpbingo.org/xml"])
+    stats = c.run()
+    assert stats[0]["selected"] == 2
+    assert stats[-1]["done"]
+
+    docs = c.documents_t.read().orderBy("seq").collect()
+    assert [d.doc_id for d in docs] == [
+        "http://httpbingo.org/html",
+        "http://httpbingo.org/xml",
+    ]
+    spans = docs[0].spans
+    assert spans[0].kind == "title"
+    assert spans[0].text == "Herman Melville - Moby-Dick"
+
+
+def test_exactly_once(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/get", "http://httpbingo.org/get", "http://httpbingo.org/get?x=1"])
+    c.run()
+    assert c.seen_t.read().count() == 2  # dup seed collapsed within round
+
+    # re-seed the same URLs -> nothing selected (seen across runs)
+    c.seed(["http://httpbingo.org/get", "http://httpbingo.org/get?x=1"])
+    stats = c.run()
+    assert stats[0]["selected"] == 0
+    assert c.fetched_t.read().count() == 2
+
+
+def test_identity_method_body(spark, tmpdir_path):
+    # same url, different body -> distinct fetches (test_base.rb:87-103)
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(
+        [
+            ("http://httpbingo.org/post", "POST", "a=1"),
+            ("http://httpbingo.org/post", "POST", "a=2"),
+            ("http://httpbingo.org/post", "GET", ""),
+        ]
+    )
+    c.run()
+    assert c.seen_t.read().count() == 3
+
+
+def test_ignore_params(spark, tmpdir_path):
+    # ?b=1 vs ?b=2 collapse when b ignored (test_base.rb:28-34)
+    c = make_crawler(spark, tmpdir_path, ignore_params=("b",))
+    c.seed(["http://httpbingo.org/get?a=1&b=1", "http://httpbingo.org/get?a=1&b=2"])
+    c.run()
+    assert c.fetched_t.read().count() == 1
+
+
+def test_redirect_chain(spark, tmpdir_path):
+    # /redirect/2 -> /redirect/1 -> /get; each hop seen (base.rb:209-211)
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/redirect/2"])
+    c.run()
+    fetched = c.fetched_t.read().collect()
+    assert len(fetched) == 1
+    assert fetched[0].final_url == "http://httpbingo.org/get"
+    seen_urls = {r.url for r in c.seen_t.read().collect()}
+    assert seen_urls == {
+        "http://httpbingo.org/redirect/2",
+        "http://httpbingo.org/redirect/1",
+        "http://httpbingo.org/get",
+    }
+    # final url now cached: fetching it again is a no-op
+    c.seed(["http://httpbingo.org/get"])
+    stats = c.run()
+    assert stats[0]["selected"] == 0
+
+
+def test_retry_amplification(spark, tmpdir_path):
+    # 5xx retried `retries` times -> retries+1 attempts (test_base.rb:57-61)
+    o = CrawlOptions(retries=4)
+    c = Crawler(spark, tmpdir_path + "/c", FixtureFetcher(seed=42), o)
+    c.seed(["http://error/boom"])
+    c.run()
+    f = c.fetched_t.read().collect()[0]
+    assert f.status == 500
+    assert f.n_attempts == 5
+    # errors are cached too (README.md:115): refetch is blocked
+    c.seed(["http://error/boom"])
+    assert c.run()[0]["selected"] == 0
+
+
+def test_flaky_retry_succeeds(spark, tmpdir_path):
+    fetcher = FixtureFetcher(seed=42, flaky={"flaky": 3})
+    c = Crawler(spark, tmpdir_path + "/c", fetcher, CrawlOptions(retries=2))
+    c.seed(["http://flaky/x"])
+    c.run()
+    f = c.fetched_t.read().collect()[0]
+    assert f.status == 200
+    assert f.n_attempts == 3
+
+
+def test_force_refetch(spark, tmpdir_path):
+    # force bypasses the seen check (test_main.rb:28-36); deterministic rand
+    # sentinel proves an actual refetch happened vs a cache hit
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/anything?q=1"])
+    c.run()
+    c2 = Crawler(
+        spark, tmpdir_path + "/crawl", FixtureFetcher(seed=42), CrawlOptions(force=True)
+    )
+    c2.seed(["http://httpbingo.org/anything?q=1"])
+    stats = c2.run()
+    assert stats[0]["selected"] == 1
+    assert c2.fetched_t.read().count() == 2
+
+
+def test_expires_ttl(spark, tmpdir_path):
+    # entries older than expires are misses (test_base.rb:13-20)
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/ttl"])
+    c.run()
+    time.sleep(0.2)
+    c2 = Crawler(
+        spark, tmpdir_path + "/crawl", FixtureFetcher(seed=42), CrawlOptions(expires=0.05)
+    )
+    c2.seed(["http://httpbingo.org/ttl"])
+    assert c2.run()[0]["selected"] == 1
+    c3 = Crawler(
+        spark, tmpdir_path + "/crawl", FixtureFetcher(seed=42), CrawlOptions(expires=3600)
+    )
+    c3.seed(["http://httpbingo.org/ttl"])
+    assert c3.run()[0]["selected"] == 0
+
+
+def test_status_cached_uncache(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path)
+    url = "http://httpbingo.org/probe"
+    assert c.status(url)["status"] == "miss"
+    assert not c.cached(url)
+    c.seed([url])
+    c.run()
+    assert c.status(url)["status"] == 200
+    assert c.cached(url)
+    c.uncache(url)
+    assert not c.cached(url)
+    # after uncache, refetch works
+    c.seed([url])
+    assert c.run()[0]["selected"] == 1
+
+
+def test_robots_gating(spark, tmpdir_path):
+    robots = None
+
+    def run(urls, rules):
+        r = spark.createDataFrame(rules, "host string, disallow_prefix string")
+        c = Crawler(
+            spark, tmpdir_path + f"/r{len(rules)}", FixtureFetcher(seed=42),
+            CrawlOptions(), robots=r,
+        )
+        c.seed(urls)
+        c.run()
+        return {x.url for x in c.seen_t.read().collect()}
+
+    seen = run(
+        ["http://a.test/private/x", "http://a.test/public/y", "http://b.test/private/z"],
+        [("a.test", "/private")],
+    )
+    assert seen == {"http://a.test/public/y", "http://b.test/private/z"}
+
+
+def test_per_host_cap_and_rounds(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path, per_host_cap=2, max_rounds=5)
+    c.seed([f"http://hot.test/p{i}" for i in range(5)] + ["http://cold.test/x"])
+    stats = c.run()
+    # round 1: 2 hot + 1 cold; round 2: 2 hot; round 3: 1 hot; round 4: done
+    assert [s["selected"] for s in stats] == [3, 2, 1, 0]
+    assert c.seen_t.read().count() == 6
+
+
+def test_priority_order(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path, per_host_cap=1, max_rounds=3)
+    c.seed(["http://h.test/low"])
+    # manually add a high-priority row via a second seed batch — seeds get
+    # priority 0; emulate priority by direct frontier write
+    from sinew_spark.operators.frontier import prepare_frontier
+
+    df = spark.createDataFrame(
+        [
+            ("http://h.test/low", "GET", "", 5.0, 0, 10, 0),
+            ("http://h.test/high", "GET", "", 1.0, 0, 11, 0),
+        ],
+        "url string, method string, body string, priority double, depth int, seq long, attempt int",
+    )
+    c.frontier_t.overwrite(prepare_frontier(df, c.canonicalize))
+    c.run()
+    fetched = c.fetched_t.read().orderBy("round").collect()
+    assert fetched[0].url == "http://h.test/high"  # lower priority value first
+
+
+def test_politeness_pacing(spark, tmpdir_path):
+    c = make_crawler(spark, tmpdir_path, rate_limit=0.15)
+    c.seed([f"http://slow.test/{i}" for i in range(3)])
+    t0 = time.time()
+    c.run()
+    # 3 urls on one host, 0.15s between -> >= 0.3s wall
+    assert time.time() - t0 >= 0.3
+
+
+def test_resume_from_checkpoint(spark, tmpdir_path):
+    # run 1 round of a 3-round crawl, "crash", resume from snapshots:
+    # seen + ordering must match an uninterrupted run (north rule)
+    def crawl(workdir, rounds):
+        c = Crawler(
+            spark, workdir, FixtureFetcher(seed=42),
+            CrawlOptions(per_host_cap=1, max_rounds=rounds),
+        )
+        return c
+
+    urls = [f"http://site.test/p{i}" for i in range(3)]
+
+    a = crawl(tmpdir_path + "/a", 5)
+    a.seed(urls)
+    a.run()
+
+    b = crawl(tmpdir_path + "/b", 1)
+    b.seed(urls)
+    b.run_round()  # round 0 only, then "crash"
+    b2 = crawl(tmpdir_path + "/b", 5)  # fresh Crawler over same workdir
+    b2.run()
+
+    sa = sorted((r.key, r.url, r.round) for r in a.seen_t.read().collect())
+    sb = sorted((r.key, r.url, r.round) for r in b2.seen_t.read().collect())
+    assert sa == sb
+    fa = [r.url for r in a.fetched_t.read().orderBy("round", "seq").collect()]
+    fb = [r.url for r in b2.fetched_t.read().orderBy("round", "seq").collect()]
+    assert fa == fb
+
+
+def test_follow_links_bfs(spark, tmpdir_path):
+    pages = {
+        "http://w.test/": '<a href="/a">a</a> <a href="/b">b</a>',
+        "http://w.test/a": '<a href="/b">b</a> <a href="/c">c</a>',
+        "http://w.test/b": "leaf",
+        "http://w.test/c": "leaf",
+    }
+    fetcher = FixtureFetcher(seed=42, extra_pages=pages)
+    c = Crawler(
+        spark, tmpdir_path + "/c", fetcher,
+        CrawlOptions(follow_links=True, max_depth=2, max_rounds=5),
+    )
+    c.seed(["http://w.test/"])
+    c.run()
+    seen = {r.url for r in c.seen_t.read().collect()}
+    assert seen == set(pages)
+    # depth recorded correctly
+    docs = {d.doc_id: d.depth for d in c.documents_t.read().collect()}
+    assert docs["http://w.test/"] == 0
+    assert docs["http://w.test/a"] == 1
+    assert docs["http://w.test/c"] == 2
+
+
+def test_deterministic_rand_sentinel(spark, tmpdir_path):
+    # the echo endpoint's rand is deterministic per identity (fixture model
+    # of test_helper.rb:65-76) — two crawls see the same body
+    c1 = make_crawler(spark, tmpdir_path + "/1")
+    c1.seed(["http://httpbingo.org/echo?z=9"])
+    c1.run()
+    c2 = make_crawler(spark, tmpdir_path + "/2")
+    c2.seed(["http://httpbingo.org/echo?z=9"])
+    c2.run()
+    b1 = c1.fetched_t.read().collect()[0].resp_body
+    b2 = c2.fetched_t.read().collect()[0].resp_body
+    assert b1 == b2
+    assert json.loads(b1)["args"] == {"z": "9"}
