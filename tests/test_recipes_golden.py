@@ -1,0 +1,158 @@
+"""Golden-output recipe tests — the span-sequence / CSV byte contract.
+
+Each case mirrors one reference recipe (/root/reference/test/recipes/
+*.sinew); expected CSV bytes are the `# OUTPUT` blocks from those files,
+verbatim (extraction logic: test_recipes.rb:22-32). This is the
+BASELINE.json exact-match metric at test scale."""
+
+import pytest
+
+from sinew_spark.crawl import CrawlOptions
+from sinew_spark.recipes import Recipe, RecipeResult, Step, run_recipe
+from sinew_spark.sources.fetch import FixtureFetcher
+
+
+def run(spark, tmpdir_path, recipe, **opts) -> RecipeResult:
+    return run_recipe(
+        spark, recipe, tmpdir_path, FixtureFetcher(seed=42), CrawlOptions(**opts)
+    )
+
+
+def test_array_header(spark, tmpdir_path):
+    # test/recipes/array_header.sinew: explicit header, missing cols padded
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(header=["n", "a", "p", "z"], steps=[Step(rows=[{"n": "n1", "a": "a1"}])]),
+    )
+    assert r.csv == "n,a,p,z\nn1,a1,,\n"
+
+
+def test_basic(spark, tmpdir_path):
+    # test/recipes/basic.sinew: regex scan over raw body
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            steps=[
+                Step(
+                    urls=["http://httpbingo.org/html"],
+                    iterate=("regex", "<h1>([^<]+)"),
+                    columns={"h1": ("regex_group", 1)},
+                )
+            ]
+        ),
+    )
+    assert r.csv == "h1\nHerman Melville - Moby-Dick\n"
+
+
+def test_implicit_header(spark, tmpdir_path):
+    # test/recipes/implicit_header.sinew: header from first row's keys
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(steps=[Step(rows=[{"name": "bob", "address": "main"}])]),
+    )
+    assert r.csv == "name,address\nbob,main\n"
+
+
+def test_limit(spark, tmpdir_path):
+    # test/recipes/limit.sinew: limit=3 stops after the 3rd emit
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(limit=3, steps=[Step(rows=[{"i": str(i)} for i in range(1, 6)])]),
+    )
+    assert r.csv == "i\n1\n2\n3\n"
+    assert r.count == 3
+
+
+def test_noko(spark, tmpdir_path):
+    # test/recipes/noko.sinew: CSS select over the XML slideshow
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            steps=[
+                Step(
+                    urls=["http://httpbingo.org/xml"],
+                    iterate=("css", "slide title"),
+                    columns={"title": "text"},
+                )
+            ]
+        ),
+    )
+    assert r.csv == "title\nWake up to WonderWidgets!\nOverview\n"
+
+
+def test_url(spark, tmpdir_path):
+    # test/recipes/url.sinew: URI math + final-url projection
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            steps=[
+                Step(
+                    urls=["http://httpbingo.org/html"],
+                    iterate="rows",
+                    columns={"url": "final_url"},
+                ),
+                Step(url_join="/get", iterate="rows", columns={"url": "final_url"}),
+            ]
+        ),
+    )
+    assert r.csv == "url\nhttp://httpbingo.org/html\nhttp://httpbingo.org/get\n"
+
+
+def test_xml(spark, tmpdir_path):
+    # test/recipes/xml.sinew: CSS select over the HTML page
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            steps=[
+                Step(
+                    urls=["http://httpbingo.org/html"],
+                    iterate=("css", "h1"),
+                    columns={"h1": "text"},
+                )
+            ]
+        ),
+    )
+    assert r.csv == "h1\nHerman Melville - Moby-Dick\n"
+
+
+def test_tally_and_report(spark, tmpdir_path):
+    # emit/tally semantics (test_csv.rb:4-12): count all rows, tally non-null
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            header=["a", "b"],
+            steps=[Step(rows=[{"a": "1"}, {"a": "2", "b": "x"}, {"b": None}])],
+        ),
+    )
+    assert r.csv == "a,b\n1,\n2,x\n,\n"
+    assert r.count == 3
+    assert r.tally == {"a": 2, "b": 1}
+    assert r.report() == [("a", 2, 2 * 100.0 / 3), ("b", 1, 100.0 / 3)]
+
+
+def test_header_freeze_projection(spark, tmpdir_path):
+    # test_base.rb:119-124: csv_header(:a,:b); emit(a: 1) -> "a,b\n1,\n"
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(header=["a", "b"], steps=[Step(rows=[{"a": "1"}])]),
+    )
+    assert r.csv == "a,b\n1,\n"
+
+
+def test_emit_normalization_applied(spark, tmpdir_path):
+    # emitted values flow through the normalize pipeline (csv.rb:31-50)
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(steps=[Step(rows=[{"v": "<b>café &amp; </b> stuff "}])]),
+    )
+    assert r.csv == "v\ncafe & stuff\n"
