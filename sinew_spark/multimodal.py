@@ -1,0 +1,152 @@
+"""Multimodal column plumbing — binary media with typed metadata.
+
+Interleaved documents carry media spans (kind='image'/'audio'/'video',
+media_ref=URL). At pipeline scale the media bytes live in a binary column
+with typed metadata; decode/resize/frame-sample run as Arrow-batched
+mapInPandas stages.
+
+The decode kernels themselves are STUBBED (this container has no
+image/audio libraries): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder produces metadata
+derived from the bytes — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested; swapping in Pillow/ffmpeg
+changes only the kernel body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("source_url", T.StringType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _fake_decode_image(content: bytes) -> tuple[int, int, int]:
+    """Deterministic fake: dimensions derived from the content hash. Replace
+    with a real decoder (Pillow) on a cluster with the library installed."""
+    h = hashlib.sha256(content).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 3)
+
+
+def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires Pillow/libvips — not available in this "
+            "container; pass fake=True for the deterministic test decoder"
+        )
+    return _fake_decode_image(content)
+
+
+def extract_image_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> image metadata. Arrow batches; sha256 + sizes
+    always real, dimensions via the (stub) decoder."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                w, h, c = decode_image(content, fake=fake)
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "n_bytes": len(content),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image").select("media_id", "content").mapInPandas(
+        batch, IMAGE_META_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, fake: bool = True) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame with a
+    frame index and a (fake) frame digest. A real implementation swaps the
+    byte-stride sampler for ffmpeg keyframe extraction; schema and
+    partitioning stay identical."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_sha", T.StringType()),
+        ]
+    )
+    if not fake:
+        raise NotImplementedError("video decode requires ffmpeg — container lacks it")
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                for i in range(0, max(1, len(content) // every_n_bytes)):
+                    chunk = content[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "frame_sha": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return media.where(F.col("kind") == "video").select("media_id", "content").mapInPandas(
+        batch, schema
+    )
+
+
+def media_from_spans(documents: DataFrame, seed: int = 42) -> DataFrame:
+    """Materialize a media table from span documents: every media span
+    becomes a row; content is deterministic fake bytes derived from the
+    media_ref (the real pipeline fetches bytes through the crawler)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def fake_bytes(refs: pd.Series) -> pd.Series:
+        def gen(u):
+            if not u:
+                return b""
+            # non-periodic deterministic stream (so chunk digests differ)
+            return b"".join(
+                hashlib.sha256(f"{seed}|{u}|{i}".encode()).digest() for i in range(8)
+            )
+
+        return refs.map(gen)
+
+    spans = documents.select(F.explode("spans").alias("s"))
+    media = spans.where(F.col("s.kind").isin("image", "audio", "video")).select(
+        F.md5(F.col("s.media_ref")).alias("media_id"),
+        F.col("s.kind").alias("kind"),
+        fake_bytes(F.col("s.media_ref")).alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.col("s.media_ref").alias("source_url"),
+    )
+    return media.dropDuplicates(["media_id"])

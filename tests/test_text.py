@@ -1,0 +1,80 @@
+"""Text analysis operator tests (token count, quality, lang id, fingerprint)."""
+
+from pyspark.sql import functions as F
+
+from sinew_spark.functions.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    robust_fingerprint_expr,
+    subword_count_expr,
+    token_count_expr,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("  one  ",), ("",), ("a\tb\nc",)], ["text"]
+    )
+    got = [r[0] for r in df.select(token_count_expr(F.col("text"))).collect()]
+    assert got == [4, 1, 0, 3]
+
+
+def test_subword_count(spark):
+    df = spark.createDataFrame([("hello world42!",)], ["text"])
+    # hell+o, worl+d? -> [a-z]{1,4}: 'hell','o','worl','d'? no: 'world' -> 'worl','d'... plus '42' and '!'
+    n = df.select(subword_count_expr(F.col("text"))).collect()[0][0]
+    assert n == 6  # hell, o, worl, d, 42, !
+
+
+def test_punct_ratio(spark):
+    df = spark.createDataFrame([("ab!?",), ("abcd",)], ["text"])
+    got = [r[0] for r in df.select(punct_ratio_expr(F.col("text"))).collect()]
+    assert got == [0.5, 0.0]
+
+
+def test_lang_id(spark):
+    rows = [
+        ("the cat and the dog went to the park and it was good",),
+        ("der hund und die katze sind nicht mit der maus",),
+        ("le chat est dans la maison et les oiseaux",),
+        ("el perro y la casa es una cosa que de todos",),
+        ("zzz qqq xxx",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r[0] for r in df.select(lang_id_expr(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs through the green fields of the valley " * 3
+    bad = "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "text"])
+    got = {r.id: r.q for r in df.select("id", quality_score_expr(F.col("text")).alias("q")).collect()}
+    assert got[1] > 0.5 > got[2]
+    assert 0.0 <= got[2] <= 1.0
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "world hello"),
+            (4, "totally different"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r.id: (r.fp, r.rfp)
+        for r in df.select(
+            "id",
+            fingerprint_expr(F.col("text")).alias("fp"),
+            robust_fingerprint_expr(F.col("text")).alias("rfp"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0]  # case/space-insensitive exact fp
+    assert out[2][0] != out[3][0]  # order matters for exact fp
+    assert out[2][1] == out[3][1]  # order-independent robust fp
+    assert out[2][1] != out[4][1]
