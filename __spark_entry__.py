@@ -1,38 +1,710 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the sinew_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data ops); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — ANSI-SQL equivalents for DuckDB over the same parquet
+views. Queries with engine-specific hashing (minhash/simhash/IVF) have no
+oracle -> rows-only check.
+
+Column names are aliased identically on both sides; floats are rounded on
+both sides so value hashes match.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------------------
+# synthetic URL column (same construction in Spark and SQL so the
+# canonicalizer can be validated against an independent oracle)
+# --------------------------------------------------------------------------
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat(
+            F.lit("HTTP://Host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".TEST/a/./p"),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("/../q?b="),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit("&a=1&junk=9"),
+        ).alias("url"),
+    )
+
+
+_MESSY_URL_SQL = (
+    "SELECT event_id, user_id, event_type, "
+    "'HTTP://Host' || CAST(user_id % 50 AS VARCHAR) || '.TEST/a/./p' || "
+    "CAST(event_id % 7 AS VARCHAR) || '/../q?b=' || CAST(event_id % 5 AS VARCHAR) || "
+    "'&a=1&junk=9' AS url FROM events"
+)
+
+_CANON_SQL = (
+    "'http://host' || CAST(user_id % 50 AS VARCHAR) || '.test/a/q?a=1&b=' || "
+    "CAST(event_id % 5 AS VARCHAR)"
+)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_canonicalize_urls(spark, sf_dir):
+    """C1/C2: URL canonicalization (case, dot segments, param sort, ignore)."""
+    from sinew_spark.functions.urls import make_canonicalize_udf
+
+    canon = make_canonicalize_udf(ignore_params=("junk",))
+    return (
+        _messy_urls(spark, sf_dir)
+        .select("event_id", canon(F.col("url")).alias("canonical_url"))
+        .orderBy("event_id")
+    )
+
+
+def q_request_identity(spark, sf_dir):
+    """C3/C4: request identity key + exact dedup count by identity."""
+    from sinew_spark.functions.urls import make_canonicalize_udf, request_key_md5_expr
+
+    canon = make_canonicalize_udf(ignore_params=("junk",))
+    df = _messy_urls(spark, sf_dir).withColumn("curl", canon(F.col("url")))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct(
+            request_key_md5_expr(F.lit("GET"), F.col("curl"), F.lit(""))
+        ).alias("n_identities"),
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """C4: exactly-once — left-anti join of frontier vs seen on identity."""
+    from sinew_spark.functions.urls import make_canonicalize_udf
+
+    canon = make_canonicalize_udf(ignore_params=("junk",))
+    df = _messy_urls(spark, sf_dir).withColumn("curl", canon(F.col("url")))
+    frontier = df.select("event_id", "curl")
+    seen = df.where(F.col("event_id") % 3 == 0).select(F.col("curl").alias("seen_url"))
+    return (
+        frontier.join(seen, frontier.curl == seen.seen_url, "left_anti")
+        .groupBy("curl")
+        .agg(F.min("event_id").alias("first_event"), F.count(F.lit(1)).alias("n"))
+        .orderBy("curl")
+    )
+
+
+def q_ttl_expiry(spark, sf_dir):
+    """C5: TTL expiry — seen rows older than cutoff become refetch candidates."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    cutoff = e.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - 86400 * 7
+    return (
+        e.where(F.unix_timestamp("ts") < F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+        .orderBy("event_type")
+    )
+
+
+def q_per_host_cap(spark, sf_dir):
+    """C7/C14: per-host politeness cap via row_number window (cap=5)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("host"), (F.col("user_id") % 20).cast("string"))
+    w = Window.partitionBy("host").orderBy("event_id")
+    return (
+        e.select("event_id", host.alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_selected"), F.min("event_id").alias("first_id"))
+        .orderBy("host")
+    )
+
+
+def q_priority_topk(spark, sf_dir):
+    """C13/C14: priority-queue head — top-k by (priority, seq)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            (F.col("value") * -1).alias("priority"),
+            F.col("event_id").alias("seq"),
+        )
+        .orderBy("priority", "seq")
+        .limit(100)
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """C15: robots gating — anti-join on host + disallowed path prefix."""
+    from sinew_spark.functions.urls import host_expr, path_expr
+
+    urls = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/"),
+            F.col("event_type"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    robots = n.where(F.col("n_nationkey") % 2 == 0).select(
+        F.concat(F.lit("host"), (F.col("n_nationkey") % 20).cast("string"), F.lit(".test")).alias("host"),
+        F.lit("/click").alias("disallow_prefix"),
+    ).distinct()
+    u = urls.withColumn("host", host_expr(F.col("url"))).withColumn(
+        "path", path_expr(F.col("url"))
+    )
+    blocked = u.join(
+        F.broadcast(robots),
+        (u.host == robots.host) & u.path.startswith(robots.disallow_prefix),
+        "left_anti",
+    )
+    return blocked.groupBy("host").agg(F.count(F.lit(1)).alias("n_allowed")).orderBy("host")
+
+
+def q_tally(spark, sf_dir):
+    """A1/A2: emit count + per-column non-null tally (csv.rb:36-42)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    return o.agg(
+        F.count(F.lit(1)).alias("total"), *[F.count(c).alias(f"tally_{c}") for c in cols]
+    )
+
+
+def q_header_projection(spark, sf_dir):
+    """S5/S6: header-freeze projection — present cols normalized, missing
+    cols NULL-filled, extras dropped."""
+    from sinew_spark.functions.normalize import normalize_expr
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        normalize_expr(F.col("c_name")).alias("name"),
+        normalize_expr(F.col("c_mktsegment")).alias("segment"),
+        F.lit(None).cast("string").alias("missing_col"),
+    ).orderBy("name")
+
+
+def q_normalize_ascii(spark, sf_dir):
+    """N5/N10: Catalyst normalize fast path over document text."""
+    from sinew_spark.functions.normalize import normalize_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize_expr(
+            F.concat(F.lit("<p> "), F.col("text"), F.lit(" </p>  extra\t space"))
+        ).alias("normalized"),
+    ).orderBy("doc_id")
+
+
+def q_array_join_pipe(spark, sf_dir):
+    """N2: array flatten with '|' (csv.rb:61-62)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 5), "|").alias("first5")
+    ).orderBy("doc_id")
+
+
+def q_regex_scan(spark, sf_dir):
+    """P6: regex extraction — match counts per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("(spark)"), F.lit(1))).alias(
+            "n_spark"
+        ),
+        F.regexp_extract(F.col("text"), "(merge \\w+)", 1).alias("first_merge"),
+    ).orderBy("doc_id")
+
+
+def q_token_count(spark, sf_dir):
+    """Text op: whitespace token counting."""
+    from sinew_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    """Text op: composite quality heuristic."""
+    from sinew_spark.functions.text import quality_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    """Text op: stopword-profile language ID distribution."""
+    from sinew_spark.functions.text import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id_expr(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Text op: exact + order-independent document fingerprints."""
+    from sinew_spark.functions.text import fingerprint_expr, robust_fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        robust_fingerprint_expr(F.col("text")).alias("rfp"),
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Dedup: exact hash-groupBy with injected duplicates."""
+    from sinew_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return exact_dedup(d.unionByName(dup)).orderBy("doc_id")
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    """Dedup: exact token-set Jaccard verify over candidate pairs (the
+    verify stage of the LSH pipeline), near-dups injected deterministically."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "spark", "spork").alias("text"),
+    )
+    docs = d.unionByName(mutated)
+    pairs = d.select(F.col("doc_id").alias("a")).withColumn("b", F.col("a") + 1000)
+    toks = lambda c: F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))  # noqa: E731
+    da = docs.select(F.col("doc_id").alias("a"), toks(F.col("text")).alias("ta"))
+    db = docs.select(F.col("doc_id").alias("b"), toks(F.col("text")).alias("tb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("a")
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Dedup: MinHash+LSH near-dup pairs (engine-specific hashing -> rows-only)."""
+    from sinew_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "spark", "spork").alias("text"),
+    )
+    pairs = minhash_dedup(d.unionByName(mutated), threshold=0.5, num_perm=32, bands=16)
+    return pairs.orderBy("a", "b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Dedup: SimHash hamming near-dups (engine-specific hashing -> rows-only)."""
+    from sinew_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "spark", "spork").alias("text"),
+    )
+    return simhash_near_dups(d.unionByName(mutated), max_hamming=12).orderBy("a", "b")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Similarity: exact brute-force cosine top-10 vs the vec_id=0 query."""
+    from sinew_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    top = brute_force_topk(emb, q, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Similarity: embedding near-dup pairs (cosine >= 0.9) on a slice."""
+    from sinew_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_expr(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.9)
+        .orderBy("a", "b")
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Similarity: IVF approximate top-k (driver-trained centroids -> rows-only)."""
+    from sinew_spark.operators.similarity import assign_cells, ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    cent = train_ivf_centroids(emb, n_cells=8, sample=500)
+    cells = assign_cells(emb, cent)
+    return ivf_topk(cells, cent, q, k=10, n_probe=8).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Relational flagship: TPC-H-Q1-style grouped aggregation."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k per group."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation (batch equivalent)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket")
+    return (
+        e.groupBy(hour, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+def q_join_star(spark, sf_dir):
+    """Broadcast star join: customer -> nation -> region revenue rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: document quality/dedup/language pipeline — the
+    post-crawl analytics a training-data pipeline runs on parsed documents."""
+    from sinew_spark.functions.text import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        lang_id_expr(F.col("text")).alias("pred_lang"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "canonicalize_urls": q_canonicalize_urls,
+        "request_identity": q_request_identity,
+        "seen_antijoin": q_seen_antijoin,
+        "ttl_expiry": q_ttl_expiry,
+        "per_host_cap": q_per_host_cap,
+        "priority_topk": q_priority_topk,
+        "robots_gate": q_robots_gate,
+        "tally": q_tally,
+        "header_projection": q_header_projection,
+        "normalize_ascii": q_normalize_ascii,
+        "array_join_pipe": q_array_join_pipe,
+        "regex_scan": q_regex_scan,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf": q_ann_ivf,
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "join_star": q_join_star,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    stop = {
+        lang: "\\b(" + "|".join(words) + ")\\b"
+        for lang, words in {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+            "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+            "fr": ["le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"],
+            "es": ["el", "la", "los", "que", "de", "es", "una", "por", "con", "para"],
+        }.items()
+    }
+    hits = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))" for lang, pat in stop.items()
+    }
+    best = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    lang_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {hits['en']} = {best} THEN 'en' "
+        f"WHEN {hits['de']} = {best} THEN 'de' "
+        f"WHEN {hits['fr']} = {best} THEN 'fr' "
+        f"WHEN {hits['es']} = {best} THEN 'es' ELSE 'und' END"
+    )
+    n_tok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    punct = (
+        "CASE WHEN len(text) > 0 THEN "
+        "CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) "
+        "ELSE 0.0 END"
+    )
+    quality = (
+        f"round(least({n_tok} / 100.0, 1.0) * 0.3 + "
+        f"(CASE WHEN {n_tok} > 0 THEN CAST(len(list_distinct({tok})) AS DOUBLE) / {n_tok} ELSE 0.0 END) * 0.3 + "
+        f"greatest(0.0, 1.0 - ({punct}) * 4) * 0.2 + "
+        f"least(CAST({hits['en']} AS DOUBLE) / greatest({n_tok}, 1) * 5, 1.0) * 0.2, 6)"
+    )
+
+    return {
+        "canonicalize_urls": (
+            f"WITH m AS ({_MESSY_URL_SQL}) "
+            f"SELECT event_id, {_CANON_SQL} AS canonical_url FROM m ORDER BY event_id"
+        ),
+        "request_identity": (
+            f"WITH m AS ({_MESSY_URL_SQL}) "
+            f"SELECT count(*) AS n_requests, "
+            f"count(DISTINCT md5('GET' || {_CANON_SQL} || '')) AS n_identities FROM m"
+        ),
+        "seen_antijoin": (
+            f"WITH m AS ({_MESSY_URL_SQL}), "
+            f"c AS (SELECT event_id, {_CANON_SQL} AS curl FROM m) "
+            "SELECT curl, min(event_id) AS first_event, count(*) AS n FROM c "
+            "WHERE curl NOT IN (SELECT curl FROM c WHERE event_id % 3 = 0) "
+            "GROUP BY curl ORDER BY curl"
+        ),
+        "ttl_expiry": (
+            "SELECT event_type, count(*) AS n_expired FROM events "
+            "WHERE epoch(ts) < (SELECT max(epoch(ts)) FROM events) - 86400*7 "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "per_host_cap": (
+            "WITH h AS (SELECT event_id, 'host' || CAST(user_id % 20 AS VARCHAR) AS host FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY event_id) AS rn FROM h) "
+            "SELECT host, count(*) AS n_selected, min(event_id) AS first_id FROM r "
+            "WHERE rn <= 5 GROUP BY host ORDER BY host"
+        ),
+        "priority_topk": (
+            "SELECT event_id, value * -1 AS priority, event_id AS seq FROM events "
+            "ORDER BY priority, seq LIMIT 100"
+        ),
+        "robots_gate": (
+            "WITH u AS (SELECT event_id, "
+            "'host' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host, "
+            "'/' || event_type || '/' || CAST(event_id AS VARCHAR) AS path FROM events), "
+            "r AS (SELECT DISTINCT 'host' || CAST(n_nationkey % 20 AS VARCHAR) || '.test' AS host "
+            "FROM nation WHERE n_nationkey % 2 = 0) "
+            "SELECT u.host, count(*) AS n_allowed FROM u "
+            "WHERE NOT (u.host IN (SELECT host FROM r) AND u.path LIKE '/click%') "
+            "GROUP BY u.host ORDER BY u.host"
+        ),
+        "tally": (
+            "SELECT count(*) AS total, count(o_orderkey) AS tally_o_orderkey, "
+            "count(o_custkey) AS tally_o_custkey, count(o_orderstatus) AS tally_o_orderstatus, "
+            "count(o_totalprice) AS tally_o_totalprice FROM orders"
+        ),
+        "header_projection": (
+            "SELECT nullif(trim(regexp_replace(regexp_replace(c_name, '<[^>]+>', ' ', 'g'), "
+            "'\\s+', ' ', 'g')), '') AS name, "
+            "nullif(trim(regexp_replace(regexp_replace(c_mktsegment, '<[^>]+>', ' ', 'g'), "
+            "'\\s+', ' ', 'g')), '') AS segment, "
+            "CAST(NULL AS VARCHAR) AS missing_col FROM customer ORDER BY name"
+        ),
+        "normalize_ascii": (
+            "SELECT doc_id, nullif(trim(regexp_replace(regexp_replace("
+            "'<p> ' || text || ' </p>  extra' || chr(9) || ' space', "
+            "'<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')), '') AS normalized "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "array_join_pipe": (
+            f"SELECT doc_id, array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:5], '|') "
+            "AS first5 FROM documents ORDER BY doc_id"
+        ),
+        "regex_scan": (
+            "SELECT doc_id, len(regexp_extract_all(text, '(spark)', 1)) AS n_spark, "
+            "coalesce(regexp_extract(text, '(merge \\w+)', 1), '') AS first_merge "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "token_count": (
+            f"SELECT doc_id, {n_tok} AS n_tokens FROM documents ORDER BY doc_id"
+        ),
+        "quality_score": (
+            f"SELECT doc_id, {quality} AS quality FROM documents ORDER BY doc_id"
+        ),
+        "lang_id": (
+            f"SELECT {lang_case} AS pred_lang, count(*) AS n FROM documents "
+            "GROUP BY pred_lang ORDER BY pred_lang"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            f"md5(array_to_string(list_sort(list_distinct({tok})), ' ')) AS rfp "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dedup_exact": (
+            "WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents) "
+            "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_dupes "
+            "FROM all_docs GROUP BY md5(text) ORDER BY doc_id"
+        ),
+        "dedup_token_jaccard": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30), "
+            "m AS (SELECT doc_id + 1000 AS doc_id, regexp_replace(text, 'spark', 'spork', 'g') AS text FROM d), "
+            "docs AS (SELECT * FROM d UNION ALL SELECT * FROM m), "
+            "pairs AS (SELECT doc_id AS a, doc_id + 1000 AS b FROM d) "
+            "SELECT pairs.a, pairs.b, "
+            "round(CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(da.text)), '\\s+')), "
+            "list_distinct(regexp_split_to_array(lower(trim(db.text)), '\\s+')))) AS DOUBLE) / "
+            "len(list_distinct(list_concat(list_distinct(regexp_split_to_array(lower(trim(da.text)), '\\s+')), "
+            "list_distinct(regexp_split_to_array(lower(trim(db.text)), '\\s+'))))), 6) AS jaccard "
+            "FROM pairs JOIN docs da ON da.doc_id = pairs.a JOIN docs db ON db.doc_id = pairs.b "
+            "ORDER BY pairs.a"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS cosine "
+            "FROM embeddings e, q ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "embedding_neardup": (
+            "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 150) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))), 4) AS cosine "
+            "FROM s a JOIN s b ON a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))), 4) >= 0.9 ORDER BY a, b"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "top_orders_per_customer": (
+            "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank "
+            "FROM orders) SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank "
+            "FROM r WHERE rank <= 3 ORDER BY o_custkey, rank"
+        ),
+        "events_hourly": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type, "
+            "count(*) AS n, round(sum(value), 4) AS sum_value FROM events "
+            "GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type"
+        ),
+        "join_star": (
+            "SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+    }
