@@ -121,6 +121,7 @@ def main():
         n = int(sys.argv[sys.argv.index("--crawl-only") + 1])
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv else CPUS
         spark = get_spark(cpus)
+        crawl_benchmark(spark, max(n // 10, 1000))  # warmup: JVM/codegen/page cache
         res = crawl_benchmark(spark, n)
         res["cpus"] = cpus
         print(json.dumps(res))

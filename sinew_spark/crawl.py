@@ -127,6 +127,7 @@ class Crawler:
         self.documents_t = SnapshotTable(spark, os.path.join(workdir, "documents"), _PARSED_WITH_ROUND)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
         self._bloom = self._load_bloom()
+        self._round: int | None = None  # lazily read from metrics, then cached
 
     # --- bloom sidecar ---------------------------------------------------------
 
@@ -176,14 +177,24 @@ class Crawler:
     # --- the round ---------------------------------------------------------------
 
     def current_round(self) -> int:
-        m = self.metrics_t.read()
-        row = m.agg(F.max("round").alias("r")).collect()[0]
-        return (row.r if row.r is not None else -1) + 1
+        if self._round is None:
+            m = self.metrics_t.read()
+            row = m.agg(F.max("round").alias("r")).collect()[0]
+            self._round = (row.r if row.r is not None else -1) + 1
+        return self._round
 
     def run_round(self) -> dict:
         t0 = time.time()
+        profile = os.environ.get("SINEW_PROFILE") == "1"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if profile:
+                marks.append((label, time.time()))
+
         rnd = self.current_round()
         frontier = self.frontier_t.read()
+        mark("start")
 
         # 1. deterministic within-round dedup (first seq wins)
         cand = dedup_within_round(frontier)
@@ -210,27 +221,31 @@ class Crawler:
         # 4. politeness cap + global budget
         selected = per_host_cap(cand, self.opts.per_host_cap)
         selected = take_round_budget(selected, self.opts.round_budget)
-        selected = selected.persist()
         n_candidates = cand.count() if self.opts.round_budget else None
-        n_selected = selected.count()
-        if n_selected == 0:
-            selected.unpersist()
-            return {"round": rnd, "selected": 0, "done": True}
 
-        # 5. fetch (per-host politeness inside)
-        fetched = fetch_rows(
+        # 5. fetch (per-host politeness inside). The whole
+        # dedup->cap->fetch pipeline materializes exactly ONCE — at the
+        # fetched_t commit below; downstream stages then read the committed
+        # parquet back (columnar, pruned) instead of holding body-laden rows
+        # in JVM cache. Emptiness is detected from the committed keys (an
+        # empty round's jobs are near-free).
+        fetched_out = fetch_rows(
             selected,
             self.fetcher,
             rate_limit=self.opts.rate_limit,
             retries=self.opts.retries,
             proxies=list(self.opts.proxies),
-        ).persist()
-        n_fetched = fetched.count()
-        n_errors = fetched.where(F.col("error").isNotNull()).count()
+        )
 
         # 6. commit fetched + seen (including one entry per redirect hop,
         #    base.rb:209-211)
-        self.fetched_t.append(fetched.withColumn("round", F.lit(rnd)), {"round": rnd})
+        snap = self.fetched_t.append(
+            fetched_out.withColumn("round", F.lit(rnd)), {"round": rnd}
+        )
+        # read this round's rows back from the just-committed snapshot delta:
+        # downstream projections are columnar scans with pruning, no JVM cache
+        fetched = self.fetched_t.read_delta(snap)
+        mark("fetch+commit")
         seen_new = fetched.select(
             "key",
             F.col("canonical_url").alias("url"),
@@ -265,18 +280,39 @@ class Crawler:
                 F.col("canonical_url").alias("hop_of"), F.lit(rnd).alias("round"),
             )
         )
-        all_seen_new = seen_new.unionByName(hops).unionByName(finals).dropDuplicates(["key"])
-        self.seen_t.append(all_seen_new, {"round": rnd})
-        new_keys = [r.key for r in all_seen_new.select("key").collect()]
-        if new_keys:
-            import numpy as np
-
-            self._bloom.add(np.array(new_keys, dtype="int64"))
-            self._save_bloom()
+        # deterministic key-dedup: a directly-fetched row beats a hop row for
+        # the same key (replay determinism — dropDuplicates picks arbitrarily)
+        union = seen_new.unionByName(hops).unionByName(finals)
+        all_seen_new = (
+            union.groupBy("key")
+            .agg(
+                F.min_by(
+                    F.struct(*[f.name for f in SEEN_SCHEMA.fields]),
+                    F.struct(F.col("hop_of").isNotNull().cast("int"), F.col("url")),
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        seen_snap = self.seen_t.append(all_seen_new, {"round": rnd})
+        mark("seen_commit")
+        # Arrow-batched driver pull straight from the committed delta:
+        # bloom keys + selected/error tallies in one pruned columnar scan
+        ks = self.seen_t.read_delta(seen_snap).select("key", "status", "hop_of").toPandas()
+        n_selected = int(ks["hop_of"].isna().sum())
+        n_fetched = n_selected
+        n_errors = int(
+            (((ks["status"] >= 500) | (ks["status"] < 0)) & ks["hop_of"].isna()).sum()
+        )
+        if n_selected == 0:
+            return {"round": rnd, "selected": 0, "done": True}
+        self._bloom.add(ks["key"].to_numpy("int64"))
+        self._save_bloom()
+        mark("keys+bloom")
 
         # 7. parse -> documents
-        parsed = parse_documents(fetched).withColumn("round", F.lit(rnd)).persist()
-        self.documents_t.append(parsed, {"round": rnd})
+        parsed_out = parse_documents(fetched).withColumn("round", F.lit(rnd))
+        doc_snap = self.documents_t.append(parsed_out, {"round": rnd})
+        mark("parse+commit")
 
         # 8. next frontier: leftover (capped-out) + discovered links.
         # Everything that can never be fetched must leave the frontier or the
@@ -284,6 +320,7 @@ class Crawler:
         leftover = frontier
         n_new_links = 0
         if self.opts.follow_links:
+            parsed = self.documents_t.read_delta(doc_snap)
             links = parsed.select(
                 F.col("seq").alias("parent_seq"),
                 F.col("depth").alias("parent_depth"),
@@ -311,6 +348,12 @@ class Crawler:
         if self.robots is not None:
             next_frontier = apply_robots(next_frontier, self.robots)
         self.frontier_t.overwrite(dedup_within_round(next_frontier), {"round": rnd})
+        mark("next_frontier")
+        if profile:
+            prev = t0
+            for label, tm in marks:
+                print(f"  [round {rnd}] {label:15s} {tm - prev:7.2f}s", flush=True)
+                prev = tm
 
         dur = time.time() - t0
         stats = {
@@ -326,9 +369,7 @@ class Crawler:
         self.metrics_t.append(
             self.spark.createDataFrame([tuple(stats.values())], METRICS_SCHEMA), {"round": rnd}
         )
-        selected.unpersist()
-        fetched.unpersist()
-        parsed.unpersist()
+        self._round = rnd + 1
         stats["done"] = False
         return stats
 

@@ -205,6 +205,22 @@ TITLE_TAGS = {"title", "h1", "h2", "h3", "h4", "h5", "h6"}
 _BLOCK_TAGS = {"p", "div", "li", "td", "th", "section", "article", "body"}
 
 
+def extract_spans_and_links(
+    body: str, content_type: str = "text/html", base_url: str = ""
+) -> tuple[list[tuple], list[str]]:
+    """Single-parse extraction of both the span sequence and resolved
+    outlinks (one tree walk; parsing twice doubles the hot-path cost)."""
+    from urllib.parse import urljoin
+
+    spans = extract_spans(body, content_type)
+    links = []
+    if body and content_type and ("html" in content_type or "xml" in content_type):
+        for k, _t, m, _o in spans:
+            if k == "link" and m and not m.startswith(("javascript:", "mailto:", "#")):
+                links.append(urljoin(base_url, m))
+    return spans, links
+
+
 def extract_spans(body: str, content_type: str = "text/html") -> list[tuple]:
     """Extract the interleaved (kind, text, media_ref, offset) span sequence
     from one document (BASELINE.json input_hint shape).

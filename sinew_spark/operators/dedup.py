@@ -56,30 +56,26 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _shingle_set(text: str, k: int) -> np.ndarray:
-    """Hashed k-gram (character shingle) set, uint64."""
+    """Hashed k-gram (character shingle) set, uint64 — vectorized stable
+    hashing (siphash via pd.util.hash_array, fixed key)."""
     t = " ".join(text.lower().split())
-    if len(t) < k:
-        return np.array([hash(t) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
-    views = {t[i : i + k] for i in range(len(t) - k + 1)}
-    import hashlib
-
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in views
-        ),
-        dtype=np.uint64,
-        count=len(views),
+    views = (
+        [t] if len(t) < k else list({t[i : i + k] for i in range(len(t) - k + 1)})
+    )
+    return pd.util.hash_array(
+        np.array(views, dtype=object), hash_key="sinew-shingle-16", categorize=False
     )
 
 
 def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
     """Vectorized minhash signature pandas UDF: text -> array<bigint> of
-    length num_perm. Universal hashing (a*x+b mod p) over the shingle set,
-    all permutations evaluated as one numpy matmul-style broadcast."""
+    length num_perm. Permutation family: splitmix64(x ^ seed_j) — the whole
+    (num_perm x n_shingles) grid is evaluated as one numpy broadcast, then
+    min-reduced along the shingle axis. No per-shingle Python."""
+    from sinew_spark.operators.bloom import _splitmix64
+
     rng = np.random.default_rng(seed)
-    A = rng.integers(1, _MERSENNE - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
-    B = rng.integers(0, _MERSENNE - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
+    seeds = rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
@@ -88,13 +84,10 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
             if t is None:
                 out.append(None)
                 continue
-            sh = _shingle_set(t, shingle_k).astype(object)  # python ints: no overflow
-            # sig_j = min over shingles of (a_j * x + b_j) mod p
-            sig = [
-                int(min((int(a) * int(x) + int(b)) % _MERSENNE for x in sh))
-                for a, b in zip(A, B)
-            ]
-            out.append(sig)
+            sh = _shingle_set(t, shingle_k)  # uint64[n]
+            grid = _splitmix64(sh[None, :] ^ seeds[:, None])  # (num_perm, n)
+            sig = grid.min(axis=1).view(np.int64)
+            out.append([int(v) for v in sig])
         return pd.Series(out)
 
     return minhash
@@ -189,26 +182,25 @@ def make_simhash_udf(seed: int = 42):
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
 
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8, key=b"simhash").digest(),
-                    "big",
-                )
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            # to signed int64
+            toks = pd.Series(t.lower().split(), dtype="object")
+            if toks.empty:
+                out.append(0)
+                continue
+            # vectorized stable 64-bit token hashes (siphash, fixed key)
+            h = pd.util.hash_array(
+                toks.to_numpy(), hash_key="sinew-simhash-16", categorize=False
+            )
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            v = int(weights[acc > 0].sum(dtype=np.uint64))
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(out, dtype="object")
 

@@ -51,7 +51,7 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
     cols = ["canonical_url", "final_url", "status", "content_type", "resp_body", "seq", "depth"]
 
     def parse_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from sinew_spark.functions.htmlparse import extract_links, extract_spans
+        from sinew_spark.functions.htmlparse import extract_spans_and_links
 
         for pdf in it:
             spans_col, links_col = [], []
@@ -61,17 +61,15 @@ def parse_documents(fetched: DataFrame) -> DataFrame:
                     spans_col.append([])
                     links_col.append([])
                     continue
-                spans = extract_spans(row.resp_body, row.content_type or "text/html")
+                spans, links = extract_spans_and_links(
+                    row.resp_body,
+                    row.content_type or "text/html",
+                    row.final_url or row.canonical_url,
+                )
                 spans_col.append(
                     [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans]
                 )
-                ct = row.content_type or "text/html"
-                if "html" in ct or "xml" in ct:
-                    links_col.append(
-                        extract_links(row.resp_body, row.final_url or row.canonical_url)
-                    )
-                else:
-                    links_col.append([])
+                links_col.append(links)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["canonical_url"],

@@ -118,6 +118,24 @@ class SnapshotTable:
                 return s["dirs"]
         raise KeyError(f"snapshot {sid} not found in {self.path}")
 
+    def read_delta(self, snapshot_id: int) -> DataFrame:
+        """Read only the files ADDED by the given snapshot (incremental read
+        — Iceberg's incremental scan). O(delta), not O(table)."""
+        m = self._read_manifest()
+        target = prev = None
+        for s in m["snapshots"]:
+            if s["id"] == snapshot_id:
+                target = s
+                break
+            prev = s
+        if target is None:
+            raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+        prev_dirs = set(prev["dirs"]) if prev and target["op"] == "append" else set()
+        new_dirs = [d for d in target["dirs"] if d not in prev_dirs]
+        if not new_dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*new_dirs)
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Parquet scans get
         full Catalyst pushdown/pruning."""

@@ -209,10 +209,28 @@ def make_fetch_fn(fetcher: Fetcher, rate_limit: float, retries: int, proxies: li
 
 
 def fetch_rows(frontier: DataFrame, fetcher: Fetcher, rate_limit: float = 0.0, retries: int = 2, proxies: list[str] | None = None) -> DataFrame:
-    """Run the fetch stage: group by host, fetch each group in one task.
+    """Run the fetch stage.
+
+    rate_limit > 0: group by host, fetch each host group in one task —
+    per-host pacing is exact, hosts run in parallel (one shuffle on host).
+
+    rate_limit == 0: the politeness window imposes no ordering constraint,
+    so the groupBy shuffle (and the hot-host serialization it forces) is
+    pure waste — fetch runs as shuffle-free mapInPandas at full partition
+    parallelism. Same output, strictly better plan; this is the bench/replay
+    fast path (the reference likewise zeroes the limiter under SINEW_TEST,
+    base.rb:21).
 
     Input columns: key, url, canonical_url, method, body, priority, depth,
     seq, attempt, host. Output: FETCHED_SCHEMA.
     """
     fn = make_fetch_fn(fetcher, rate_limit, retries, proxies)
-    return frontier.groupBy("host").applyInPandas(fn, FETCHED_SCHEMA)
+    if rate_limit > 0:
+        return frontier.groupBy("host").applyInPandas(fn, FETCHED_SCHEMA)
+
+    def batch(it):
+        for pdf in it:
+            if len(pdf):
+                yield fn(pdf)
+
+    return frontier.mapInPandas(batch, FETCHED_SCHEMA)
