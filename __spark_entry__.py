@@ -443,6 +443,23 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (streaming session semantics,
+    batch-verified; sinew_spark/streaming/sessions.py)."""
+    _utc(spark)
+    from sinew_spark.streaming.sessions import sessionize_events
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize_events(e, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+    ).orderBy("user_id", "session_id")
+
+
 def q_join_star(spark, sf_dir):
     """Broadcast star join: customer -> nation -> region revenue rollup."""
     c = _t(spark, sf_dir, "customer")
@@ -522,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         "join_star": q_join_star,
     }
 
@@ -699,6 +717,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type, "
             "count(*) AS n, round(sum(value), 4) AS sum_value FROM events "
             "GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type"
+        ),
+        "sessionize": (
+            "WITH marked AS ("
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+            "    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), sess AS ("
+            "  SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts"
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM marked"
+            ") SELECT user_id, session_id, count(*) AS n_events, "
+            "CAST(floor(min(epoch(ts))) AS BIGINT) AS start_epoch, "
+            "CAST(floor(max(epoch(ts))) AS BIGINT) AS end_epoch "
+            "FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"
         ),
         "join_star": (
             "SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
