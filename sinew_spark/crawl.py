@@ -53,9 +53,9 @@ from sinew_spark.operators.frontier import (
     prepare_frontier,
     take_round_budget,
 )
-from sinew_spark.operators.parse import PARSED_SCHEMA, parse_documents
+from sinew_spark.operators.parse import PARSED_SCHEMA
 from sinew_spark.plans.snapshots import SnapshotTable
-from sinew_spark.sources.fetch import FETCHED_SCHEMA, Fetcher, fetch_rows
+from sinew_spark.sources.fetch import FETCH_PARSED_SCHEMA, Fetcher, fetch_rows
 
 LINK_STRIDE = 1_000  # seq slots reserved per parent for discovered links
 
@@ -72,7 +72,7 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
-_FETCHED_WITH_ROUND = T.StructType(FETCHED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
+_FETCHED_WITH_ROUND = T.StructType(FETCH_PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 _PARSED_WITH_ROUND = T.StructType(PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 
 
@@ -223,18 +223,30 @@ class Crawler:
         selected = take_round_budget(selected, self.opts.round_budget)
         n_candidates = cand.count() if self.opts.round_budget else None
 
-        # 5. fetch (per-host politeness inside). The whole
-        # dedup->cap->fetch pipeline materializes exactly ONCE — at the
-        # fetched_t commit below; downstream stages then read the committed
-        # parquet back (columnar, pruned) instead of holding body-laden rows
-        # in JVM cache. Emptiness is detected from the committed keys (an
-        # empty round's jobs are near-free).
+        # Pin fetch parallelism. AQE sizes shuffle partitions by BYTES
+        # (64 MB advisory), but frontier rows are slim while per-row fetch
+        # cost is high — AQE would coalesce a 10 MB frontier to one task and
+        # serialize the fetch. An explicit repartition (slim rows, cheap
+        # shuffle) is exempt from AQE coalescing and also spreads the
+        # fetched/parse output across ~P files for downstream scans.
+        par = self.spark.sparkContext.defaultParallelism
+        if self.opts.rate_limit <= 0:
+            selected = selected.repartition(par * 2)
+
+        # 5. fetch + parse, FUSED into one UDF pass (one Arrow crossing; the
+        # body never re-enters Python just to be parsed). The whole
+        # dedup->cap->fetch->parse pipeline materializes exactly ONCE — at
+        # the fetched_t commit below; downstream stages then read the
+        # committed parquet back (columnar, pruned — the seen/links/span
+        # projections each touch only their columns). Emptiness is detected
+        # from the committed keys (an empty round's jobs are near-free).
         fetched_out = fetch_rows(
             selected,
             self.fetcher,
             rate_limit=self.opts.rate_limit,
             retries=self.opts.retries,
             proxies=list(self.opts.proxies),
+            parse=True,
         )
 
         # 6. commit fetched + seen (including one entry per redirect hop,
@@ -243,8 +255,11 @@ class Crawler:
             fetched_out.withColumn("round", F.lit(rnd)), {"round": rnd}
         )
         # read this round's rows back from the just-committed snapshot delta:
-        # downstream projections are columnar scans with pruning, no JVM cache
-        fetched = self.fetched_t.read_delta(snap)
+        # downstream projections are columnar scans with pruning, no JVM
+        # cache. Splits sized to cores — the compressed delta is small per
+        # byte but parse-heavy per row, so default 128 MB splits would
+        # serialize the parse stage (measured: 4x wall on local[8]).
+        fetched = self.fetched_t.read_delta(snap, target_partitions=par * 2)
         mark("fetch+commit")
         seen_new = fetched.select(
             "key",
@@ -309,10 +324,20 @@ class Crawler:
         self._save_bloom()
         mark("keys+bloom")
 
-        # 7. parse -> documents
-        parsed_out = parse_documents(fetched).withColumn("round", F.lit(rnd))
+        # 7. documents = slim projection of the fused commit (no UDF, no
+        # body scan — parquet column pruning reads only the span columns)
+        parsed_out = fetched.select(
+            F.col("canonical_url").alias("doc_id"),
+            "final_url",
+            "status",
+            "content_type",
+            "seq",
+            "depth",
+            "spans",
+            "links",
+        ).withColumn("round", F.lit(rnd))
         doc_snap = self.documents_t.append(parsed_out, {"round": rnd})
-        mark("parse+commit")
+        mark("docs_commit")
 
         # 8. next frontier: leftover (capped-out) + discovered links.
         # Everything that can never be fetched must leave the frontier or the
@@ -366,8 +391,9 @@ class Crawler:
             "duration_sec": dur,
             "ts": time.time(),
         }
-        self.metrics_t.append(
-            self.spark.createDataFrame([tuple(stats.values())], METRICS_SCHEMA), {"round": rnd}
+        # driver-side parquet append — a metrics row is not worth a Spark job
+        self.metrics_t.append_rows(
+            [tuple(stats.values())], {"round": rnd}
         )
         self._round = rnd + 1
         stats["done"] = False

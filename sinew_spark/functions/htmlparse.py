@@ -221,6 +221,144 @@ def extract_spans_and_links(
     return spans, links
 
 
+class _SpanStream(HTMLParser):
+    """Single-pass span extraction — no tree, no Node allocation.
+
+    Emits exactly the same span sequence as the tree walk it replaced
+    (verified by the golden suite): parsing 100k small docs allocates
+    millions of Node objects under the tree model, and the allocation + GC
+    churn dominated the crawl's parse stage. Streaming extraction is the
+    hot path; the Node tree remains for recipe CSS selection (css_select).
+
+    State machine mirroring the tree walk:
+    - inside <script>/<style>: drop everything
+    - inside a title tag (title/h1-h6): accumulate descendant text; nested
+      links/images contribute text only (the walk did not recurse into
+      titles)
+    - inside <a href>: accumulate descendant text for the link span; only
+      DIRECT-child <img src> emit image spans (after the link span)
+    - bare text: emitted as a 'text' span only when its immediate parent is
+      a block tag or document root
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.spans: list[tuple] = []
+        self.stack: list[str] = ["#root"]
+        self.skip_depth = 0  # script/style nesting
+        self.title_tag = None  # open title-capture tag
+        self.title_depth = 0
+        self.title_buf: list[str] = []
+        self.a_depth = 0  # depth within an open <a href> capture (0 = not in one)
+        self.a_buf: list[str] = []
+        self.a_href = None
+        self.a_imgs: list[tuple] = []
+
+    def _start(self, tag, attrs, self_closing):
+        if self.skip_depth:
+            if tag in _SKIP_TEXT and not self_closing:
+                self.skip_depth += 1
+            return
+        if tag in _SKIP_TEXT:
+            if not self_closing:
+                self.skip_depth = 1
+            return
+        if self.title_tag is not None:
+            # inside a title: structure is ignored, only text accumulates
+            if not self_closing and tag not in VOID_TAGS:
+                self.title_depth += 1
+            return
+        if self.a_depth:
+            if tag == "img" and self.a_depth == 1:
+                d = dict(attrs)
+                if d.get("src"):
+                    self.a_imgs.append(("image", (d.get("alt") or "").strip(), d["src"]))
+            if not self_closing and tag not in VOID_TAGS:
+                self.a_depth += 1
+            return
+        if tag in TITLE_TAGS:
+            self.title_tag = tag
+            self.title_depth = 0 if (self_closing or tag in VOID_TAGS) else 1
+            self.title_buf = []
+            if self.title_depth == 0:  # degenerate <h1/>
+                self.spans.append(("title", "", ""))
+                self.title_tag = None
+            return
+        if tag == "a":
+            d = dict(attrs)
+            if d.get("href"):
+                self.a_href = d["href"]
+                self.a_buf = []
+                self.a_imgs = []
+                if self_closing:
+                    self.spans.append(("link", "", self.a_href))
+                    self.a_href = None
+                else:
+                    self.a_depth = 1
+                return
+        if tag == "img":
+            d = dict(attrs)
+            if d.get("src"):
+                self.spans.append(("image", (d.get("alt") or "").strip(), d["src"]))
+                return
+        if not self_closing and tag not in VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        if self.skip_depth:
+            if tag in _SKIP_TEXT:
+                self.skip_depth -= 1
+            return
+        if self.title_tag is not None:
+            self.title_depth -= 1
+            if self.title_depth <= 0:
+                self.spans.append(("title", "".join(self.title_buf).strip(), ""))
+                self.title_tag = None
+            return
+        if self.a_depth:
+            self.a_depth -= 1
+            if self.a_depth == 0:
+                self.spans.append(("link", "".join(self.a_buf).strip(), self.a_href))
+                self.spans.extend(self.a_imgs)
+                self.a_href = None
+            return
+        # mirror the tree builder's pop-to-matching-tag rule
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i] == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if self.skip_depth or not data:
+            return
+        if self.title_tag is not None:
+            self.title_buf.append(data)
+            return
+        if self.a_depth:
+            self.a_buf.append(data)
+            return
+        txt = data.strip()
+        if txt and (self.stack[-1] in _BLOCK_TAGS or self.stack[-1] == "#root"):
+            self.spans.append(("text", txt, ""))
+
+    def close(self):
+        super().close()
+        # unclosed captures at EOF flush like the tree walk would
+        if self.title_tag is not None:
+            self.spans.append(("title", "".join(self.title_buf).strip(), ""))
+            self.title_tag = None
+        if self.a_depth:
+            self.spans.append(("link", "".join(self.a_buf).strip(), self.a_href))
+            self.spans.extend(self.a_imgs)
+            self.a_depth = 0
+
+
 def extract_spans(body: str, content_type: str = "text/html") -> list[tuple]:
     """Extract the interleaved (kind, text, media_ref, offset) span sequence
     from one document (BASELINE.json input_hint shape).
@@ -233,37 +371,10 @@ def extract_spans(body: str, content_type: str = "text/html") -> list[tuple]:
         return []
     if content_type and "json" in content_type:
         return [("text", html_cleanup_str(body), "", 0)]
-    root = parse_html(body)
-    spans: list[tuple] = []
-
-    def walk(node: Node):
-        for c in node.children:
-            if c.is_text:
-                txt = c.attrs.get("#text", "").strip()
-                if txt and (node.tag in _BLOCK_TAGS or node.tag == "#root"):
-                    spans.append(("text", txt, ""))
-                continue
-            if c.tag in _SKIP_TEXT:
-                continue
-            if c.tag in TITLE_TAGS:
-                spans.append(("title", c.text().strip(), ""))
-                continue
-            if c.tag == "a" and c.get("href"):
-                spans.append(("link", c.text().strip(), c.get("href")))
-                walk_images_only(c)
-                continue
-            if c.tag == "img" and c.get("src"):
-                spans.append(("image", (c.get("alt") or "").strip(), c.get("src")))
-                continue
-            walk(c)
-
-    def walk_images_only(node: Node):
-        for c in node.children:
-            if not c.is_text and c.tag == "img" and c.get("src"):
-                spans.append(("image", (c.get("alt") or "").strip(), c.get("src")))
-
-    walk(root)
-    return [(k, t, m, i) for i, (k, t, m) in enumerate(spans)]
+    p = _SpanStream()
+    p.feed(html_cleanup_str(body))
+    p.close()
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(p.spans)]
 
 
 def extract_links(body: str, base_url: str) -> list[str]:

@@ -34,6 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    return {
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }[dt.simpleString()]
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
         self.spark = spark
@@ -72,6 +84,28 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(d)
         return d
 
+    @staticmethod
+    def _file_stats(dirs: list[str]) -> list[dict]:
+        """Per-partition lineage: one entry per data file (= one write task)
+        with row count (parquet footer, no data read) and bytes — the
+        Iceberg manifest-file model (north rule: per-partition lineage)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for d in dirs:
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, name)
+                out.append(
+                    {
+                        "file": full,
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+        return out
+
     def _new_snapshot(self, dirs: list[str], op: str, meta: dict | None) -> None:
         m = self._read_manifest()
         # max over history, not current: after a rollback, current < max id
@@ -92,12 +126,31 @@ class SnapshotTable:
         """Append rows as a new snapshot (atomic)."""
         d = self._write_data(df.select([f.name for f in self.schema.fields]))
         cur = self._dirs()
-        self._new_snapshot(cur + [d], "append", meta)
+        self._new_snapshot(cur + [d], "append", {**(meta or {}), "files": self._file_stats([d])})
+        return self.current_snapshot()
+
+    def append_rows(self, rows: list[tuple], meta: dict | None = None) -> int:
+        """Driver-side append for small tables (metrics, lineage): writes
+        one parquet file via pyarrow directly — no Spark job, no task
+        scheduling. Readable by read()/read_delta() like any snapshot."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, "data", uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        names = [f.name for f in self.schema.fields]
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in self.schema.fields]
+        )
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        pq.write_table(pa.table(cols, schema=arrow_schema), os.path.join(d, "part-0.parquet"))
+        cur = self._dirs()
+        self._new_snapshot(cur + [d], "append", {**(meta or {}), "files": self._file_stats([d])})
         return self.current_snapshot()
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data(df.select([f.name for f in self.schema.fields]))
-        self._new_snapshot([d], "overwrite", meta)
+        self._new_snapshot([d], "overwrite", {**(meta or {}), "files": self._file_stats([d])})
         return self.current_snapshot()
 
     def delete_where(self, condition, meta: dict | None = None) -> int:
@@ -118,9 +171,15 @@ class SnapshotTable:
                 return s["dirs"]
         raise KeyError(f"snapshot {sid} not found in {self.path}")
 
-    def read_delta(self, snapshot_id: int) -> DataFrame:
+    def read_delta(self, snapshot_id: int, target_partitions: int | None = None) -> DataFrame:
         """Read only the files ADDED by the given snapshot (incremental read
-        — Iceberg's incremental scan). O(delta), not O(table)."""
+        — Iceberg's incremental scan). O(delta), not O(table).
+
+        target_partitions: size the scan's file splits so the delta fans out
+        into ~this many partitions (see _tune_splits). Use when the next
+        stage is CPU-heavy per row (parse UDF): the default 128 MB splits
+        would coalesce a small compressed delta into 1-2 partitions and
+        serialize the work regardless of cluster size."""
         m = self._read_manifest()
         target = prev = None
         for s in m["snapshots"]:
@@ -134,7 +193,25 @@ class SnapshotTable:
         new_dirs = [d for d in target["dirs"] if d not in prev_dirs]
         if not new_dirs:
             return self.spark.createDataFrame([], self.schema)
+        if target_partitions:
+            self._tune_splits(target["meta"].get("files") or self._file_stats(new_dirs), target_partitions)
         return self.spark.read.schema(self.schema).parquet(*new_dirs)
+
+    def _tune_splits(self, files: list[dict], target_partitions: int) -> None:
+        """Set spark.sql.files.maxPartitionBytes so `files` split into about
+        target_partitions scan partitions. The session conf is read at scan
+        *planning* (first action on the DataFrame), so setting it just
+        before building the read is effective; the crawler is the session's
+        single driver, so the narrowed window is safe. On a 1000-executor
+        cluster the same math holds — splits track delta size / cores, never
+        the 128 MB default that under-parallelizes compressed crawl deltas."""
+        total = sum(f["bytes"] for f in files)
+        if not total:
+            return
+        size = max(1 << 20, min(128 << 20, total // target_partitions + 1))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(size))
+        # small files would otherwise still coalesce via openCostInBytes padding
+        self.spark.conf.set("spark.sql.files.openCostInBytes", str(min(4 << 20, size // 4)))
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Parquet scans get

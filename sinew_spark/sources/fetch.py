@@ -171,17 +171,54 @@ def _fetch_one(fetcher: Fetcher, url, method, body, retries, rate_limit, backoff
     return status, ct, resp_body, final_url, n_attempts, hops, error
 
 
-def make_fetch_fn(fetcher: Fetcher, rate_limit: float, retries: int, proxies: list[str] | None = None):
+FETCH_PARSED_SCHEMA = T.StructType(
+    FETCHED_SCHEMA.fields
+    + [
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def make_fetch_fn(
+    fetcher: Fetcher,
+    rate_limit: float,
+    retries: int,
+    proxies: list[str] | None = None,
+    parse: bool = False,
+):
     """Build the per-host-group pandas function. The group is fetched in
-    (priority, seq) order with rate_limit pacing between network requests."""
+    (priority, seq) order with rate_limit pacing between network requests.
+
+    parse=True fuses span/link extraction into the same pass (one UDF stage
+    and one Arrow crossing per round instead of two — the body never makes a
+    second JVM->Python trip just to be parsed)."""
     proxies = proxies or []
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if parse:
+            from sinew_spark.functions.htmlparse import extract_spans_and_links
+
         pdf = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
         out = {
             "status": [], "content_type": [], "resp_body": [], "final_url": [],
             "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
         }
+        if parse:
+            out["spans"] = []
+            out["links"] = []
         first = True
         for row in pdf.itertuples(index=False):
             if not first and rate_limit > 0:
@@ -201,6 +238,22 @@ def make_fetch_fn(fetcher: Fetcher, rate_limit: float, retries: int, proxies: li
             out["error"].append(error)
             out["fetched_at"].append(time.time())
             out["proxy"].append(proxy)
+            if parse:
+                ok = status is not None and 200 <= status < 400 and body
+                if ok:
+                    spans, links = extract_spans_and_links(
+                        body, ct or "text/html", final_url or row.url
+                    )
+                    out["spans"].append(
+                        [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for k, t, m, o in spans
+                        ]
+                    )
+                    out["links"].append(links)
+                else:
+                    out["spans"].append([])
+                    out["links"].append([])
         for c, v in out.items():
             pdf[c] = v
         return pdf
@@ -208,7 +261,14 @@ def make_fetch_fn(fetcher: Fetcher, rate_limit: float, retries: int, proxies: li
     return fetch_group
 
 
-def fetch_rows(frontier: DataFrame, fetcher: Fetcher, rate_limit: float = 0.0, retries: int = 2, proxies: list[str] | None = None) -> DataFrame:
+def fetch_rows(
+    frontier: DataFrame,
+    fetcher: Fetcher,
+    rate_limit: float = 0.0,
+    retries: int = 2,
+    proxies: list[str] | None = None,
+    parse: bool = False,
+) -> DataFrame:
     """Run the fetch stage.
 
     rate_limit > 0: group by host, fetch each host group in one task —
@@ -224,13 +284,14 @@ def fetch_rows(frontier: DataFrame, fetcher: Fetcher, rate_limit: float = 0.0, r
     Input columns: key, url, canonical_url, method, body, priority, depth,
     seq, attempt, host. Output: FETCHED_SCHEMA.
     """
-    fn = make_fetch_fn(fetcher, rate_limit, retries, proxies)
+    fn = make_fetch_fn(fetcher, rate_limit, retries, proxies, parse=parse)
+    schema = FETCH_PARSED_SCHEMA if parse else FETCHED_SCHEMA
     if rate_limit > 0:
-        return frontier.groupBy("host").applyInPandas(fn, FETCHED_SCHEMA)
+        return frontier.groupBy("host").applyInPandas(fn, schema)
 
     def batch(it):
         for pdf in it:
             if len(pdf):
                 yield fn(pdf)
 
-    return frontier.mapInPandas(batch, FETCHED_SCHEMA)
+    return frontier.mapInPandas(batch, schema)
