@@ -1,0 +1,75 @@
+"""robots.txt parsing + end-to-end gating through the crawler."""
+
+from sinew_spark.functions.robots import parse_robots_txt
+
+SIMPLE = """
+# comments ignored
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /tmp
+"""
+
+GROUPED = """
+User-agent: googlebot
+Disallow: /nogoogle/
+
+User-agent: *
+Disallow: /noall/
+
+User-agent: sinew
+User-agent: other
+Disallow: /nosinew/
+"""
+
+
+def test_parse_simple():
+    assert parse_robots_txt(SIMPLE) == ["/private/"]  # Allow cancels /tmp
+
+
+def test_parse_agent_groups():
+    assert parse_robots_txt(GROUPED, "googlebot") == ["/nogoogle/"]
+    assert parse_robots_txt(GROUPED, "sinew") == ["/nosinew/"]
+    assert parse_robots_txt(GROUPED, "other") == ["/nosinew/"]
+    assert parse_robots_txt(GROUPED, "unknown") == ["/noall/"]
+    assert parse_robots_txt(GROUPED) == ["/noall/"]
+
+
+def test_parse_empty_and_missing():
+    assert parse_robots_txt("") == []
+    assert parse_robots_txt(None) == []
+    assert parse_robots_txt("Disallow: /orphan/") == []  # rules before any agent
+
+
+def test_robots_rules_df_and_gating(spark, tmpdir_path):
+    """Fetch robots.txt through the crawler, build rules, re-crawl gated."""
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.functions.robots import robots_rules
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    pages = {
+        "http://a.test/robots.txt": (200, "text/plain", "User-agent: *\nDisallow: /blocked/", None),
+        "http://b.test/robots.txt": (404, "text/plain", "not found", None),
+        "http://a.test/blocked/x": (200, "text/html", "<p>secret</p>", None),
+        "http://a.test/open/x": (200, "text/html", "<p>ok</p>", None),
+        "http://b.test/blocked/x": (200, "text/html", "<p>b not gated</p>", None),
+    }
+    fetcher = FixtureFetcher(seed=7, extra_pages=pages)
+
+    # phase 1: fetch robots
+    c1 = Crawler(spark, f"{tmpdir_path}/robots", fetcher, CrawlOptions(rate_limit=0, retries=0))
+    c1.seed(["http://a.test/robots.txt", "http://b.test/robots.txt"])
+    c1.run(1)
+    rules = robots_rules(c1.fetched_t.read())
+    got = {(r.host, r.disallow_prefix) for r in rules.collect()}
+    assert got == {("a.test", "/blocked/")}
+
+    # phase 2: crawl gated by those rules
+    c2 = Crawler(
+        spark, f"{tmpdir_path}/crawl", fetcher,
+        CrawlOptions(rate_limit=0, retries=0), robots=rules,
+    )
+    c2.seed(["http://a.test/blocked/x", "http://a.test/open/x", "http://b.test/blocked/x"])
+    c2.run(1)
+    fetched = {r.url for r in c2.seen_t.read().collect()}
+    assert fetched == {"http://a.test/open/x", "http://b.test/blocked/x"}
