@@ -27,6 +27,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Fan a small single-row-group parquet scan out to the cluster. The
+    driver-provided files have ONE row group, so the scan is unsplittable —
+    without this, per-row-expensive (UDF) stages run on one task no matter
+    the core count. Catalyst still pushes filters/pruning below the
+    repartition to the scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -37,7 +46,7 @@ def _utc(spark: SparkSession) -> None:
 # --------------------------------------------------------------------------
 
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _par(_t(spark, sf_dir, "events"))
     return e.select(
         "event_id",
         "user_id",

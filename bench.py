@@ -62,7 +62,7 @@ def crawl_benchmark(spark, n_urls: int) -> dict:
         opts = CrawlOptions(
             rate_limit=0.0,
             retries=0,
-            per_host_cap=10_000_000,
+            per_host_cap=None,
             max_rounds=1,
             bloom_capacity=max(n_urls * 2, 1_000_000),
         )
@@ -111,6 +111,7 @@ def headline_queries(spark) -> dict:
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",
+        "sessionize",
         "join_star",
     ]
     out = {}

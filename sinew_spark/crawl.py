@@ -76,6 +76,36 @@ _FETCHED_WITH_ROUND = T.StructType(FETCH_PARSED_SCHEMA.fields + [T.StructField("
 _PARSED_WITH_ROUND = T.StructType(PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 
 
+class _DocumentsView:
+    """The documents table as a zero-copy projection of the fused fetched
+    table. One physical copy of the span data exists; this view is the
+    Iceberg-style "virtual table" over it. Column pruning ensures document
+    readers scan only span columns, never bodies."""
+
+    def __init__(self, fetched_t: SnapshotTable):
+        self._t = fetched_t
+
+    @staticmethod
+    def _project(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("canonical_url").alias("doc_id"),
+            "final_url", "status", "content_type", "seq", "depth",
+            "spans", "links", "round",
+        )
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        return self._project(self._t.read(snapshot_id))
+
+    def read_delta(self, snapshot_id: int, target_partitions: int | None = None) -> DataFrame:
+        return self._project(self._t.read_delta(snapshot_id, target_partitions))
+
+    def snapshots(self):
+        return self._t.snapshots()
+
+    def current_snapshot(self):
+        return self._t.current_snapshot()
+
+
 @dataclass
 class CrawlOptions:
     """Mirrors sinew's option surface (/root/reference/lib/sinew/base.rb:13-54)
@@ -93,7 +123,7 @@ class CrawlOptions:
     proxies: tuple = ()
     limit: int | None = None  # emitted-row limit (recipes)
     # distributed knobs
-    per_host_cap: int = 10_000
+    per_host_cap: int | None = 10_000  # None = uncapped (skips the host window)
     round_budget: int | None = None
     max_rounds: int = 20
     max_depth: int | None = None
@@ -124,7 +154,7 @@ class Crawler:
         self.frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"), FRONTIER_SCHEMA)
         self.seen_t = SnapshotTable(spark, os.path.join(workdir, "seen"), SEEN_SCHEMA)
         self.fetched_t = SnapshotTable(spark, os.path.join(workdir, "fetched"), _FETCHED_WITH_ROUND)
-        self.documents_t = SnapshotTable(spark, os.path.join(workdir, "documents"), _PARSED_WITH_ROUND)
+        self.documents_t = _DocumentsView(self.fetched_t)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
         self._bloom = self._load_bloom()
         self._round: int | None = None  # lazily read from metrics, then cached
@@ -219,7 +249,14 @@ class Crawler:
             cand = apply_robots(cand, self.robots)
 
         # 4. politeness cap + global budget
-        selected = per_host_cap(cand, self.opts.per_host_cap)
+        # cap=None skips the host window+sort entirely — an unpaced bulk
+        # crawl has no per-round politeness budget, and the round-robin
+        # repartition below already kills host skew for the fetch stage
+        selected = (
+            per_host_cap(cand, self.opts.per_host_cap)
+            if self.opts.per_host_cap is not None
+            else cand
+        )
         selected = take_round_budget(selected, self.opts.round_budget)
         n_candidates = cand.count() if self.opts.round_budget else None
 
@@ -324,20 +361,12 @@ class Crawler:
         self._save_bloom()
         mark("keys+bloom")
 
-        # 7. documents = slim projection of the fused commit (no UDF, no
-        # body scan — parquet column pruning reads only the span columns)
-        parsed_out = fetched.select(
-            F.col("canonical_url").alias("doc_id"),
-            "final_url",
-            "status",
-            "content_type",
-            "seq",
-            "depth",
-            "spans",
-            "links",
-        ).withColumn("round", F.lit(rnd))
-        doc_snap = self.documents_t.append(parsed_out, {"round": rnd})
-        mark("docs_commit")
+        # 7. documents = pure VIEW over the fused commit. Spans were already
+        # written once (step 6); re-encoding them into a second parquet
+        # table costed ~20s/round at 32 cores for zero information. The view
+        # projects lazily; parquet column pruning means document readers
+        # never touch bodies.
+        mark("docs_view")
 
         # 8. next frontier: leftover (capped-out) + discovered links.
         # Everything that can never be fetched must leave the frontier or the
@@ -345,7 +374,7 @@ class Crawler:
         leftover = frontier
         n_new_links = 0
         if self.opts.follow_links:
-            parsed = self.documents_t.read_delta(doc_snap)
+            parsed = self.documents_t.read_delta(snap)
             links = parsed.select(
                 F.col("seq").alias("parent_seq"),
                 F.col("depth").alias("parent_depth"),

@@ -124,6 +124,85 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, fake: bool 
     )
 
 
+def resize_images(
+    media: DataFrame, max_side: int = 256, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: emits (media_id, width, height, content) with target
+    dimensions clamped to max_side preserving aspect ratio. The pixel
+    transform is stubbed (no Pillow here): fake mode passes bytes through
+    and computes the target dims from the (fake-)decoded source dims —
+    schema, batching, and the dimension math are the real pipeline."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                w, h, _c = decode_image(content, fake=fake)
+                scale = min(1.0, max_side / max(w, h))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": int(w * scale),
+                        "height": int(h * scale),
+                        "content": content,  # real impl: re-encoded pixels
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.where(F.col("kind") == "image").select("media_id", "content").mapInPandas(
+        batch, schema
+    )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def extract_audio_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature-extract plumbing (duration/rate/channels). Stubbed
+    decoder (no ffmpeg/soundfile in this container): fake mode derives
+    deterministic metadata from the content hash."""
+    if not fake:
+        raise NotImplementedError("audio decode requires ffmpeg/soundfile — container lacks it")
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                h = hashlib.sha256(content).digest()
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "duration_sec": round(1.0 + h[2] / 16.0, 4),
+                        "sample_rate": 16000 if h[3] % 2 == 0 else 44100,
+                        "n_channels": 1 + h[4] % 2,
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "audio").select("media_id", "content").mapInPandas(
+        batch, AUDIO_META_SCHEMA
+    )
+
+
 def media_from_spans(documents: DataFrame, seed: int = 42) -> DataFrame:
     """Materialize a media table from span documents: every media span
     becomes a row; content is deterministic fake bytes derived from the

@@ -56,6 +56,10 @@ FETCHED_SCHEMA = T.StructType(
 )
 
 
+# the frontier-side input columns (prefix of FETCHED_SCHEMA)
+FRONTIER_ORDER = FETCHED_SCHEMA.fields[:10]
+
+
 class Fetcher:
     """Transport interface. resolve() must be a pure function of
     (url, method, body, attempt) for deterministic replay."""
@@ -261,6 +265,100 @@ def make_fetch_fn(
     return fetch_group
 
 
+def make_fetch_arrow_fn(
+    fetcher: Fetcher,
+    rate_limit: float,
+    retries: int,
+    proxies: list[str] | None = None,
+    parse: bool = False,
+):
+    """Arrow-native fused fetch(+parse) for mapInArrow. PySpark's pandas
+    serializer converts struct columns row-by-row in Python (~470us/doc
+    measured for the spans column); building typed pyarrow arrays directly
+    costs ~8us/doc. Input batches arrive in frontier order; politeness-paced
+    crawls use the pandas groupBy path instead (ordering within host)."""
+    import pyarrow as pa
+
+    proxies = proxies or []
+
+    def fetch_batches(it):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if parse:
+            from sinew_spark.functions.htmlparse import extract_spans_and_links
+
+        schema = FETCH_PARSED_SCHEMA if parse else FETCHED_SCHEMA
+        arrow_schema = to_arrow_schema(schema)
+        span_type = arrow_schema.field("spans").type if parse else None
+        links_type = pa.list_(pa.string()) if parse else None
+        hops_type = pa.list_(pa.string())
+
+        for rb in it:
+            d = rb.to_pydict()
+            n = len(d["url"])
+            status_c, ct_c, body_c, final_c = [], [], [], []
+            natt_c, hops_c, err_c, ts_c, proxy_c = [], [], [], [], []
+            spans_c, links_c = [], []
+            first = True
+            for i in range(n):
+                if not first and rate_limit > 0:
+                    time.sleep(rate_limit)
+                first = False
+                key, url = d["key"][i], d["url"][i]
+                proxy = proxies[key % len(proxies)] if proxies else None
+                status, ct, body, final_url, n_att, hops, error = _fetch_one(
+                    fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit
+                )
+                status_c.append(status)
+                ct_c.append(ct)
+                body_c.append(body)
+                final_c.append(final_url)
+                natt_c.append(n_att)
+                hops_c.append(hops)
+                err_c.append(error)
+                ts_c.append(time.time())
+                proxy_c.append(proxy)
+                if parse:
+                    if status is not None and 200 <= status < 400 and body:
+                        spans, links = extract_spans_and_links(
+                            body, ct or "text/html", final_url or url
+                        )
+                        spans_c.append(
+                            [
+                                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                                for k, t, m, o in spans
+                            ]
+                        )
+                        links_c.append(links)
+                    else:
+                        spans_c.append([])
+                        links_c.append([])
+            cols = [
+                rb.column(rb.schema.get_field_index(c))
+                for c in ("key", "url", "canonical_url", "method", "body",
+                          "priority", "depth", "seq", "attempt", "host")
+            ]
+            cols += [
+                pa.array(status_c, type=pa.int32()),
+                pa.array(ct_c, type=pa.string()),
+                pa.array(body_c, type=pa.string()),
+                pa.array(final_c, type=pa.string()),
+                pa.array(natt_c, type=pa.int32()),
+                pa.array(hops_c, type=hops_type),
+                pa.array(err_c, type=pa.string()),
+                pa.array(ts_c, type=pa.float64()),
+                pa.array(proxy_c, type=pa.string()),
+            ]
+            if parse:
+                cols += [
+                    pa.array(spans_c, type=span_type),
+                    pa.array(links_c, type=links_type),
+                ]
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+    return fetch_batches
+
+
 def fetch_rows(
     frontier: DataFrame,
     fetcher: Fetcher,
@@ -284,14 +382,11 @@ def fetch_rows(
     Input columns: key, url, canonical_url, method, body, priority, depth,
     seq, attempt, host. Output: FETCHED_SCHEMA.
     """
-    fn = make_fetch_fn(fetcher, rate_limit, retries, proxies, parse=parse)
     schema = FETCH_PARSED_SCHEMA if parse else FETCHED_SCHEMA
     if rate_limit > 0:
+        fn = make_fetch_fn(fetcher, rate_limit, retries, proxies, parse=parse)
         return frontier.groupBy("host").applyInPandas(fn, schema)
 
-    def batch(it):
-        for pdf in it:
-            if len(pdf):
-                yield fn(pdf)
-
-    return frontier.mapInPandas(batch, schema)
+    cols = [f.name for f in FRONTIER_ORDER]
+    afn = make_fetch_arrow_fn(fetcher, rate_limit, retries, proxies, parse=parse)
+    return frontier.select(cols).mapInArrow(afn, schema)

@@ -68,3 +68,33 @@ def test_frame_sampling(media):
     assert len(frames) == 4
     assert [f.frame_idx for f in sorted(frames, key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
     assert len({f.frame_sha for f in frames}) == 4
+
+
+def test_resize_images(media):
+    from sinew_spark.multimodal import resize_images
+
+    out = resize_images(media, max_side=100).collect()
+    assert len(out) == 2
+    for r in out:
+        assert max(r.width, r.height) <= 100
+        assert min(r.width, r.height) > 0
+        assert len(r.content) > 0
+
+
+def test_audio_metadata(spark):
+    from sinew_spark.multimodal import extract_audio_metadata, media_from_spans
+
+    spans = [
+        [
+            {"kind": "audio", "text": "", "media_ref": "http://x/a1.wav", "offset": 0},
+            {"kind": "text", "text": "hi", "media_ref": "", "offset": 1},
+        ]
+    ]
+    docs = spark.createDataFrame(
+        [("d1", spans[0])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    meta = extract_audio_metadata(media_from_spans(docs)).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m.duration_sec > 1.0 and m.sample_rate in (16000, 44100) and m.n_channels in (1, 2)
