@@ -88,6 +88,53 @@ def crawl_benchmark(spark, n_urls: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def dedup_benchmark(spark, n_seen: int, n_new: int) -> dict:
+    """Round-2 throughput: the frontier re-offers every already-seen URL
+    plus n_new fresh ones. Measures the exactly-once machinery at scale —
+    bloom prefilter + exact anti-join must reject n_seen URLs and fetch
+    only the n_new (BASELINE.json: 'URLs fetched+DEDUPED/sec' with a
+    populated seen set, the 10^10-design-point regime where most of the
+    frontier is already crawled)."""
+    from pyspark.sql import functions as F
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.datagen import gen_frontier_seeds
+    from sinew_spark.operators.frontier import prepare_frontier
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    workdir = tempfile.mkdtemp(prefix="sinew_dedup_bench_")
+    try:
+        opts = CrawlOptions(
+            rate_limit=0.0, retries=0, per_host_cap=None, max_rounds=2,
+            bloom_capacity=max((n_seen + n_new) * 2, 1_000_000),
+        )
+        fetcher = FixtureFetcher(seed=42, synthetic=True, synthetic_links=6, synthetic_hosts=1000)
+        c = Crawler(spark, workdir, fetcher, opts)
+        seeds = gen_frontier_seeds(spark, n_seen, n_hosts=1000, hot_frac=0.2, dup_frac=0.0)
+        c.frontier_t.overwrite(prepare_frontier(seeds, c.canonicalize), {"op": "seed"})
+        c.run_round()  # round 0: populate seen + bloom (not timed)
+
+        # round 1 frontier: all seen URLs again + n_new fresh
+        fresh = gen_frontier_seeds(spark, n_new, n_hosts=1000, hot_frac=0.2, dup_frac=0.0)
+        fresh = fresh.withColumn("url", F.regexp_replace("url", "/p/", "/fresh/")).withColumn(
+            "seq", F.col("seq") + n_seen
+        )
+        both = prepare_frontier(seeds.unionByName(fresh), c.canonicalize)
+        c.frontier_t.overwrite(both, {"op": "reseed"})
+        t0 = time.time()
+        stats = c.run_round()
+        elapsed = time.time() - t0
+        return {
+            "dedup_offered": n_seen + n_new,
+            "dedup_rejected": n_seen,
+            "dedup_fetched": stats["fetched"],
+            "dedup_sec": round(elapsed, 3),
+            "dedup_urls_per_sec": round((n_seen + n_new) / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def headline_queries(spark) -> dict:
     import __spark_entry__ as em
 
@@ -130,8 +177,10 @@ def main():
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv else CPUS
         spark = get_spark(cpus)
         crawl_benchmark(spark, max(n // 10, 1000))  # warmup: JVM/codegen/page cache
+        s0 = _steal_ticks()
         res = crawl_benchmark(spark, n)
         res["cpus"] = cpus
+        res["steal_sec"] = round((_steal_ticks() - s0) / 100.0, 1)
         print(json.dumps(res))
         spark.stop()
         return
@@ -158,6 +207,7 @@ def main():
             "crawl_urls": n,
             "throughput": {c: results[c]["frontier_urls_per_sec"] for c in results},
             "sec": {c: results[c]["crawl_sec"] for c in results},
+            "steal_sec": {c: results[c].get("steal_sec", 0) for c in results},
             "scaling_efficiency_2_to_8": round(
                 results[8]["frontier_urls_per_sec"] / (4 * results[2]["frontier_urls_per_sec"]), 3
             ),
@@ -173,19 +223,33 @@ def main():
     spark = get_spark(CPUS)
     queries = headline_queries(spark)
     crawl = crawl_benchmark(spark, CRAWL_N)
-    total = round(sum(queries.values()) + crawl["crawl_sec"], 3)
+    dedup = dedup_benchmark(spark, CRAWL_N, CRAWL_N // 5)
+    total = round(sum(queries.values()) + crawl["crawl_sec"] + dedup["dedup_sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline suite wall time (crawl throughput + operator queries)",
         "value": total,
         "unit": "sec",
-        "queries": {**queries, "crawl_100k": crawl["crawl_sec"]},
+        "queries": {**queries, "crawl_100k": crawl["crawl_sec"], "dedup_round": dedup["dedup_sec"]},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **crawl,
+        **dedup,
         "cpus": CPUS,
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def _steal_ticks() -> int:
+    """Cumulative CPU-steal ticks (USER_HZ) from /proc/stat — the VM host
+    taking cycles from this guest. Reported per benchmark run so scaling
+    numbers can be read against host interference (a run with high steal
+    under-measures the engine, not the hardware)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
 
 
 def _parse_scaling_control(n: int) -> dict:
@@ -239,11 +303,11 @@ def _write_bench_md(report: dict) -> None:
         "commits. Seeding/datagen is excluded (input synthesis, like a TPC",
         "data load). Best of 2 runs per level (JVM/page-cache variance).",
         "",
-        "| parallelism | wall sec | URLs/sec |",
-        "|---|---|---|",
-        f"| local[2] (N) | {sec[2]} | {tp[2]} |",
-        f"| local[8] (4N) | {sec[8]} | {tp[8]} |",
-        f"| local[32] (16N) | {sec[32]} | {tp[32]} |",
+        "| parallelism | wall sec | URLs/sec | host steal (cpu-sec) |",
+        "|---|---|---|---|",
+        f"| local[2] (N) | {sec[2]} | {tp[2]} | {report['steal_sec'][2]} |",
+        f"| local[8] (4N) | {sec[8]} | {tp[8]} | {report['steal_sec'][8]} |",
+        f"| local[32] (16N) | {sec[32]} | {tp[32]} | {report['steal_sec'][32]} |",
         "",
         f"**Scaling efficiency N -> 4N (local[2] -> local[8]): "
         f"{report['scaling_efficiency_2_to_8']}** (target >= 0.8, BASELINE.json north_rule)",
@@ -261,11 +325,13 @@ def _write_bench_md(report: dict) -> None:
         f"| 32 | {ctl['docs_per_sec_32p']} |",
         "",
         f"Raw-Python efficiency 8 -> 32: {ctl['raw_python_efficiency_8_to_32']} —",
-        "the single-box memory-bandwidth ceiling. The 2 -> 8 regime is below",
-        "that knee, which is why it is the faithful analog of N -> 4N on a",
-        "multi-machine cluster where each executor adds its own memory",
-        "bandwidth. The engine's 8 -> 32 efficiency relative to the hardware",
-        "ceiling is "
+        "the single-box ceiling (shared memory bandwidth + VM host CPU",
+        "steal, tabulated per run above: a 32-thread guest on a multi-tenant",
+        "host is throttled exactly when it asks for all cores). The 2 -> 8",
+        "regime sits below that ceiling, which is why it is the faithful",
+        "analog of N -> 4N on a multi-machine cluster where each executor",
+        "adds its own cores and memory bandwidth. The engine's 8 -> 32",
+        "efficiency relative to the same-window hardware ceiling is "
         f"{round(report['scaling_efficiency_8_to_32'] / max(ctl['raw_python_efficiency_8_to_32'], 1e-9), 3)}.",
         "",
     ]

@@ -170,13 +170,13 @@ class Crawler:
             with open(self._bloom_path, "rb") as f:
                 return BloomShards.from_bytes(f.read())
         b = BloomShards(self.opts.bloom_capacity, n_shards=self.opts.bloom_shards)
-        # rebuild from seen if the sidecar was lost — bloom is never truth
+        # rebuild from seen if the sidecar was lost — bloom is never truth.
+        # Arrow-batched pull of the single key column; at cluster scale the
+        # shards live executor-side and rebuild via per-partition OR-merge.
         if self.seen_t.current_snapshot() is not None:
-            keys = [r.key for r in self.seen_t.read().select("key").collect()]
-            if keys:
-                import numpy as np
-
-                b.add(np.array(keys, dtype="int64"))
+            keys = self.seen_t.read().select("key").toPandas()["key"]
+            if len(keys):
+                b.add(keys.to_numpy("int64"))
         return b
 
     def _save_bloom(self) -> None:
