@@ -286,3 +286,29 @@ def test_deterministic_rand_sentinel(spark, tmpdir_path):
     b2 = c2.fetched_t.read().collect()[0].resp_body
     assert b1 == b2
     assert json.loads(b1)["args"] == {"z": "9"}
+
+
+def test_full_replay_determinism(spark, tmpdir_path):
+    """Two independent runs of the same multi-round link-following crawl
+    produce identical seen sets, fetch ordering, and span sequences (north
+    rule: replay identically under the same seed list + politeness budget)."""
+    def run(workdir):
+        c = Crawler(
+            spark, workdir,
+            FixtureFetcher(seed=9, synthetic=True, synthetic_links=3, synthetic_hosts=4),
+            CrawlOptions(rate_limit=0, retries=0, follow_links=True, max_depth=1, max_rounds=3),
+        )
+        c.seed([f"http://host{i % 4}.test/p/{i}" for i in range(12)])
+        c.run()
+        seen = sorted((r.key, r.url, r.round) for r in c.seen_t.read().collect())
+        docs = [
+            (d.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in d.spans))
+            for d in c.documents_t.read().orderBy("round", "seq").collect()
+        ]
+        return seen, docs
+
+    seen_a, docs_a = run(tmpdir_path + "/a")
+    seen_b, docs_b = run(tmpdir_path + "/b")
+    assert seen_a == seen_b
+    assert docs_a == docs_b
+    assert len(docs_a) > 12  # links were followed
