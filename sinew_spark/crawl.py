@@ -72,6 +72,14 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("cookies", T.StringType()),  # JSON jar (C11)
+        T.StructField("round", T.IntegerType()),
+    ]
+)
+
 _FETCHED_WITH_ROUND = T.StructType(FETCH_PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 _PARSED_WITH_ROUND = T.StructType(PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 
@@ -156,6 +164,7 @@ class Crawler:
         self.fetched_t = SnapshotTable(spark, os.path.join(workdir, "fetched"), _FETCHED_WITH_ROUND)
         self.documents_t = _DocumentsView(self.fetched_t)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
+        self.host_state_t = SnapshotTable(spark, os.path.join(workdir, "host_state"), HOST_STATE_SCHEMA)
         self._bloom = self._load_bloom()
         self._round: int | None = None  # lazily read from metrics, then cached
 
@@ -270,6 +279,16 @@ class Crawler:
         if self.opts.rate_limit <= 0:
             selected = selected.repartition(par * 2)
 
+        # C11: seed each host's cookie jar from the persisted host_state
+        # (latest round wins). Broadcast join — host_state is O(hosts).
+        if self.host_state_t.current_snapshot() is not None:
+            hs = self.host_state_t.read()
+            latest = (
+                hs.groupBy("host")
+                .agg(F.max_by("cookies", "round").alias("host_cookies"))
+            )
+            selected = selected.join(F.broadcast(latest), "host", "left_outer")
+
         # 5. fetch + parse, FUSED into one UDF pass (one Arrow crossing; the
         # body never re-enters Python just to be parsed). The whole
         # dedup->cap->fetch->parse pipeline materializes exactly ONCE — at
@@ -360,6 +379,23 @@ class Crawler:
         self._bloom.add(ks["key"].to_numpy("int64"))
         self._save_bloom()
         mark("keys+bloom")
+
+        # C11: persist each host's final cookie jar for the next round.
+        # One pruned-scan agg job over (host, cookies, seq) of the delta;
+        # the jar column is null for cookie-oblivious fetchers, so the
+        # common path aggregates nothing and appends nothing.
+        jar_updates = (
+            fetched.where(F.col("cookies").isNotNull())
+            .groupBy("host")
+            .agg(F.max_by("cookies", "seq").alias("cookies"))
+            .withColumn("round", F.lit(rnd))
+        )
+        jar_rows = jar_updates.collect()
+        if jar_rows:
+            self.host_state_t.append_rows(
+                [(r.host, r.cookies, r.round) for r in jar_rows], {"round": rnd}
+            )
+        mark("host_state")
 
         # 7. documents = pure VIEW over the fused commit. Spans were already
         # written once (step 6); re-encoding them into a second parquet

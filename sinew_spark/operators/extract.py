@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # column spec forms: "final_url" | ("regex_group", i) | "text" | "inner_html"
-#                    | ("attr", name) | ("const", value)
+#                    | ("attr", name) | ("const", value) | ("json", "a.b")
 
 
 def regex_scan(fetched: DataFrame, pattern: str, columns: dict) -> DataFrame:
@@ -106,4 +106,9 @@ def _project(spec, groups_prefix: str = "_v"):
         return F.col(f"{groups_prefix}{spec[1]}")
     if isinstance(spec, tuple) and spec[0] == "const":
         return F.lit(spec[1]).cast("string")
+    if isinstance(spec, tuple) and spec[0] == "json":
+        # the reference's json/mash views: symbolized-keys JSON with dotted
+        # access (response.rb:27-34, `mash.a.b`). Catalyst-only:
+        # get_json_object over the raw body, '$.a.b' path.
+        return F.get_json_object(F.col("resp_body"), "$." + spec[1])
     raise ValueError(f"bad column spec {spec!r}")

@@ -52,6 +52,7 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("error", T.StringType()),
         T.StructField("fetched_at", T.DoubleType()),
         T.StructField("proxy", T.StringType()),
+        T.StructField("cookies", T.StringType()),  # JSON jar state after this request (C11)
     ]
 )
 
@@ -67,6 +68,14 @@ class Fetcher:
     def resolve(self, url: str, method: str, body: str, attempt: int) -> tuple:
         """-> (status:int, content_type:str, body:str|None, redirect_to:str|None)"""
         raise NotImplementedError
+
+    def resolve_with_cookies(
+        self, url: str, method: str, body: str, attempt: int, cookies: dict
+    ) -> tuple:
+        """Cookie-jar-aware transport (C11 — the reference's faraday
+        cookie_jar, base.rb:204). Default: cookie-oblivious delegation.
+        -> (status, content_type, body, redirect_to, cookies_after)."""
+        return (*self.resolve(url, method, body, attempt), cookies)
 
 
 class FixtureFetcher(Fetcher):
@@ -107,6 +116,23 @@ class FixtureFetcher(Fetcher):
             )
         return self._web.resolve(url, method, body)
 
+    def resolve_with_cookies(self, url, method, body, attempt, cookies):
+        """httpbin-style cookie endpoints for C11 tests: /cookies/set?k=v
+        merges query params into the jar and redirects to /cookies, which
+        echoes the jar as JSON. Everything else is cookie-oblivious."""
+        import json as _json
+        from urllib.parse import parse_qsl, urlsplit
+
+        parts = urlsplit(url)
+        if parts.path == "/cookies/set":
+            new = dict(cookies)
+            new.update(dict(parse_qsl(parts.query, keep_blank_values=True)))
+            loc = f"{parts.scheme}://{parts.netloc}/cookies"
+            return (302, "text/html", "", loc, new)
+        if parts.path == "/cookies":
+            return (200, "application/json", _json.dumps({"cookies": cookies}, sort_keys=True), None, cookies)
+        return (*self.resolve(url, method, body, attempt), cookies)
+
 
 class HttpFetcher(Fetcher):
     """Real-network transport via urllib (used only outside tests/bench; the
@@ -144,17 +170,24 @@ class HttpFetcher(Fetcher):
             return (-1, "", str(e), None)
 
 
-def _fetch_one(fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01):
-    """One request: retry loop around a redirect-following loop.
-    Returns (status, content_type, resp_body, final_url, n_attempts, hops, error)."""
+def _fetch_one(
+    fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01, cookies=None
+):
+    """One request: retry loop around a redirect-following loop; the cookie
+    jar threads through hops and attempts (C11, base.rb:204-211).
+    Returns (status, content_type, resp_body, final_url, n_attempts, hops,
+    error, cookies_after)."""
     n_attempts = 0
     hops: list[str] = []
+    jar = dict(cookies or {})
     status, ct, resp_body, final_url, error = None, None, None, url, None
     for attempt in range(retries + 1):
         n_attempts += 1
         cur, cur_method, cur_body = url, method, body
         hops = []
-        status, ct, resp_body, redirect = fetcher.resolve(cur, cur_method, cur_body, attempt)
+        status, ct, resp_body, redirect, jar = fetcher.resolve_with_cookies(
+            cur, cur_method, cur_body, attempt, jar
+        )
         hop_count = 0
         while redirect is not None and hop_count < MAX_REDIRECT_HOPS:
             hops.append(cur)
@@ -163,7 +196,9 @@ def _fetch_one(fetcher: Fetcher, url, method, body, retries, rate_limit, backoff
             cur = urljoin(cur, redirect)
             cur_method, cur_body = "GET", ""  # 302 => GET, like faraday follow_redirects
             hop_count += 1
-            status, ct, resp_body, redirect = fetcher.resolve(cur, cur_method, cur_body, attempt)
+            status, ct, resp_body, redirect, jar = fetcher.resolve_with_cookies(
+                cur, cur_method, cur_body, attempt, jar
+            )
         final_url = cur
         if status is not None and (200 <= status < 500):
             error = None
@@ -172,7 +207,7 @@ def _fetch_one(fetcher: Fetcher, url, method, body, retries, rate_limit, backoff
         if attempt < retries:
             # backoff capped at rate_limit (reference base.rb:233)
             time.sleep(min(rate_limit, backoff_base * (2**attempt)))
-    return status, ct, resp_body, final_url, n_attempts, hops, error
+    return status, ct, resp_body, final_url, n_attempts, hops, error, jar
 
 
 FETCH_PARSED_SCHEMA = T.StructType(
@@ -212,13 +247,21 @@ def make_fetch_fn(
     proxies = proxies or []
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         if parse:
             from sinew_spark.functions.htmlparse import extract_spans_and_links
 
         pdf = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
+        # C11: the host group's cookie jar, seeded from host_state (all rows
+        # of a group share a host, so the first row's value is the group's)
+        jar = {}
+        if "host_cookies" in pdf.columns and len(pdf) and pdf["host_cookies"].iloc[0]:
+            jar = _json.loads(pdf["host_cookies"].iloc[0])
         out = {
             "status": [], "content_type": [], "resp_body": [], "final_url": [],
             "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
+            "cookies": [],
         }
         if parse:
             out["spans"] = []
@@ -230,8 +273,9 @@ def make_fetch_fn(
             first = False
             # deterministic proxy rotation (replayable, unlike reference's rand)
             proxy = proxies[row.key % len(proxies)] if proxies else None
-            status, ct, body, final_url, n_att, hops, error = _fetch_one(
-                fetcher, row.url, row.method or "GET", row.body or "", retries, rate_limit
+            status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
+                fetcher, row.url, row.method or "GET", row.body or "", retries, rate_limit,
+                cookies=jar,
             )
             out["status"].append(status)
             out["content_type"].append(ct)
@@ -242,6 +286,7 @@ def make_fetch_fn(
             out["error"].append(error)
             out["fetched_at"].append(time.time())
             out["proxy"].append(proxy)
+            out["cookies"].append(_json.dumps(jar, sort_keys=True) if jar else None)
             if parse:
                 ok = status is not None and 200 <= status < 400 and body
                 if ok:
@@ -258,6 +303,7 @@ def make_fetch_fn(
                 else:
                     out["spans"].append([])
                     out["links"].append([])
+        pdf = pdf.drop(columns=[c for c in ("host_cookies",) if c in pdf.columns])
         for c, v in out.items():
             pdf[c] = v
         return pdf
@@ -293,22 +339,30 @@ def make_fetch_arrow_fn(
         links_type = pa.list_(pa.string()) if parse else None
         hops_type = pa.list_(pa.string())
 
+        import json as _json
+
         for rb in it:
             d = rb.to_pydict()
             n = len(d["url"])
+            host_cookies = d.get("host_cookies", [None] * n)
+            jars: dict = {}  # per-host jar threading within this batch (C11)
             status_c, ct_c, body_c, final_c = [], [], [], []
-            natt_c, hops_c, err_c, ts_c, proxy_c = [], [], [], [], []
+            natt_c, hops_c, err_c, ts_c, proxy_c, cookies_c = [], [], [], [], [], []
             spans_c, links_c = [], []
             first = True
             for i in range(n):
                 if not first and rate_limit > 0:
                     time.sleep(rate_limit)
                 first = False
-                key, url = d["key"][i], d["url"][i]
+                key, url, host = d["key"][i], d["url"][i], d["host"][i]
+                if host not in jars:
+                    jars[host] = _json.loads(host_cookies[i]) if host_cookies[i] else {}
                 proxy = proxies[key % len(proxies)] if proxies else None
-                status, ct, body, final_url, n_att, hops, error = _fetch_one(
-                    fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit
+                status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
+                    fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
+                    cookies=jars[host],
                 )
+                jars[host] = jar
                 status_c.append(status)
                 ct_c.append(ct)
                 body_c.append(body)
@@ -318,6 +372,7 @@ def make_fetch_arrow_fn(
                 err_c.append(error)
                 ts_c.append(time.time())
                 proxy_c.append(proxy)
+                cookies_c.append(_json.dumps(jar, sort_keys=True) if jar else None)
                 if parse:
                     if status is not None and 200 <= status < 400 and body:
                         spans, links = extract_spans_and_links(
@@ -348,6 +403,7 @@ def make_fetch_arrow_fn(
                 pa.array(err_c, type=pa.string()),
                 pa.array(ts_c, type=pa.float64()),
                 pa.array(proxy_c, type=pa.string()),
+                pa.array(cookies_c, type=pa.string()),
             ]
             if parse:
                 cols += [
@@ -388,5 +444,7 @@ def fetch_rows(
         return frontier.groupBy("host").applyInPandas(fn, schema)
 
     cols = [f.name for f in FRONTIER_ORDER]
+    if "host_cookies" in frontier.columns:
+        cols.append("host_cookies")
     afn = make_fetch_arrow_fn(fetcher, rate_limit, retries, proxies, parse=parse)
     return frontier.select(cols).mapInArrow(afn, schema)

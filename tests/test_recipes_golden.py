@@ -156,3 +156,32 @@ def test_emit_normalization_applied(spark, tmpdir_path):
         Recipe(steps=[Step(rows=[{"v": "<b>café &amp; </b> stuff "}])]),
     )
     assert r.csv == "v\ncafe & stuff\n"
+
+
+def test_json_mash_extraction(spark, tmpdir_path):
+    """P4/P5: the reference's json/mash dotted access (response.rb:27-34)
+    as ('json', 'path') column specs over the JSON echo fixture."""
+    from sinew_spark.crawl import CrawlOptions
+    from sinew_spark.recipes import Recipe, Step, run_recipe
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    r = Recipe(
+        steps=[
+            Step(
+                urls=["http://host.test/get?a=1&b=2"],
+                iterate="rows",
+                columns={
+                    "method": ("json", "method"),
+                    "a": ("json", "args.a"),
+                    "b": ("json", "args.b"),
+                    "url": "final_url",
+                },
+            )
+        ]
+    )
+    res = run_recipe(
+        spark, r, tmpdir_path, FixtureFetcher(seed=1), CrawlOptions(rate_limit=0, retries=0)
+    )
+    assert res.csv == (
+        "method,a,b,url\nGET,1,2,http://host.test/get?a=1&b=2\n"
+    )
