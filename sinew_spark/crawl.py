@@ -234,9 +234,15 @@ class Crawler:
         rnd = self.current_round()
         frontier = self.frontier_t.read()
         mark("start")
+        par = self.spark.sparkContext.defaultParallelism
 
-        # 1. deterministic within-round dedup (first seq wins)
-        cand = dedup_within_round(frontier)
+        # 1. deterministic within-round dedup (first seq wins). The
+        # explicit repartition(key) serves double duty: the groupBy reuses
+        # its hash partitioning (one shuffle, not two), AQE can't coalesce
+        # it (user-specified), and the uniform key-hash distribution is
+        # exactly what the unpaced fetch stage wants — so the fused UDF can
+        # run directly on the dedup output with no further exchange.
+        cand = dedup_within_round(frontier.repartition(par * 2, F.col("key")))
         if self.opts.max_depth is not None:
             cand = cand.where(F.col("depth") <= self.opts.max_depth)
 
@@ -259,8 +265,8 @@ class Crawler:
 
         # 4. politeness cap + global budget
         # cap=None skips the host window+sort entirely — an unpaced bulk
-        # crawl has no per-round politeness budget, and the round-robin
-        # repartition below already kills host skew for the fetch stage
+        # crawl has no per-round politeness budget, and key-hash
+        # partitioning from the dedup already bounds fetch skew
         selected = (
             per_host_cap(cand, self.opts.per_host_cap)
             if self.opts.per_host_cap is not None
@@ -272,11 +278,13 @@ class Crawler:
         # Pin fetch parallelism. AQE sizes shuffle partitions by BYTES
         # (64 MB advisory), but frontier rows are slim while per-row fetch
         # cost is high — AQE would coalesce a 10 MB frontier to one task and
-        # serialize the fetch. An explicit repartition (slim rows, cheap
-        # shuffle) is exempt from AQE coalescing and also spreads the
-        # fetched/parse output across ~P files for downstream scans.
-        par = self.spark.sparkContext.defaultParallelism
-        if self.opts.rate_limit <= 0:
+        # serialize the fetch. The uncapped unpaced path inherits the
+        # AQE-exempt key-hash partitioning from the dedup repartition (no
+        # second shuffle); paths that re-cluster rows (host window, budget
+        # sort) get an explicit round-robin repartition instead.
+        if self.opts.rate_limit <= 0 and (
+            self.opts.per_host_cap is not None or self.opts.round_budget is not None
+        ):
             selected = selected.repartition(par * 2)
 
         # C11: seed each host's cookie jar from the persisted host_state
