@@ -405,6 +405,187 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """C9: redirect chains resolved to final URLs by bounded iterative
+    equi-join (reference follows 3xx, response.url = final hop)."""
+    from sinew_spark.operators.frontier import resolve_redirects
+
+    e = _par(_t(spark, sf_dir, "events"))
+    mk = lambda c: F.concat(F.lit("http://site.test/p"), c.cast("string"))  # noqa: E731
+    urls = e.select(mk(F.col("event_id")).alias("url"))
+    edges = e.where(F.col("event_id") % 4 != 0).select(
+        mk(F.col("event_id")).alias("src"), mk(F.col("event_id") - 1).alias("dst")
+    )
+    return resolve_redirects(urls, edges, max_hops=4).orderBy("url")
+
+
+def q_proxy_rotation(spark, sf_dir):
+    """C10: deterministic pseudo-random proxy per request keyed on the URL
+    hash (replayable, unlike the reference's rand sample)."""
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".test/p"),
+        F.col("event_id").cast("string"),
+    )
+    proxy = (F.conv(F.substring(F.md5(url), 1, 8), 16, 10).cast("long") % 4).alias(
+        "proxy_id"
+    )
+    return (
+        e.select(proxy)
+        .groupBy("proxy_id")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy("proxy_id")
+    )
+
+
+def q_retry_requeue(spark, sf_dir):
+    """C8: retry-with-requeue attempts log — 5xx rows re-queued retries
+    times (retries=2 -> 3 attempts, test_base.rb:57-61)."""
+    from sinew_spark.operators.frontier import retry_requeue
+
+    e = _t(spark, sf_dir, "events")
+    reqs = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, 503)
+        .when(F.col("event_id") % 7 == 0, 404)
+        .otherwise(200)
+        .alias("status"),
+    )
+    log = retry_requeue(reqs, retries=2)
+    return (
+        log.groupBy("status")
+        .agg(
+            F.countDistinct("event_id").alias("n_requests"),
+            F.count(F.lit(1)).alias("n_attempts"),
+        )
+        .orderBy("status")
+    )
+
+
+def q_cache_probe(spark, sf_dir):
+    """S9/S10: hit/miss probe of frontier keys against the seen set."""
+    from sinew_spark.operators.frontier import probe_seen
+
+    e = _t(spark, sf_dir, "events")
+    frontier = e.select(
+        "event_id", F.concat(F.lit("p"), (F.col("event_id") % 997).cast("string")).alias("key")
+    )
+    seen = frontier.where(F.col("event_id") % 3 == 0).select("key")
+    return (
+        probe_seen(frontier, seen)
+        .groupBy("probe_status")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("n_keys"))
+        .orderBy("probe_status")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact word-3-gram Jaccard for candidate pairs — pure Catalyst
+    (transform/slice/array_intersect), no Python."""
+    from sinew_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "spark", "spork").alias("text"),
+    )
+    docs = d.unionByName(mutated)
+    pairs = d.select(F.col("doc_id").alias("a")).withColumn("b", F.col("a") + 1000)
+    return (
+        ngram_jaccard_pairs(docs, pairs, n=3)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a")
+    )
+
+
+def q_spans_interleaved(spark, sf_dir):
+    """input_hint shape: interleaved text+media span documents
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
+    explode, per-kind rollup preserving offsets."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nul = F.lit(None).cast("string")
+    mk_text = lambda t, off: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), t.alias("text"), nul.alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    mk_media = lambda kind, scheme, idx, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), nul.alias("text"),
+        F.concat(F.lit(scheme), F.col("doc_id").cast("string"), F.lit(idx)).alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    spans = F.array(
+        mk_text(F.array_join(F.slice(toks, 1, 5), " "), 0),
+        mk_media("image", "img://", "/0", 1),
+        mk_text(F.array_join(F.slice(toks, 6, 5), " "), 2),
+        mk_media("audio", "aud://", "/1", 3),
+    )
+    sp = d.select("doc_id", F.explode(spans).alias("sp")).select("doc_id", "sp.*")
+    return (
+        sp.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.length("text") > 0, 1)).alias("n_with_text"),
+            F.count("media_ref").alias("n_with_media"),
+            F.sum("offset").alias("sum_offset"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal: binary media column -> image metadata via the engine's
+    Arrow mapInPandas extractor (deterministic stub decoder; real plumbing).
+    Content = UTF-8 bytes of a sha256 hex string so an independent SQL
+    oracle can re-derive every output."""
+    from sinew_spark.multimodal import extract_image_metadata
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    ref = F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    media = d.select(
+        F.md5(ref).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.sha2(F.concat(F.lit("42|"), ref), 256), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        ref.alias("source_url"),
+    )
+    return extract_image_metadata(media, fake=True).orderBy("media_id")
+
+
+def q_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
+    rows — GROUP BY ROLLUP."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("event_type", (F.col("user_id") % 10).alias("cohort"), "value")
+    return (
+        d.rollup("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("cohort", F.lit(-1)).alias("cohort"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "cohort")
+    )
+
+
+def q_embedding_lsh_neardup(spark, sf_dir):
+    """Similarity scale path: random-hyperplane LSH bucket join -> exact
+    cosine verify (engine-specific hashing -> rows-only check)."""
+    from sinew_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return (
+        cosine_lsh_pairs(emb, dim=dim, threshold=0.9)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Relational flagship: TPC-H-Q1-style grouped aggregation."""
     _utc(spark)
@@ -545,6 +726,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf": q_ann_ivf,
+        "redirect_resolve": q_redirect_resolve,
+        "proxy_rotation": q_proxy_rotation,
+        "retry_requeue": q_retry_requeue,
+        "cache_probe": q_cache_probe,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "spans_interleaved": q_spans_interleaved,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -706,6 +896,72 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.vec_id < b.vec_id "
             "WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e))), 4) >= 0.9 ORDER BY a, b"
+        ),
+        "redirect_resolve": (
+            "WITH RECURSIVE step(url, cur, n_hops) AS ("
+            "  SELECT 'http://site.test/p' || CAST(event_id AS VARCHAR), event_id, 0 FROM events"
+            "  UNION ALL"
+            "  SELECT url, cur - 1, n_hops + 1 FROM step WHERE cur % 4 <> 0"
+            ") SELECT url, 'http://site.test/p' || CAST(cur AS VARCHAR) AS final_url, n_hops "
+            "FROM step WHERE cur % 4 = 0 ORDER BY url"
+        ),
+        "proxy_rotation": (
+            "WITH u AS (SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/p' || "
+            "CAST(event_id AS VARCHAR) AS url FROM events) "
+            "SELECT CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) % 4 AS proxy_id, "
+            "count(*) AS n_requests FROM u GROUP BY proxy_id ORDER BY proxy_id"
+        ),
+        "retry_requeue": (
+            "WITH r AS (SELECT event_id, CASE WHEN event_id % 10 = 0 THEN 503 "
+            "WHEN event_id % 7 = 0 THEN 404 ELSE 200 END AS status FROM events) "
+            "SELECT status, count(DISTINCT event_id) AS n_requests, "
+            "CAST(sum(CASE WHEN status >= 500 AND status < 600 THEN 3 ELSE 1 END) AS BIGINT) "
+            "AS n_attempts FROM r GROUP BY status ORDER BY status"
+        ),
+        "cache_probe": (
+            "WITH f AS (SELECT event_id, 'p' || CAST(event_id % 997 AS VARCHAR) AS key FROM events) "
+            "SELECT CASE WHEN key IN (SELECT key FROM f WHERE event_id % 3 = 0) "
+            "THEN 'hit' ELSE 'miss' END AS probe_status, count(*) AS n, "
+            "count(DISTINCT key) AS n_keys FROM f GROUP BY probe_status ORDER BY probe_status"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30), "
+            "m AS (SELECT doc_id + 1000 AS doc_id, regexp_replace(text, 'spark', 'spork', 'g') AS text FROM d), "
+            "docs AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3, 0) + 2), "
+            "i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' '))) AS ng "
+            "FROM (SELECT * FROM d UNION ALL SELECT * FROM m)), "
+            "pairs AS (SELECT doc_id AS a, doc_id + 1000 AS b FROM d) "
+            "SELECT pairs.a, pairs.b, round(CASE WHEN len(list_distinct(list_concat(da.ng, db.ng))) > 0 "
+            "THEN CAST(len(list_intersect(da.ng, db.ng)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(da.ng, db.ng))) ELSE 0.0 END, 6) AS jaccard "
+            "FROM pairs JOIN docs da ON da.doc_id = pairs.a JOIN docs db ON db.doc_id = pairs.b "
+            "ORDER BY pairs.a"
+        ),
+        "spans_interleaved": (
+            "WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt FROM documents) "
+            "SELECT 'audio' AS kind, count(*) AS n_spans, CAST(0 AS BIGINT) AS n_with_text, "
+            "count(*) AS n_with_media, 3 * count(*) AS sum_offset FROM d "
+            "UNION ALL SELECT 'image', count(*), CAST(0 AS BIGINT), count(*), count(*) FROM d "
+            "UNION ALL SELECT 'text', 2 * count(*), "
+            "count(CASE WHEN nt > 0 THEN 1 END) + count(CASE WHEN nt >= 6 THEN 1 END), "
+            "CAST(0 AS BIGINT), 2 * count(*) FROM d ORDER BY kind"
+        ),
+        "multimodal_image_meta": (
+            "WITH m AS (SELECT md5('img://' || CAST(doc_id AS VARCHAR) || '/0') AS media_id, "
+            "sha256(sha256('42|img://' || CAST(doc_id AS VARCHAR) || '/0')) AS hx FROM documents) "
+            "SELECT media_id, "
+            "64 + CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 192 AS width, "
+            "64 + CAST(concat('0x', substr(hx, 3, 2)) AS INT) % 192 AS height, "
+            "3 AS channels, hx AS sha256, CAST(64 AS BIGINT) AS n_bytes "
+            "FROM m ORDER BY media_id"
+        ),
+        "rollup_hierarchy": (
+            "WITH d AS (SELECT event_type, user_id % 10 AS cohort, value FROM events) "
+            "SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(cohort, -1) AS cohort, "
+            "count(*) AS n, round(sum(value), 4) AS sum_value FROM d "
+            "GROUP BY ROLLUP(event_type, cohort) ORDER BY event_type, cohort"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -156,3 +156,87 @@ def take_round_budget(frontier: DataFrame, budget: int | None) -> DataFrame:
     if budget is None:
         return frontier
     return frontier.orderBy("priority", "seq").limit(budget)
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    edges: DataFrame,
+    max_hops: int = 5,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """C9: resolve each URL through a redirect-edge table to its final URL
+    (reference follows 3xx chains and exposes `response.url` as the final
+    hop, /root/reference/lib/sinew/response.rb:47-49; each hop is cached as
+    its own entry, lib/sinew/base.rb:209-211).
+
+    Bounded iterative equi-join — one hash join per hop (crawlers cap
+    redirect chains; faraday's default limit is 3). Each hop joins on the
+    *current* URL so AQE handles skewed redirect targets; rows that have
+    already terminated pass through the join unchanged via the left join +
+    coalesce, so the loop is a fixpoint after the longest chain. No
+    driver-side row iteration.
+
+    Returns (url, final_url, n_hops).
+    """
+    cur = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("final_url"),
+        F.lit(0).alias("n_hops"),
+    )
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    for _ in range(max_hops):
+        cur = cur.join(e, cur["final_url"] == e["_src"], "left").select(
+            "url",
+            F.coalesce("_dst", "final_url").alias("final_url"),
+            (
+                F.col("n_hops")
+                + F.when(F.col("_dst").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_hops"),
+        )
+    return cur
+
+
+def retry_requeue(
+    requests: DataFrame, status_col: str = "status", retries: int = 2
+) -> DataFrame:
+    """C8: retry-with-requeue. Requests whose status is a 5xx are re-queued
+    with attempt+1 until attempt > retries — the reference retries on
+    status 500..600, default `retries: 2` -> 3 total attempts; `retries: 4`
+    -> 5 requests observed (/root/reference/lib/sinew/base.rb:232-239,
+    test/test_base.rb:57-61).
+
+    Returns the attempts log: every input column plus `attempt` (1-based),
+    one row per attempt actually made. Deterministic failures (the fixture
+    regime) fail every attempt, so a failed request contributes exactly
+    retries+1 rows. Unions are narrow (no shuffle); the re-queue is the
+    same DataFrame filtered, so Catalyst reuses the scan.
+    """
+    out = requests.withColumn("attempt", F.lit(1))
+    failed = requests.where(
+        (F.col(status_col) >= 500) & (F.col(status_col) < 600)
+    )
+    for a in range(2, retries + 2):
+        out = out.unionByName(failed.withColumn("attempt", F.lit(a)))
+    return out
+
+
+def probe_seen(
+    frontier: DataFrame,
+    seen: DataFrame,
+    frontier_key: str = "key",
+    seen_key: str = "key",
+) -> DataFrame:
+    """S9/S10: cache probe — classify each frontier row `hit`/`miss`
+    against the seen set (reference `status(...)`/`cached?(...)`,
+    /root/reference/lib/sinew/base.rb:95-122). Left join on the identity
+    key; the seen side broadcasts when small, else AQE picks the
+    strategy. Adds `probe_status` to the frontier rows."""
+    s = seen.select(F.col(seen_key).alias("_seen_key")).distinct()
+    return frontier.join(
+        s, frontier[frontier_key] == s["_seen_key"], "left"
+    ).withColumn(
+        "probe_status",
+        F.when(F.col("_seen_key").isNull(), F.lit("miss")).otherwise(F.lit("hit")),
+    ).drop("_seen_key")

@@ -1,0 +1,49 @@
+"""Unit tests for the declarative frontier operators added for C8/C9/S9:
+redirect resolution, retry re-queue, and the seen-set probe.
+
+Reference semantics: redirects followed to a final url
+(/root/reference/lib/sinew/response.rb:47-49), retry on 5xx with
+`retries`+1 total attempts (lib/sinew/base.rb:232-239,
+test/test_base.rb:57-61), cache probe hit/miss (lib/sinew/base.rb:95-122).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.frontier import probe_seen, resolve_redirects, retry_requeue
+
+
+def test_resolve_redirects_chain(spark):
+    urls = spark.createDataFrame([("a",), ("b",), ("d",)], ["url"])
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "d2")], ["src", "dst"])
+    out = {r.url: (r.final_url, r.n_hops) for r in resolve_redirects(urls, edges, 5).collect()}
+    assert out == {"a": ("c", 2), "b": ("c", 1), "d": ("d2", 1)}
+
+
+def test_resolve_redirects_hop_cap(spark):
+    urls = spark.createDataFrame([("u0",)], ["url"])
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(10)], ["src", "dst"]
+    )
+    row = resolve_redirects(urls, edges, max_hops=3).collect()[0]
+    assert (row.final_url, row.n_hops) == ("u3", 3)
+
+
+@pytest.mark.parametrize("retries,expect_fail_attempts", [(0, 1), (2, 3), (4, 5)])
+def test_retry_requeue_attempt_counts(spark, retries, expect_fail_attempts):
+    reqs = spark.createDataFrame([(1, 200), (2, 503), (3, 404)], ["id", "status"])
+    log = retry_requeue(reqs, retries=retries)
+    counts = {
+        r.id: r.n for r in log.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    # only 5xx is retried; 404 is a terminal "error page" like the reference
+    assert counts == {1: 1, 2: expect_fail_attempts, 3: 1}
+    attempts = sorted(r.attempt for r in log.where(F.col("id") == 2).collect())
+    assert attempts == list(range(1, expect_fail_attempts + 1))
+
+
+def test_probe_seen_hit_miss(spark):
+    frontier = spark.createDataFrame([(1, "k1"), (2, "k2"), (3, "k1")], ["id", "key"])
+    seen = spark.createDataFrame([("k1",), ("k9",)], ["key"])
+    out = {r.id: r.probe_status for r in probe_seen(frontier, seen).collect()}
+    assert out == {1: "hit", 2: "miss", 3: "hit"}
