@@ -112,7 +112,11 @@ def q_seen_antijoin(spark, sf_dir):
 
     canon = make_canonicalize_udf(ignore_params=("junk",))
     df = _messy_urls(spark, sf_dir).withColumn("curl", canon(F.col("url")))
-    frontier = df.select("event_id", "curl")
+    # both join sides derive from the same canonicalize-UDF output; persist so
+    # the Arrow UDF runs once, not once per side (in the real engine `seen`
+    # is a snapshot table, never recomputed)
+    df = df.select("event_id", "curl").persist()
+    frontier = df
     seen = df.where(F.col("event_id") % 3 == 0).select(F.col("curl").alias("seen_url"))
     return (
         frontier.join(seen, frontier.curl == seen.seen_url, "left_anti")
@@ -170,7 +174,7 @@ def q_robots_gate(spark, sf_dir):
     """C15: robots gating — anti-join on host + disallowed path prefix."""
     from sinew_spark.functions.urls import host_expr, path_expr
 
-    urls = _t(spark, sf_dir, "events").select(
+    urls = _par(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.concat(
             F.lit("http://host"),
@@ -554,6 +558,31 @@ def q_multimodal_image_meta(spark, sf_dir):
     return extract_image_metadata(media, fake=True).orderBy("media_id")
 
 
+def q_css_extract_links(spark, sf_dir):
+    """P2/P8: CSS selection over synthesized HTML via the engine's span
+    parser (Arrow mapInPandas) — one row per matched node, attr + text
+    projection, deterministic (seq, match_idx) order."""
+    from sinew_spark.operators.extract import css_extract
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    a1 = F.array_join(F.slice(toks, 1, 3), " ")
+    a2 = F.array_join(F.slice(toks, 4, 3), " ")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<div><a href="/n/'), did, F.lit('/1">'), a1,
+        F.lit('</a><span>noise</span><a href="/n/'), did, F.lit('/2">'), a2,
+        F.lit("</a></div>"),
+    )
+    fetched = d.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(F.lit("http://docs.test/"), did).alias("final_url"),
+        html.alias("resp_body"),
+    )
+    out = css_extract(fetched, "a", {"href": ("attr", "href"), "label": "text"})
+    return out.orderBy("seq", "match_idx")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -584,6 +613,37 @@ def q_embedding_lsh_neardup(spark, sf_dir):
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
         .orderBy("a", "b")
     )
+
+
+def q_crawl_rounds(spark, sf_dir):
+    """S1-S11 end-to-end: two frontier rounds of the full crawl engine
+    (canonicalize -> round-dedup -> bloom + anti-join vs seen -> fused
+    Arrow fetch+parse -> snapshot commits -> link expansion) against the
+    deterministic synthetic web. Stateful/iterative -> rows-only check.
+    Result is materialized so the temp workdir can be deleted."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    workdir = tempfile.mkdtemp(prefix="sinew_q_crawl_")
+    try:
+        fetcher = FixtureFetcher(
+            seed=42, synthetic=True, synthetic_links=4, synthetic_hosts=20
+        )
+        c = Crawler(
+            spark,
+            workdir,
+            fetcher,
+            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=2),
+        )
+        c.seed([f"http://h{i % 20}.synth.test/p/{i}" for i in range(40)])
+        c.run()
+        rows = c.seen_t.read().select("url", "status", "round").orderBy("url").collect()
+        return spark.createDataFrame(rows, "url string, status int, round int")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -733,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "spans_interleaved": q_spans_interleaved,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "css_extract_links": q_css_extract_links,
+        "crawl_rounds": q_crawl_rounds,
         "rollup_hierarchy": q_rollup_hierarchy,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "pricing_summary": q_pricing_summary,
@@ -956,6 +1018,15 @@ def oracle_sql() -> dict[str, str]:
             "64 + CAST(concat('0x', substr(hx, 3, 2)) AS INT) % 192 AS height, "
             "3 AS channels, hx AS sha256, CAST(64 AS BIGINT) AS n_bytes "
             "FROM m ORDER BY media_id"
+        ),
+        "css_extract_links": (
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents) "
+            "SELECT doc_id AS seq, 0 AS match_idx, "
+            "'/n/' || CAST(doc_id AS VARCHAR) || '/1' AS href, "
+            "array_to_string(toks[1:3], ' ') AS label FROM d "
+            "UNION ALL SELECT doc_id, 1, '/n/' || CAST(doc_id AS VARCHAR) || '/2', "
+            "array_to_string(toks[4:6], ' ') FROM d ORDER BY seq, match_idx"
         ),
         "rollup_hierarchy": (
             "WITH d AS (SELECT event_type, user_id % 10 AS cohort, value FROM events) "

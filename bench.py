@@ -155,6 +155,14 @@ def headline_queries(spark) -> dict:
         "dedup_simhash",
         "ann_cosine_topk",
         "embedding_neardup",
+        "redirect_resolve",
+        "retry_requeue",
+        "cache_probe",
+        "dedup_ngram_jaccard",
+        "spans_interleaved",
+        "css_extract_links",
+        "multimodal_image_meta",
+        "rollup_hierarchy",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",

@@ -68,4 +68,51 @@ def get_spark(
     repo_root = os.path.dirname(_PKG_DIR)
     if repo_root not in os.environ.get("PYTHONPATH", ""):
         spark.sparkContext.addPyFile(package_zip())
+    warmup(spark)
     return spark
+
+
+def warmup(spark: SparkSession) -> None:
+    """One-time per-JVM/executor warmups that otherwise land in the first
+    unlucky query: ICU collation init and the Python worker pool."""
+    warmup_collation(spark)
+    warmup_python_workers(spark)
+
+
+def warmup_collation(spark: SparkSession) -> None:
+    """Force Spark 4's CollationAwareUTF8String static init once, up front.
+
+    The first task that executes a collation-aware string function (lower/
+    upper/initcap/contains...) triggers ICU initialization inside the class
+    initializer — 10-30 s on this box — while every other task in the stage
+    blocks on the class-init monitor (observed via jstack: 32 tasks RUNNABLE
+    'waiting on the Class initialization monitor for ...CollationAwareUTF8String'
+    in CollationSupport$Lower.execBinaryICU). Paying it here keeps it out of
+    every first query. One row per core so every executor JVM on a cluster
+    initializes, not just the driver."""
+    from pyspark.sql import functions as F
+
+    p = spark.sparkContext.defaultParallelism
+    (
+        spark.range(p)
+        .repartition(p)
+        .select(F.lower(F.concat(F.lit("Æß"), F.col("id").cast("string"))))
+        .count()
+    )
+
+
+def warmup_python_workers(spark: SparkSession) -> None:
+    """Pre-fork the Arrow Python worker pool (one per core). Worker creation
+    is serialized behind SparkEnv.createPythonWorker's KeyLock (observed via
+    jstack), so the first pandas-UDF stage otherwise pays ~32 sequential
+    daemon forks; with spark.python.worker.reuse (default) the pool persists
+    for the session."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _identity(s):
+        return s
+
+    p = spark.sparkContext.defaultParallelism
+    spark.range(p).repartition(p).select(_identity(F.col("id"))).count()
