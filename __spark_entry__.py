@@ -729,6 +729,206 @@ def q_join_star(spark, sf_dir):
     )
 
 
+def q_post_identity(spark, sf_dir):
+    """S2/S3/C3: request identity across verbs + bodies — GET vs POST on
+    the same URL are distinct cache keys, and distinct POST bodies are
+    distinct keys (same URL + different body -> different cache entries,
+    /root/reference/test/test_base.rb:87-103; key = (method, url, body))."""
+    from sinew_spark.functions.urls import request_key_md5_expr
+
+    e = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("http://api.test/item/"), (F.col("event_id") % 500).cast("string"))
+    method = F.when(F.col("event_id") % 2 == 0, F.lit("GET")).otherwise(F.lit("POST"))
+    body = F.when(F.col("event_id") % 2 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("x="), (F.col("event_id") % 3).cast("string"))
+    )
+    df = e.select(
+        method.alias("method"),
+        request_key_md5_expr(method, url, body).alias("key"),
+    )
+    return (
+        df.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("key").alias("n_identities"),
+        )
+        .orderBy("method")
+    )
+
+
+def q_force_errors(spark, sf_dir):
+    """C6: force_errors bypass — error-status seen entries (status>=400) do
+    not block a refetch; successful entries do
+    (/root/reference/lib/sinew/base.rb:38-39, test/test_main.rb:28-36).
+    Exercises the engine's anti_join_seen(force_errors=True)."""
+    from sinew_spark.operators.frontier import anti_join_seen
+
+    e = _t(spark, sf_dir, "events")
+    frontier = e.select(F.col("event_id").alias("key"), "event_type")
+    seen = e.where(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("key"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(503)).otherwise(F.lit(200)).alias("status"),
+    )
+    out = anti_join_seen(frontier, seen, force_errors=True)
+    return (
+        out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_refetch")).orderBy("event_type")
+    )
+
+
+def q_uncache(spark, sf_dir):
+    """S11: point cache delete — uncached keys become refetch candidates
+    while the rest of the seen set still blocks
+    (/root/reference/lib/sinew/base.rb:101-105, lib/sinew/response.rb:57-59).
+    Durable variant: SnapshotTable.delete_where / Crawler.uncache
+    (copy-on-write rewrite, sinew_spark/plans/snapshots.py)."""
+    e = _t(spark, sf_dir, "events")
+    seen = e.select(F.col("event_id").alias("key"), "event_type")
+    deletes = seen.where(F.col("key") % 10 == 0).select("key")
+    remaining = seen.join(deletes, "key", "left_anti")
+    return (
+        remaining.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_cached"), F.min("key").alias("first_key"))
+        .orderBy("event_type")
+    )
+
+
+def q_emit_seq(spark, sf_dir):
+    """A5: deterministic total emit order — seq = row_number over
+    (priority, arrival). The engine assigns seq per round (round base +
+    within-round rank over a bounded round budget), so the global ordering
+    never requires sorting the whole corpus (SURVEY.md §2.5 A5)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("priority", "event_id")
+    return (
+        e.select("event_id", (F.col("user_id") % 5).alias("priority"))
+        .withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 500)
+        .select("seq", "event_id", "priority")
+        .orderBy("seq")
+    )
+
+
+def q_frontier_setops(spark, sf_dir):
+    """§2.6 set ops: next frontier = (link candidates ∪ retry re-queue)
+    \\ seen — union + except-distinct, the set algebra behind every round
+    (implicit in the reference's exactly-once cache, explicit here)."""
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host")
+    url = F.concat(
+        F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+        F.lit(".test/p"), (F.col("event_id") % 1000).cast("string"),
+    ).alias("url")
+    base = e.select("event_id", host, url)
+    candidates = base.where(F.col("event_id") % 2 == 0).select("host", "url")
+    requeue = base.where(F.col("event_id") % 7 == 0).select("host", "url")
+    seen = base.where(F.col("event_id") % 3 == 0).select("host", "url")
+    nxt = candidates.union(requeue).subtract(seen)
+    return nxt.groupBy("host").agg(F.count(F.lit(1)).alias("n_next")).orderBy("host")
+
+
+def q_cookie_last(spark, sf_dir):
+    """C11: cookie-jar state — the cookie a host session carries forward is
+    the one set by the latest response (reference: faraday cookie_jar,
+    /root/reference/lib/sinew/base.rb:204; engine persists per-host state in
+    the host_state table between rounds, sinew_spark/crawl.py)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test"))
+    w = Window.partitionBy("host").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            host.alias("host"), "ts", "event_id",
+            F.concat(F.lit("sid="), F.col("event_type")).alias("cookie"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", "cookie")
+        .orderBy("host")
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """Relational: TPC-H-Q3-shaped selective 3-way join + agg + top-k
+    revenue (filters pushed to all three scans; top-k via
+    TakeOrderedAndProject, no full sort)."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.to_date("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.to_date("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def _synth_media(spark, sf_dir, kind: str, scheme: str):
+    """Binary media table synthesized from documents: content = UTF-8 bytes
+    of sha256('42|' || ref) so an independent SQL oracle can re-derive every
+    downstream value of the deterministic stub decoders."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    ref = F.concat(F.lit(scheme), F.col("doc_id").cast("string"), F.lit("/0"))
+    return d.select(
+        F.md5(ref).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.sha2(F.concat(F.lit("42|"), ref), 256), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        ref.alias("source_url"),
+    )
+
+
+def q_multimodal_framesample(spark, sf_dir):
+    """Multimodal: deterministic frame sampling over binary video content
+    via Arrow mapInPandas — one row per sampled frame (byte-stride stub;
+    real ffmpeg keyframe extraction swaps in with identical schema and
+    partitioning, sinew_spark/multimodal.py)."""
+    from sinew_spark.multimodal import sample_video_frames
+
+    media = _synth_media(spark, sf_dir, "video", "vid://")
+    return sample_video_frames(media, every_n_bytes=16).orderBy("media_id", "frame_idx")
+
+
+def q_multimodal_audio_meta(spark, sf_dir):
+    """Multimodal: audio feature-extract plumbing (duration/rate/channels)
+    over binary content via Arrow mapInPandas (stub decoder — no
+    ffmpeg/soundfile in the container; metadata derived deterministically
+    from the content hash so the SQL oracle re-derives it)."""
+    from sinew_spark.multimodal import extract_audio_metadata
+
+    media = _synth_media(spark, sf_dir, "audio", "aud://")
+    return extract_audio_metadata(media, fake=True).orderBy("media_id")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal: image resize plumbing — target dims clamped to
+    max_side=128 preserving aspect ratio (pixel transform stubbed; the
+    dimension math, Arrow batching, and schema are the real pipeline)."""
+    from sinew_spark.multimodal import resize_images
+
+    media = _synth_media(spark, sf_dir, "image", "img://")
+    return (
+        resize_images(media, max_side=128, fake=True)
+        .select("media_id", "width", "height")
+        .orderBy("media_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -797,6 +997,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rounds": q_crawl_rounds,
         "rollup_hierarchy": q_rollup_hierarchy,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "post_identity": q_post_identity,
+        "force_errors": q_force_errors,
+        "uncache": q_uncache,
+        "emit_seq": q_emit_seq,
+        "frontier_setops": q_frontier_setops,
+        "cookie_last": q_cookie_last,
+        "shipping_priority": q_shipping_priority,
+        "multimodal_framesample": q_multimodal_framesample,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_resize": q_multimodal_resize,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -1033,6 +1243,87 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(cohort, -1) AS cohort, "
             "count(*) AS n, round(sum(value), 4) AS sum_value FROM d "
             "GROUP BY ROLLUP(event_type, cohort) ORDER BY event_type, cohort"
+        ),
+        "post_identity": (
+            "WITH r AS (SELECT "
+            "CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method, "
+            "'http://api.test/item/' || CAST(event_id % 500 AS VARCHAR) AS url, "
+            "CASE WHEN event_id % 2 = 0 THEN '' ELSE 'x=' || CAST(event_id % 3 AS VARCHAR) END AS body "
+            "FROM events) "
+            "SELECT method, count(*) AS n_requests, "
+            "count(DISTINCT md5(upper(method) || url || body)) AS n_identities "
+            "FROM r GROUP BY method ORDER BY method"
+        ),
+        "force_errors": (
+            "SELECT event_type, count(*) AS n_refetch FROM events "
+            "WHERE NOT (event_id % 3 = 0 AND event_id % 5 <> 0) "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "uncache": (
+            "SELECT event_type, count(*) AS n_cached, min(event_id) AS first_key "
+            "FROM events WHERE event_id % 10 <> 0 "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "emit_seq": (
+            "WITH r AS (SELECT event_id, user_id % 5 AS priority, "
+            "row_number() OVER (ORDER BY user_id % 5, event_id) AS seq FROM events) "
+            "SELECT seq, event_id, priority FROM r WHERE seq <= 500 ORDER BY seq"
+        ),
+        "frontier_setops": (
+            "WITH u AS (SELECT event_id, 'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+            "'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/p' || "
+            "CAST(event_id % 1000 AS VARCHAR) AS url FROM events), "
+            "nxt AS ((SELECT host, url FROM u WHERE event_id % 2 = 0 "
+            "UNION SELECT host, url FROM u WHERE event_id % 7 = 0) "
+            "EXCEPT SELECT host, url FROM u WHERE event_id % 3 = 0) "
+            "SELECT host, count(*) AS n_next FROM nxt GROUP BY host ORDER BY host"
+        ),
+        "cookie_last": (
+            "WITH h AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host, "
+            "ts, event_id, 'sid=' || event_type AS cookie FROM events), "
+            "r AS (SELECT host, cookie, row_number() OVER "
+            "(PARTITION BY host ORDER BY ts DESC, event_id DESC) AS rn FROM h) "
+            "SELECT host, cookie FROM r WHERE rn = 1 ORDER BY host"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND CAST(o_orderdate AS DATE) < DATE '1995-03-15' "
+            "AND CAST(l_shipdate AS DATE) > DATE '1995-03-15' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "multimodal_framesample": (
+            "WITH m AS (SELECT md5('vid://' || CAST(doc_id AS VARCHAR) || '/0') AS media_id, "
+            "sha256('42|vid://' || CAST(doc_id AS VARCHAR) || '/0') AS content FROM documents) "
+            "SELECT media_id, CAST(t.range AS INTEGER) AS frame_idx, "
+            "sha256(substr(content, 1 + 16 * CAST(t.range AS INTEGER), 16)) AS frame_sha "
+            "FROM m CROSS JOIN range(4) t ORDER BY media_id, frame_idx"
+        ),
+        "multimodal_audio_meta": (
+            "WITH m AS (SELECT md5('aud://' || CAST(doc_id AS VARCHAR) || '/0') AS media_id, "
+            "sha256('42|aud://' || CAST(doc_id AS VARCHAR) || '/0') AS content FROM documents), "
+            "h AS (SELECT media_id, content, sha256(content) AS hh FROM m) "
+            "SELECT media_id, "
+            "round(1.0 + CAST(concat('0x', substr(hh, 5, 2)) AS INT) / 16.0, 4) AS duration_sec, "
+            "CASE WHEN CAST(concat('0x', substr(hh, 7, 2)) AS INT) % 2 = 0 "
+            "THEN 16000 ELSE 44100 END AS sample_rate, "
+            "1 + CAST(concat('0x', substr(hh, 9, 2)) AS INT) % 2 AS n_channels, "
+            "sha256(content) AS sha256 FROM h ORDER BY media_id"
+        ),
+        "multimodal_resize": (
+            "WITH m AS (SELECT md5('img://' || CAST(doc_id AS VARCHAR) || '/0') AS media_id, "
+            "sha256(sha256('42|img://' || CAST(doc_id AS VARCHAR) || '/0')) AS hh FROM documents), "
+            "d AS (SELECT media_id, "
+            "64 + CAST(concat('0x', substr(hh, 1, 2)) AS INT) % 192 AS w0, "
+            "64 + CAST(concat('0x', substr(hh, 3, 2)) AS INT) % 192 AS h0 FROM m) "
+            "SELECT media_id, "
+            "CAST(trunc(w0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS width, "
+            "CAST(trunc(h0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS height "
+            "FROM d ORDER BY media_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
