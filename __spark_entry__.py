@@ -800,11 +800,17 @@ def q_emit_seq(spark, sf_dir):
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events")
+    # top-k first (TakeOrderedAndProject — distributed partial top-k, no
+    # global sort), THEN rank the 500 survivors; the single-partition window
+    # only ever sees the bounded round budget, never the corpus
+    top = (
+        e.select("event_id", (F.col("user_id") % 5).alias("priority"))
+        .orderBy("priority", "event_id")
+        .limit(500)
+    )
     w = Window.orderBy("priority", "event_id")
     return (
-        e.select("event_id", (F.col("user_id") % 5).alias("priority"))
-        .withColumn("seq", F.row_number().over(w))
-        .where(F.col("seq") <= 500)
+        top.withColumn("seq", F.row_number().over(w))
         .select("seq", "event_id", "priority")
         .orderBy("seq")
     )

@@ -163,6 +163,16 @@ def headline_queries(spark) -> dict:
         "css_extract_links",
         "multimodal_image_meta",
         "rollup_hierarchy",
+        "post_identity",
+        "force_errors",
+        "uncache",
+        "emit_seq",
+        "frontier_setops",
+        "cookie_last",
+        "shipping_priority",
+        "multimodal_framesample",
+        "multimodal_audio_meta",
+        "multimodal_resize",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",
