@@ -20,6 +20,7 @@ frontier table so each URL is canonicalized once per lifetime.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -76,6 +77,16 @@ def canonicalize_url_str(
     return urlunsplit((scheme, netloc, path, urlencode(q), ""))
 
 
+# Already-canonical grammar: absolute http(s), lowercase host (no port /
+# userinfo / credentials), non-empty path, no query/fragment/whitespace.
+# Such URLs are fixpoints of canonicalize_url_str *provided* the path has
+# no '.'/'..' segments (second regex) — so they can skip per-row urllib
+# entirely. Real frontiers are dominated by these (links already pass
+# through the canonicalizer once before re-entering the frontier).
+_FAST_CANONICAL_RE = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?/[^?#\s]*$")
+_DOT_SEGMENT_RE = re.compile(r"/\.\.?(?:/|$)")
+
+
 def make_canonicalize_udf(
     url_prefix: str | None = None,
     default_params: dict | None = None,
@@ -83,18 +94,36 @@ def make_canonicalize_udf(
 ):
     """Build a vectorized canonicalize pandas UDF with crawl options baked in
     (mirrors sinew options url_prefix/params/ignore_params,
-    /root/reference/lib/sinew/base.rb:40,188-196)."""
+    /root/reference/lib/sinew/base.rb:40,188-196).
+
+    Vectorized fast path: rows matching the already-canonical grammar are
+    returned unchanged after two C-speed pandas regex scans; only the messy
+    residue pays the per-row urllib cost. ``url_prefix`` does not disable
+    the fast path (urljoin with an absolute URL is the identity);
+    ``default_params`` does (they must be appended to every URL);
+    ``ignore_params`` only affect URLs with a query string, which the fast
+    grammar excludes."""
     ig = frozenset(ignore_params or ())
     dp = dict(default_params or {})
     prefix = url_prefix
 
+    def slow_one(u):
+        if u is None:
+            return None
+        return canonicalize_url_str(u, base=prefix, default_params=dp, ignore_params=ig)
+
     @F.pandas_udf(T.StringType())
     def canonicalize(urls: pd.Series) -> pd.Series:
-        return urls.map(
-            lambda u: canonicalize_url_str(u, base=prefix, default_params=dp, ignore_params=ig)
-            if u is not None
-            else None
-        )
+        if not dp:
+            fast = urls.str.match(_FAST_CANONICAL_RE, na=False) & ~urls.str.contains(
+                _DOT_SEGMENT_RE, na=False
+            )
+            if fast.all():
+                return urls
+            out = urls.copy()
+            out[~fast] = urls[~fast].map(slow_one)
+            return out
+        return urls.map(slow_one)
 
     return canonicalize
 

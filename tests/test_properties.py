@@ -111,3 +111,22 @@ def test_bloom_no_false_negatives(keys, probe_seed):
     # round-trip through bytes preserves membership
     b2 = BloomShards.from_bytes(b.to_bytes())
     assert bool(b2.might_contain(arr).all())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(urls() | st.none(), min_size=1, max_size=40))
+def test_canonicalize_udf_fastpath_parity(us):
+    """The UDF's vectorized already-canonical fast path must agree with the
+    per-row urllib canonicalizer on every input (fast rows are fixpoints;
+    everything else must fall through to the slow path)."""
+    import pandas as pd
+
+    from sinew_spark.functions.urls import make_canonicalize_udf
+
+    batch_fn = make_canonicalize_udf(ignore_params=("junk",)).func
+    got = list(batch_fn(pd.Series(us, dtype=object)))
+    want = [
+        canonicalize_url_str(u, ignore_params=frozenset({"junk"})) if u is not None else None
+        for u in us
+    ]
+    assert got == want
