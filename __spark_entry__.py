@@ -935,6 +935,30 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """P4/P5: JSON body parse + mash dotted access — get_json_object over
+    the raw body via the engine's row_project ('json' column spec,
+    reference response.rb:27-34 json/mash views). Catalyst-only, no
+    Python."""
+    from sinew_spark.operators.extract import row_project
+
+    e = _t(spark, sf_dir, "events")
+    fetched = e.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("http://api.test/e/"), F.col("event_id").cast("string")).alias(
+            "final_url"
+        ),
+        F.col("props").alias("resp_body"),
+    )
+    rows = row_project(fetched, {"url": "final_url", "k": ("json", "k")})
+    return (
+        rows.select(F.col("k").cast("long").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_mod")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -1013,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_framesample": q_multimodal_framesample,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_resize": q_multimodal_resize,
+        "json_extract": q_json_extract,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -1330,6 +1355,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(trunc(w0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS width, "
             "CAST(trunc(h0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS height "
             "FROM d ORDER BY media_id"
+        ),
+        "json_extract": (
+            "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM r "
+            "GROUP BY k_mod ORDER BY k_mod"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

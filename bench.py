@@ -173,6 +173,7 @@ def headline_queries(spark) -> dict:
         "multimodal_framesample",
         "multimodal_audio_meta",
         "multimodal_resize",
+        "json_extract",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",
