@@ -31,7 +31,7 @@ import sys
 import tempfile
 import time
 
-__version__ = "1.0.0"
+from sinew_spark import __version__
 
 _DURATION_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 

@@ -130,3 +130,25 @@ def test_canonicalize_udf_fastpath_parity(us):
         for u in us
     ]
     assert got == want
+
+
+_ref = st.one_of(
+    st.from_regex(r"(http|https)://[a-z0-9.]{1,12}(/[A-Za-z0-9./_-]{0,12})?", fullmatch=True),
+    st.from_regex(r"//[a-z0-9.]{1,12}/[A-Za-z0-9./_-]{0,12}", fullmatch=True),
+    st.from_regex(r"/[A-Za-z0-9./_-]{0,16}(\?[a-z0-9=&]{0,8})?", fullmatch=True),
+    st.from_regex(r"(\.\./)*[A-Za-z0-9._-]{1,10}(/[A-Za-z0-9._-]{0,8})?", fullmatch=True),
+    st.from_regex(r"\?[a-z0-9=&]{1,10}", fullmatch=True),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls(), _ref)
+def test_link_resolver_matches_urljoin(base, ref):
+    """The per-document fast link resolver must agree with urljoin on every
+    reference form (absolute, protocol-relative, root-relative with and
+    without dot segments, relative, query-only)."""
+    from urllib.parse import urljoin
+
+    from sinew_spark.functions.htmlparse import _make_link_resolver
+
+    assert _make_link_resolver(base)(ref) == urljoin(base, ref)
