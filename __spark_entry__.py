@@ -959,6 +959,42 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew handling: salted equi-join — a hot host holding 20% of the fact
+    rows joins a per-host dim with dim-replication salting, so the hot key
+    spreads over `salts` shuffle partitions instead of pinning one
+    (sinew_spark/operators/skew.py; at this SF the dim broadcasts and the
+    salt is a no-op by design — semantics verified by the oracle, the
+    non-broadcast skew plan is audited in PLANS.md)."""
+    from sinew_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    fact = e.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit("hot.test"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"), F.lit(".test"))
+        )
+        .alias("host"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    dim = c.where(F.col("c_custkey") <= 51).select(
+        F.when(F.col("c_custkey") == 51, F.lit("hot.test"))
+        .otherwise(
+            F.concat(F.lit("h"), ((F.col("c_custkey") - 1) % 50).cast("string"), F.lit(".test"))
+        )
+        .alias("host"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = salted_join(fact, dim, "host", salts=8, salt_from="event_id")
+    return (
+        joined.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("segment")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -1038,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_resize": q_multimodal_resize,
         "json_extract": q_json_extract,
+        "salted_join": q_salted_join,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -1360,6 +1397,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM r "
             "GROUP BY k_mod ORDER BY k_mod"
+        ),
+        "salted_join": (
+            "WITH fact AS (SELECT event_id, value, CASE WHEN event_id % 5 = 0 THEN 'hot.test' "
+            "ELSE 'h' || CAST(user_id % 50 AS VARCHAR) || '.test' END AS host FROM events), "
+            "dim AS (SELECT CASE WHEN c_custkey = 51 THEN 'hot.test' "
+            "ELSE 'h' || CAST((c_custkey - 1) % 50 AS VARCHAR) || '.test' END AS host, "
+            "c_mktsegment AS segment FROM customer WHERE c_custkey <= 51) "
+            "SELECT segment, count(*) AS n, round(sum(value), 4) AS sum_value "
+            "FROM fact JOIN dim USING (host) GROUP BY segment ORDER BY segment"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

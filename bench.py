@@ -174,6 +174,7 @@ def headline_queries(spark) -> dict:
         "multimodal_audio_meta",
         "multimodal_resize",
         "json_extract",
+        "salted_join",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",
