@@ -995,6 +995,24 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Frontier seeding source: sitemap.xml <loc> extraction — Catalyst-only
+    regexp + posexplode + XML entity unescape, document order preserved
+    (sinew_spark/sources/sitemap.py; no reference counterpart — recipes
+    hand-list URLs, a distributed frontier bulk-seeds from sitemaps)."""
+    from sinew_spark.sources.sitemap import sitemap_locs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://s.test/p/'), did,
+        F.lit("/a </loc></url><url><loc>http://s.test/p/"), did,
+        F.lit("/b?x=1&amp;y=2</loc></url></urlset>"),
+    )
+    sm = d.select(F.col("doc_id").alias("seq"), body.alias("resp_body"))
+    return sitemap_locs(sm).orderBy("seq", "loc_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -1075,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "json_extract": q_json_extract,
         "salted_join": q_salted_join,
+        "sitemap_extract": q_sitemap_extract,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -1397,6 +1416,13 @@ def oracle_sql() -> dict[str, str]:
             "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM r "
             "GROUP BY k_mod ORDER BY k_mod"
+        ),
+        "sitemap_extract": (
+            "WITH u AS (SELECT doc_id AS seq, 0 AS loc_idx, "
+            "'http://s.test/p/' || CAST(doc_id AS VARCHAR) || '/a' AS loc FROM documents "
+            "UNION ALL SELECT doc_id, 1, "
+            "'http://s.test/p/' || CAST(doc_id AS VARCHAR) || '/b?x=1&y=2' FROM documents) "
+            "SELECT seq, loc_idx, loc FROM u ORDER BY seq, loc_idx"
         ),
         "salted_join": (
             "WITH fact AS (SELECT event_id, value, CASE WHEN event_id % 5 = 0 THEN 'hot.test' "

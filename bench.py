@@ -175,6 +175,7 @@ def headline_queries(spark) -> dict:
         "multimodal_resize",
         "json_extract",
         "salted_join",
+        "sitemap_extract",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",

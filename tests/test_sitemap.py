@@ -1,0 +1,77 @@
+"""Sitemap ingestion: <loc> extraction, entity unescape, index detection,
+and end-to-end frontier seeding through the crawler."""
+
+from pyspark.sql import functions as F
+
+from sinew_spark.sources.sitemap import is_sitemap_index, sitemap_locs
+
+URLSET = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc>http://ex.test/a</loc><lastmod>2026-01-01</lastmod></url>"
+    "<url><loc>\n  http://ex.test/b?x=1&amp;y=2\n</loc></url>"
+    "<url><loc>http://ex.test/&quot;q&quot;&amp;lt;</loc></url>"
+    "</urlset>"
+)
+INDEX = (
+    '<?xml version="1.0"?><sitemapindex>'
+    "<sitemap><loc>http://ex.test/sitemap1.xml</loc></sitemap>"
+    "<sitemap><loc>http://ex.test/sitemap2.xml</loc></sitemap>"
+    "</sitemapindex>"
+)
+
+
+def test_sitemap_locs_order_trim_unescape(spark):
+    df = spark.createDataFrame([(1, URLSET)], "seq long, resp_body string")
+    rows = sitemap_locs(df).orderBy("loc_idx").collect()
+    assert [(r.loc_idx, r.loc) for r in rows] == [
+        (0, "http://ex.test/a"),
+        (1, "http://ex.test/b?x=1&y=2"),
+        # &quot; -> ", &amp;lt; -> literal &lt; (double-escape decodes once)
+        (2, 'http://ex.test/"q"&lt;'),
+    ]
+
+
+def test_sitemap_index_detection(spark):
+    df = spark.createDataFrame(
+        [(1, URLSET), (2, INDEX)], "seq long, resp_body string"
+    )
+    got = df.select("seq", is_sitemap_index(F.col("resp_body")).alias("idx")).collect()
+    assert {r.seq: r.idx for r in got} == {1: False, 2: True}
+
+
+def test_empty_and_locless_bodies(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "<urlset></urlset>"), (3, None)],
+        "seq long, resp_body string",
+    )
+    assert sitemap_locs(df).count() == 0
+
+
+def test_seed_frontier_from_sitemap(spark, tmpdir_path):
+    """End-to-end: crawl the sitemap URL, extract locs from the fetched
+    body, seed them, run a round — every sitemap URL gets fetched exactly
+    once."""
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    sm_url = "http://ex.test/sitemap.xml"
+    pages = {sm_url: (200, "application/xml", URLSET, None)}
+    for p in ("a", "b?x=1&y=2", '"q"&lt;'):
+        pages[f"http://ex.test/{p}"] = (200, "text/html", f"<p>page {p}</p>", None)
+    c = Crawler(
+        spark, str(tmpdir_path), FixtureFetcher(extra_pages=pages),
+        CrawlOptions(rate_limit=0.0, retries=0, max_rounds=1),
+    )
+    c.seed([sm_url])
+    c.run()
+    fetched = c.fetched_t.read().where(F.col("canonical_url").contains("sitemap"))
+    locs = sitemap_locs(fetched, body_col="resp_body", id_cols=("seq",))
+    urls = [r.loc for r in locs.orderBy("loc_idx").collect()]
+    assert len(urls) == 3
+    c.seed(urls)
+    c.run()
+    seen = {r.url for r in c.seen_t.read().collect()}
+    assert "http://ex.test/a" in seen
+    assert any("b?x=1" in u for u in seen)
+    assert c.seen_t.read().count() == 4  # sitemap + 3 pages, exactly once
