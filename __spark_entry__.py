@@ -1013,6 +1013,36 @@ def q_sitemap_extract(spark, sf_dir):
     return sitemap_locs(sm).orderBy("seq", "loc_idx")
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """Relational: TPC-H-Q5-shaped 6-table join with the local-supplier
+    theta condition (c_nationkey = s_nationkey) — revenue per nation in one
+    region; dims broadcast, facts hash-join."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -1094,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "salted_join": q_salted_join,
         "sitemap_extract": q_sitemap_extract,
+        "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -1416,6 +1447,17 @@ def oracle_sql() -> dict[str, str]:
             "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
             "SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM r "
             "GROUP BY k_mod ORDER BY k_mod"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "sitemap_extract": (
             "WITH u AS (SELECT doc_id AS seq, 0 AS loc_idx, "

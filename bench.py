@@ -176,6 +176,7 @@ def headline_queries(spark) -> dict:
         "json_extract",
         "salted_join",
         "sitemap_extract",
+        "local_supplier_volume",
         "pricing_summary",
         "top_orders_per_customer",
         "events_hourly",
