@@ -325,6 +325,20 @@ class Crawler:
         # serialize the parse stage (measured: 4x wall on local[8]).
         fetched = self.fetched_t.read_delta(snap, target_partitions=par * 2)
         mark("fetch+commit")
+        # one pruned columnar pull of this round's stats: bloom keys,
+        # selected/error tallies, AND redirect presence — which decides
+        # whether the seen commit needs the union+groupBy dedup at all
+        ks = (
+            fetched.select(
+                "key",
+                "status",
+                F.coalesce(F.size("hops"), F.lit(0)).alias("n_hops"),
+                F.coalesce(
+                    F.col("final_url") != F.col("canonical_url"), F.lit(False)
+                ).alias("moved"),
+            )
+        ).toPandas()
+        has_redirects = bool(ks["n_hops"].sum() > 0 or ks["moved"].any())
         seen_new = fetched.select(
             "key",
             F.col("canonical_url").alias("url"),
@@ -359,32 +373,46 @@ class Crawler:
                 F.col("canonical_url").alias("hop_of"), F.lit(rnd).alias("round"),
             )
         )
-        # deterministic key-dedup: a directly-fetched row beats a hop row for
-        # the same key (replay determinism — dropDuplicates picks arbitrarily)
-        union = seen_new.unionByName(hops).unionByName(finals)
-        all_seen_new = (
-            union.groupBy("key")
-            .agg(
-                F.min_by(
-                    F.struct(*[f.name for f in SEEN_SCHEMA.fields]),
-                    F.struct(F.col("hop_of").isNotNull().cast("int"), F.col("url")),
-                ).alias("r")
+        if has_redirects:
+            # deterministic key-dedup: a directly-fetched row beats a hop
+            # row for the same key (replay determinism — dropDuplicates
+            # picks arbitrarily)
+            union = seen_new.unionByName(hops).unionByName(finals)
+            all_seen_new = (
+                union.groupBy("key")
+                .agg(
+                    F.min_by(
+                        F.struct(*[f.name for f in SEEN_SCHEMA.fields]),
+                        F.struct(F.col("hop_of").isNotNull().cast("int"), F.col("url")),
+                    ).alias("r")
+                )
+                .select("r.*")
             )
-            .select("r.*")
-        )
+        else:
+            # no hops, no moved finals this round (the common case): keys
+            # are already unique within the round, so the union+groupBy
+            # dedup shuffle is pure overhead — commit the projection
+            # directly (shuffle-free pruned scan + write)
+            all_seen_new = seen_new
         seen_snap = self.seen_t.append(all_seen_new, {"round": rnd})
         mark("seen_commit")
-        # Arrow-batched driver pull straight from the committed delta:
-        # bloom keys + selected/error tallies in one pruned columnar scan
-        ks = self.seen_t.read_delta(seen_snap).select("key", "status", "hop_of").toPandas()
-        n_selected = int(ks["hop_of"].isna().sum())
+        if has_redirects:
+            # hop rows exist only in the committed delta — re-pull stats
+            # from it (pruned columnar scan)
+            sk = self.seen_t.read_delta(seen_snap).select("key", "status", "hop_of").toPandas()
+            n_selected = int(sk["hop_of"].isna().sum())
+            n_errors = int(
+                (((sk["status"] >= 500) | (sk["status"] < 0)) & sk["hop_of"].isna()).sum()
+            )
+            bloom_keys = sk["key"].to_numpy("int64")
+        else:
+            n_selected = len(ks)
+            n_errors = int(((ks["status"] >= 500) | (ks["status"] < 0)).sum())
+            bloom_keys = ks["key"].to_numpy("int64")
         n_fetched = n_selected
-        n_errors = int(
-            (((ks["status"] >= 500) | (ks["status"] < 0)) & ks["hop_of"].isna()).sum()
-        )
         if n_selected == 0:
             return {"round": rnd, "selected": 0, "done": True}
-        self._bloom.add(ks["key"].to_numpy("int64"))
+        self._bloom.add(bloom_keys)
         self._save_bloom()
         mark("keys+bloom")
 
