@@ -259,11 +259,13 @@ def q_regex_scan(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     """Text op: whitespace token counting."""
-    from sinew_spark.functions.text import token_count_expr
+    from sinew_spark.functions.text import subword_count_expr, token_count_expr
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        subword_count_expr(F.col("text")).alias("n_subwords"),
     ).orderBy("doc_id")
 
 
@@ -1238,7 +1240,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "token_count": (
-            f"SELECT doc_id, {n_tok} AS n_tokens FROM documents ORDER BY doc_id"
+            f"SELECT doc_id, {n_tok} AS n_tokens, "
+            "len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]', 0)) "
+            "AS n_subwords FROM documents ORDER BY doc_id"
         ),
         "quality_score": (
             f"SELECT doc_id, {quality} AS quality FROM documents ORDER BY doc_id"
