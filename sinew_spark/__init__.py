@@ -20,3 +20,18 @@ Catalyst; Python appears only inside Arrow-batched UDFs.
 """
 
 __version__ = "0.1.0"
+
+from sinew_spark.crawl import Crawler, CrawlOptions  # noqa: E402
+from sinew_spark.recipes import Recipe, RecipeResult, Step, run_recipe  # noqa: E402
+from sinew_spark.session import get_spark  # noqa: E402
+
+__all__ = [
+    "Crawler",
+    "CrawlOptions",
+    "Recipe",
+    "RecipeResult",
+    "Step",
+    "run_recipe",
+    "get_spark",
+    "__version__",
+]
