@@ -129,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
     if fetcher is None:
         from sinew_spark.sources.fetch import HttpFetcher
 
-        fetcher = HttpFetcher(timeout=options.timeout)
+        fetcher = HttpFetcher(
+            timeout=options.timeout, headers=options.headers, insecure=options.insecure
+        )
 
     tm = time.time()
     if not args.silent:

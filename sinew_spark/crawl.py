@@ -128,6 +128,8 @@ class CrawlOptions:
     ignore_params: tuple = ()
     url_prefix: str | None = None
     params: dict = field(default_factory=dict)
+    headers: dict = field(default_factory=dict)  # default headers per request
+    insecure: bool = False  # skip SSL verification (README.md:150)
     proxies: tuple = ()
     limit: int | None = None  # emitted-row limit (recipes)
     # distributed knobs

@@ -137,11 +137,18 @@ class FixtureFetcher(Fetcher):
 class HttpFetcher(Fetcher):
     """Real-network transport via urllib (used only outside tests/bench; the
     sandbox has no network). Decodes per charset with invalid bytes -> '?'
-    like the reference's utf8 option (base.rb:2, response.rb:12-15)."""
+    like the reference's utf8 option (base.rb:2, response.rb:12-15).
 
-    def __init__(self, timeout: float = 30.0, headers: dict | None = None):
+    ``headers`` = default headers on every request; ``insecure`` skips SSL
+    verification (reference runtime options ``headers``/``insecure``,
+    /root/reference/README.md:147-155)."""
+
+    def __init__(
+        self, timeout: float = 30.0, headers: dict | None = None, insecure: bool = False
+    ):
         self.timeout = timeout
         self.headers = headers or {}
+        self.insecure = insecure
 
     def resolve(self, url, method, body, attempt):
         import urllib.error
@@ -155,7 +162,15 @@ class HttpFetcher(Fetcher):
             def redirect_request(self, *a, **k):
                 return None
 
-        opener = urllib.request.build_opener(_NoRedirect)
+        handlers = [_NoRedirect]
+        if self.insecure:
+            import ssl
+
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            handlers.append(urllib.request.HTTPSHandler(context=ctx))
+        opener = urllib.request.build_opener(*handlers)
         try:
             with opener.open(req, timeout=self.timeout) as resp:
                 ct = resp.headers.get("Content-Type", "")

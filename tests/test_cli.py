@@ -99,3 +99,19 @@ def test_duration_parser():
     assert parse_duration("3w") == 3 * 604800
     with pytest.raises(Exception):
         parse_duration("xyz")
+
+
+def test_http_fetcher_options_plumbing():
+    """Reference runtime options headers/insecure (README.md:147-155):
+    stored, request carries headers, errors return the (-1, ...) tuple
+    instead of raising (no network in the sandbox)."""
+    from sinew_spark.crawl import CrawlOptions
+    from sinew_spark.sources.fetch import HttpFetcher
+
+    f = HttpFetcher(timeout=0.2, headers={"User-Agent": "sinew-spark"}, insecure=True)
+    assert f.headers["User-Agent"] == "sinew-spark"
+    status, ct, body, redirect = f.resolve("http://127.0.0.1:9/none", "GET", "", 0)
+    assert status == -1 and redirect is None
+
+    o = CrawlOptions(headers={"X-A": "1"}, insecure=True)
+    assert o.headers == {"X-A": "1"} and o.insecure
