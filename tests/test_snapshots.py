@@ -51,3 +51,23 @@ def test_overwrite_and_lineage_meta(spark, tmpdir_path):
     snaps = t.snapshots()
     assert [s["meta"].get("round") for s in snaps] == [0, 1]
     assert [r.k for r in t.read().collect()] == [5]
+
+
+def test_compact_preserves_rows_and_history(spark, tmpdir_path):
+    """Maintenance compaction: all live rows survive as one new snapshot;
+    prior snapshots remain time-travelable (small-file cleanup a long crawl
+    needs — seen/fetched accumulate one dir per round)."""
+    t = SnapshotTable(spark, tmpdir_path + "/tc", SCHEMA)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+    s_pre = t.current_snapshot()
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    n_dirs_before = len(t._dirs())
+
+    t.compact()
+    after = sorted((r.k, r.v) for r in t.read().collect())
+    assert after == before
+    assert len(t._dirs()) == 1  # one live data dir after compaction
+    assert n_dirs_before == 4
+    # pre-compaction snapshot still time-travels
+    assert t.read(s_pre).count() == 4
