@@ -1491,7 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_extract": (
             "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
-            "SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM r "
+            "SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM r "
             "GROUP BY k_mod ORDER BY k_mod"
         ),
         "local_supplier_volume": (
@@ -1547,8 +1547,8 @@ def oracle_sql() -> dict[str, str]:
             "    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess"
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
             "), sess AS ("
-            "  SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts"
-            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM marked"
+            "  SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts"
+            "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM marked"
             ") SELECT user_id, session_id, count(*) AS n_events, "
             "CAST(floor(min(epoch(ts))) AS BIGINT) AS start_epoch, "
             "CAST(floor(max(epoch(ts))) AS BIGINT) AS end_epoch "
