@@ -343,7 +343,12 @@ def q_dedup_token_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """Dedup: MinHash+LSH near-dup pairs (engine-specific hashing -> rows-only)."""
+    """Dedup: MinHash+LSH near-dup pairs, true-Jaccard verified — candidate
+    generation is the banded signature bucket join (never all-pairs,
+    dedup.py:minhash_lsh_candidates), then exact word-3-gram Jaccard (pure
+    Catalyst) filters and is emitted, so an all-pairs SQL oracle checks the
+    output value-for-value. Recall of the bucket stage is deterministic
+    under the fixed seed (verified against the all-pairs oracle)."""
     from sinew_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select("doc_id", "text")
@@ -351,12 +356,17 @@ def q_dedup_minhash(spark, sf_dir):
         (F.col("doc_id") + 1000).alias("doc_id"),
         F.regexp_replace("text", "spark", "spork").alias("text"),
     )
-    pairs = minhash_dedup(d.unionByName(mutated), threshold=0.5, num_perm=32, bands=16)
-    return pairs.orderBy("a", "b")
+    pairs = minhash_dedup(
+        d.unionByName(mutated), threshold=0.5, num_perm=32, bands=16, verify=True
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Dedup: SimHash hamming near-dups (engine-specific hashing -> rows-only)."""
+    """Dedup: SimHash hamming near-dups — 60-bit signatures from md5 token
+    hashes computed entirely in Catalyst (dedup.py:simhash_expr), pivot-block
+    candidate join, exact popcount filter. md5 makes the signature
+    bit-reproducible in ANSI SQL, so the oracle replays it exactly."""
     from sinew_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select("doc_id", "text")
@@ -399,7 +409,14 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Similarity: IVF approximate top-k (driver-trained centroids -> rows-only)."""
+    """Similarity: IVF top-k — deterministic driver-trained centroids
+    (seeded Lloyd's over the orderBy(vec_id) sample), JVM-side cell
+    assignment, probe-then-score. n_probe = n_cells here so the probed
+    candidate set is exhaustive and the exact-top-k SQL oracle checks the
+    whole assignment+scoring path value-for-value; partial-probe recall
+    (the approximation knob) is covered by tests/test_similarity.py —
+    these embeddings are near-uniform (max pairwise cosine 0.51) so no
+    partial probe has stable recall to oracle against."""
     from sinew_spark.operators.similarity import assign_cells, ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -605,13 +622,21 @@ def q_rollup_hierarchy(spark, sf_dir):
 
 def q_embedding_lsh_neardup(spark, sf_dir):
     """Similarity scale path: random-hyperplane LSH bucket join -> exact
-    cosine verify (engine-specific hashing -> rows-only check)."""
+    cosine verify. Near-dups are planted as exact copies (vec_id % 40 == 0,
+    id + 100000): identical vectors produce identical hyperplane signs, so
+    LSH recall on them is guaranteed (not probabilistic) and the all-pairs
+    SQL oracle checks the emitted pair set exactly — the base table's max
+    pairwise cosine is 0.51, far under the 0.95 threshold."""
     from sinew_spark.operators.similarity import cosine_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
     dim = len(emb.select("embedding").first()[0])
     return (
-        cosine_lsh_pairs(emb, dim=dim, threshold=0.9)
+        cosine_lsh_pairs(allv, dim=dim, threshold=0.95)
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
         .orderBy("a", "b")
     )
@@ -621,8 +646,12 @@ def q_crawl_rounds(spark, sf_dir):
     """S1-S11 end-to-end: two frontier rounds of the full crawl engine
     (canonicalize -> round-dedup -> bloom + anti-join vs seen -> fused
     Arrow fetch+parse -> snapshot commits -> link expansion) against the
-    deterministic synthetic web. Stateful/iterative -> rows-only check.
-    Result is materialized so the temp workdir can be deleted."""
+    deterministic synthetic web, WITH link following. The synthetic link
+    graph is a pure function of sha256(seed|url) (web_fixture.py:
+    synthetic_body), so the post-state seen table (url, status, round) is
+    replayed exactly by a recursive-CTE BFS in the SQL oracle — round r
+    rows are the depth-r frontier. Result is materialized so the temp
+    workdir can be deleted."""
     import shutil
     import tempfile
 
@@ -638,7 +667,7 @@ def q_crawl_rounds(spark, sf_dir):
             spark,
             workdir,
             fetcher,
-            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=2),
+            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=2, follow_links=True),
         )
         c.seed([f"http://h{i % 20}.synth.test/p/{i}" for i in range(40)])
         c.run()
@@ -1317,6 +1346,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN docs da ON da.doc_id = pairs.a JOIN docs db ON db.doc_id = pairs.b "
             "ORDER BY pairs.a"
         ),
+        # all-pairs true word-3-gram Jaccard — the LSH bucket stage only
+        # prunes candidates; the emitted (verified) pair set must equal the
+        # exhaustive answer at threshold 0.5
+        "dedup_minhash": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
+            "m AS (SELECT doc_id + 1000 AS doc_id, regexp_replace(text, 'spark', 'spork', 'g') AS text FROM d), "
+            "docs AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3, 0) + 2), "
+            "i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' '))) AS ng "
+            "FROM (SELECT * FROM d UNION ALL SELECT * FROM m)), "
+            "j AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CASE WHEN len(list_distinct(list_concat(x.ng, y.ng))) > 0 "
+            "THEN CAST(len(list_intersect(x.ng, y.ng)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(x.ng, y.ng))) ELSE 0.0 END AS jac "
+            "FROM docs x JOIN docs y ON x.doc_id < y.doc_id) "
+            "SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5 ORDER BY a, b"
+        ),
+        # bit-exact replay of simhash_expr: token hash = first 15 md5 hex
+        # chars base-16, per-bit majority vote over 60 bits, then all-pairs
+        # hamming <= 12 (the Spark side prunes pairs via pivot-block join;
+        # the answer set is identical)
+        "dedup_simhash": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
+            "m AS (SELECT doc_id + 1000 AS doc_id, regexp_replace(text, 'spark', 'spork', 'g') AS text FROM d), "
+            "docs AS (SELECT * FROM d UNION ALL SELECT * FROM m), "
+            "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "t -> t != '')) AS t FROM docs), "
+            "th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok), "
+            "bitv AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c "
+            "FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b), "
+            "sh AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) "
+            "AS BIGINT) AS simhash FROM bitv GROUP BY doc_id) "
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE bit_count(xor(x.simhash, y.simhash)) <= 12 ORDER BY a, b"
+        ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / "
@@ -1332,6 +1398,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.vec_id < b.vec_id "
             "WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e))), 4) >= 0.9 ORDER BY a, b"
+        ),
+        # with n_probe = n_cells the IVF candidate set is exhaustive, so the
+        # oracle is the exact cosine top-k (same SQL as ann_cosine_topk)
+        "ann_ivf": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 4) AS cosine "
+            "FROM embeddings e, q ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        # planted exact copies are the only pairs >= 0.95; all-pairs check
+        "embedding_lsh_neardup": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "planted AS (SELECT vec_id + 100000 AS vec_id, e FROM base WHERE vec_id % 40 = 0), "
+            "s AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+            "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+            "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e))) AS cos FROM s a JOIN s b ON a.vec_id < b.vec_id) "
+            "SELECT a, b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.95 ORDER BY a, b"
         ),
         "redirect_resolve": (
             "WITH RECURSIVE step(url, cur, n_hops) AS ("
@@ -1529,6 +1614,32 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        # BFS replay of the synthetic crawl: the link graph is a pure
+        # function of sha256('42|'||url) (web_fixture.py:synthetic_body —
+        # h = first 15 hex chars base-16; link i targets
+        # host{hh%20}.test/p/{hh%100000} with hh=(h+i*0x9E3779B9) mod 2^40),
+        # so round-r seen rows == the depth-r frontier of the seed BFS
+        "crawl_rounds": (
+            "WITH r0 AS (SELECT DISTINCT 'http://h' || CAST(i % 20 AS VARCHAR) || '.synth.test/p/' || "
+            "CAST(i AS VARCHAR) AS url FROM range(40) t(i)), "
+            "links AS (SELECT 'http://host' || CAST(hh % 20 AS VARCHAR) || '.test/p/' || "
+            "CAST(hh % 100000 AS VARCHAR) AS url FROM ("
+            "SELECT (CAST(concat('0x', substr(sha256('42|' || url), 1, 15)) AS BIGINT) "
+            "+ i * 2654435769) % 1099511627776 AS hh "
+            "FROM r0 CROSS JOIN (SELECT unnest(range(4)) AS i) li)), "
+            "r1 AS (SELECT DISTINCT url FROM links WHERE url NOT IN (SELECT url FROM r0)) "
+            "SELECT url, 200 AS status, 0 AS round FROM r0 "
+            "UNION ALL SELECT url, 200, 1 FROM r1 ORDER BY url"
+        ),
+        # post-state of the 1-round, link-free crawl feeding the stream:
+        # 60 distinct seeds over 10 hosts, all 200 on the first attempt
+        # (retries=0), so per-host fetches = 6 with 1 attempt each
+        "streaming_rollup": (
+            "WITH seeds AS (SELECT 'h' || CAST(i % 10 AS VARCHAR) || '.synth.test' AS host, "
+            "1 AS n_attempts FROM range(60) t(i)) "
+            "SELECT host, count(*) AS fetches, CAST(sum(n_attempts) AS BIGINT) AS attempts "
+            "FROM seeds GROUP BY host ORDER BY host"
         ),
         "top_orders_per_customer": (
             "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "

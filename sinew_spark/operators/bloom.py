@@ -7,10 +7,25 @@ the vast majority of already-seen candidates before they reach the shuffle,
 so at 10^10-key scale the anti-join only sees the (tiny) maybe-new set plus
 false positives.
 
-Sharded by pmod(key, n_shards) so that at cluster scale each executor only
-probes/owns its shard slice; locally the whole filter ships as one broadcast
-(numpy bitset, k hash probes derived from splitmix64 remixes — fully
-vectorized, no per-row Python).
+Two layers:
+
+- ``BloomShards``: the numpy bitset core (k probes from splitmix64 remixes,
+  fully vectorized, no per-row Python).
+- ``BloomShardStore``: the executor-side lifecycle. Shards live as files in
+  a sidecar directory, one per shard; shard routing is
+  ``pmod(hash(key), S)`` — ``F.hash`` is Murmur3-32 with seed 42, the SAME
+  function Spark's hash partitioner applies, so in a stage repartitioned
+  S-ways on ``key`` every row of partition p belongs to shard p and a task
+  opens exactly one shard file. Both the probe (``prefilter``) and the
+  per-round update (``add_delta``) are Spark jobs whose tasks touch only
+  their own shard — no driver ever holds keys or the filter, no broadcast
+  of the whole bitset. At the 10^10-key design point (~12 GB of bits at
+  fpp 0.01) the driver cost is a meta.json write per round.
+
+Crash safety: shard files are written tmp+rename, and an under-populated
+filter only weakens the prefilter (the key passes through to the exact
+anti-join) — it can never cause a missed or duplicate fetch, so a crash
+between shard writes needs no repair.
 
 False-positive budget: fpp ~ (1 - e^(-k*n/m))^k. Default sizing ~9.6 bits/key
 with k=7 gives fpp ≈ 1e-2 per probe at capacity; a false positive only costs
@@ -19,7 +34,9 @@ a redundant anti-join row (never a missed fetch), so the filter can run hot.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
 import numpy as np
 

@@ -9,13 +9,16 @@ Exact and near-duplicate detection over a document table
                    Candidate generation is the LSH bucket join (shuffle on
                    band hash, never O(n^2)); verification re-computes true
                    shingle Jaccard only for bucket pairs.
-- simhash:         64-bit simhash over token hashes; near-dups = hamming
-                   distance <= k via pivot-block join (split the 64 bits
-                   into k+1 blocks; dups must share one exact block ->
-                   equi-join per block, then exact hamming filter)
+- simhash:         60-bit simhash over md5 token hashes, computed entirely
+                   in Catalyst (no Python); near-dups = hamming distance
+                   <= k via pivot-block join (split the bits into k+1
+                   blocks; dups must share one exact block -> equi-join per
+                   block, then exact hamming filter). md5 (not xxhash64) so
+                   an external ANSI-SQL oracle can replay the signatures
+                   bit-for-bit.
 - ngram_jaccard:   exact n-gram Jaccard verification for a candidate pair
                    set (used standalone at small scale, or as the LSH
-                   verify stage)
+                   verify stage; ``minhash_dedup(verify=True)`` wires it in)
 - embedding near-dup: see operators/similarity.py
 
 Scale notes: every candidate generator is an equi-join on a derived key
@@ -163,22 +166,70 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    verify: bool = False,
+    verify_n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    signature-estimated Jaccard filter. Returns pairs (a, b, jaccard_est)."""
+    Jaccard filter. Returns pairs (a, b, jaccard_est).
+
+    verify=False filters on the signature-estimated Jaccard (cheapest; the
+    estimate IS the filter). verify=True re-computes TRUE word-``verify_n``-
+    gram Jaccard for the bucket pairs (pure Catalyst, ngram_jaccard_pairs)
+    and filters/reports that instead — columns (a, b, jaccard). The verify
+    cost is proportional to the candidate set, never all pairs."""
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k, seed).persist()
     cands = minhash_lsh_candidates(sigs, bands, id_col)
-    out = minhash_jaccard_estimate(sigs, cands, id_col).where(
+    if verify:
+        return ngram_jaccard_pairs(docs, cands, n=verify_n, text_col=text_col, id_col=id_col).where(
+            F.col("jaccard") >= threshold
+        )
+    return minhash_jaccard_estimate(sigs, cands, id_col).where(
         F.col("jaccard_est") >= threshold
     )
-    return out
 
 
 # --- simhash -------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> always < 2^60, sign-safe in BIGINT
+
+
+def simhash_expr(text_col, bits: int = SIMHASH_BITS):
+    """``bits``-wide SimHash as a single Catalyst expression — zero Python.
+
+    Token hash = first 15 hex chars of md5(token) parsed base-16 (fits
+    signed 64-bit on every engine, so the same signature is reproducible in
+    ANSI SQL for oracle checks). Per-bit vote counts accumulate via
+    aggregate/zip_with; whole-stage codegen applies. The classic simhash
+    construction (Charikar 2002) over whitespace tokens of lower(trim(text)).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(
+                filter(split(lower(trim({text_col})), '\\\\s+'), t -> t != ''),
+                t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+              ),
+              array_repeat(0L, {bits}),
+              (acc, h) -> zip_with(
+                acc, sequence(0, {bits - 1}),
+                (a, b) -> a + (case when (shiftright(h, b) & 1) = 1 then 1L else -1L end)
+              )
+            ),
+            sequence(0, {bits - 1}),
+            (c, b) -> case when c > 0 then shiftleft(1L, b) else 0L end
+          ),
+          0L, (acc, v) -> acc + v
+        )
+        """
+    )
+
 
 def make_simhash_udf(seed: int = 42):
-    """64-bit SimHash over whitespace tokens (vectorized inner loop)."""
+    """64-bit SimHash over whitespace tokens (vectorized inner loop).
+    Legacy path — ``simhash_expr`` computes the signature JVM-side with a
+    SQL-replayable hash and is preferred everywhere."""
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
@@ -212,15 +263,16 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Pivot-block join: split 64 bits into (max_hamming+1) blocks — any
-    pair within hamming distance k shares at least one exact block
-    (pigeonhole). Equi-join per block, then exact popcount filter.
-    Returns (a, b, hamming)."""
-    sh = make_simhash_udf()
-    sigs = docs.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
+    """Pivot-block join: split the signature bits into (max_hamming+1)
+    blocks — any pair within hamming distance k shares at least one exact
+    block (pigeonhole; bits outside the covered range only make blocks
+    match more often, never less). Equi-join per block, then exact popcount
+    filter. Returns (a, b, hamming)."""
+    sigs = docs.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    nblocks = min(max_hamming + 1, bits)  # nblocks > bits would give 0-width blocks
+    width = bits // nblocks
     blocks = sigs.select(
         id_col,
         "simhash",

@@ -72,11 +72,15 @@ def train_ivf_centroids(
     sample: int = 10_000,
     iters: int = 5,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Driver-side k-means on a bounded sample (Lloyd's, deterministic seed).
-    At 100 TB the sample is still `sample` rows — constant driver memory."""
-    rows = emb.select(vec_col).limit(sample).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    At 100 TB the sample is still `sample` rows — constant driver memory.
+    The sample is the `sample` lowest ids (orderBy+limit = TakeOrdered, no
+    full sort) so training is replay-identical across repartitionings —
+    a bare limit() without order is not."""
+    rows = emb.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(sample).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):

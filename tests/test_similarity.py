@@ -47,6 +47,17 @@ def test_ivf_recall(spark, emb):
     assert full == exact
 
 
+def test_ivf_centroids_deterministic_across_partitionings(spark, emb):
+    """Replay determinism: training reads the orderBy(vec_id)-lowest sample,
+    so repartitioning the input must not change the centroids (a bare
+    limit() without order would)."""
+    c1 = train_ivf_centroids(emb, n_cells=8, sample=200)
+    c2 = train_ivf_centroids(emb.repartition(7, "vec_id"), n_cells=8, sample=200)
+    c3 = train_ivf_centroids(emb.coalesce(1), n_cells=8, sample=200)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1, c3)
+
+
 def test_cosine_lsh_pairs(spark):
     rng = np.random.default_rng(0)
     base = rng.standard_normal(16)
