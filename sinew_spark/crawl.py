@@ -41,13 +41,12 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from sinew_spark.functions.urls import host_expr, make_canonicalize_udf, request_key_expr
-from sinew_spark.operators.bloom import BloomShards
+from sinew_spark.operators.bloom import BloomShardStore
 from sinew_spark.operators.frontier import (
     FRONTIER_SCHEMA,
     SEEN_SCHEMA,
     anti_join_seen,
     apply_robots,
-    bloom_prefilter,
     dedup_within_round,
     per_host_cap,
     prepare_frontier,
@@ -167,34 +166,18 @@ class Crawler:
         self.documents_t = _DocumentsView(self.fetched_t)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
         self.host_state_t = SnapshotTable(spark, os.path.join(workdir, "host_state"), HOST_STATE_SCHEMA)
-        self._bloom = self._load_bloom()
+        # executor-side sharded bloom sidecar (operators/bloom.py). Rebuild
+        # from seen if the sidecar was lost — bloom is never truth; the
+        # rebuild is a distributed pass (one task per shard), the driver
+        # never holds keys.
+        self._bloom = BloomShardStore(
+            os.path.join(workdir, "seen.bloom.d"),
+            capacity=self.opts.bloom_capacity,
+            n_shards=self.opts.bloom_shards,
+        )
+        if self._bloom.n_added == 0 and self.seen_t.current_snapshot() is not None:
+            self._bloom.rebuild(self.seen_t.read().select("key"))
         self._round: int | None = None  # lazily read from metrics, then cached
-
-    # --- bloom sidecar ---------------------------------------------------------
-
-    @property
-    def _bloom_path(self) -> str:
-        return os.path.join(self.workdir, "seen.bloom")
-
-    def _load_bloom(self) -> BloomShards:
-        if os.path.exists(self._bloom_path):
-            with open(self._bloom_path, "rb") as f:
-                return BloomShards.from_bytes(f.read())
-        b = BloomShards(self.opts.bloom_capacity, n_shards=self.opts.bloom_shards)
-        # rebuild from seen if the sidecar was lost — bloom is never truth.
-        # Arrow-batched pull of the single key column; at cluster scale the
-        # shards live executor-side and rebuild via per-partition OR-merge.
-        if self.seen_t.current_snapshot() is not None:
-            keys = self.seen_t.read().select("key").toPandas()["key"]
-            if len(keys):
-                b.add(keys.to_numpy("int64"))
-        return b
-
-    def _save_bloom(self) -> None:
-        tmp = self._bloom_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(self._bloom.to_bytes())
-        os.replace(tmp, self._bloom_path)
 
     # --- seeding ----------------------------------------------------------------
 
@@ -215,6 +198,35 @@ class Crawler:
         prepared = prepare_frontier(df, self.canonicalize)
         self.frontier_t.overwrite(prepared, {"op": "seed", "n": len(rows)})
 
+    def seed_df(self, urls_df: DataFrame) -> None:
+        """DataFrame-native seeding — the scale path for recipe chaining:
+        the next step's URLs stay a distributed plan end-to-end (no driver
+        round-trip of fetched rows). Requires columns (url, seq); method,
+        body, priority, depth, attempt are defaulted when absent. seq is
+        the caller's program order (replay-deterministic)."""
+        df = urls_df
+        defaults = {
+            "method": F.lit("GET"),
+            "body": F.lit(""),
+            "priority": F.lit(0.0),
+            "depth": F.lit(0),
+            "attempt": F.lit(0),
+        }
+        for c, d in defaults.items():
+            if c not in df.columns:
+                df = df.withColumn(c, d)
+        df = df.select(
+            F.col("url").cast("string"),
+            F.col("method").cast("string"),
+            F.col("body").cast("string"),
+            F.col("priority").cast("double"),
+            F.col("depth").cast("int"),
+            F.col("seq").cast("long"),
+            F.col("attempt").cast("int"),
+        )
+        prepared = prepare_frontier(df, self.canonicalize)
+        self.frontier_t.overwrite(prepared, {"op": "seed_df"})
+
     # --- the round ---------------------------------------------------------------
 
     def current_round(self) -> int:
@@ -224,8 +236,12 @@ class Crawler:
             self._round = (row.r if row.r is not None else -1) + 1
         return self._round
 
-    def run_round(self) -> dict:
+    def run_round(self, budget: int | None = None) -> dict:
+        """One frontier superstep. ``budget`` overrides opts.round_budget
+        for this round (recipe limit flow control: fetch at most the rows
+        still needed instead of the whole step)."""
         t0 = time.time()
+        round_budget = budget if budget is not None else self.opts.round_budget
         profile = os.environ.get("SINEW_PROFILE") == "1"
         marks: list[tuple[str, float]] = []
 
@@ -248,10 +264,10 @@ class Crawler:
         if self.opts.max_depth is not None:
             cand = cand.where(F.col("depth") <= self.opts.max_depth)
 
-        # 2. probabilistic prefilter, then exact anti-join (the truth)
-        bloom_bytes = self._bloom.to_bytes() if self._bloom.n_added else None
+        # 2. probabilistic prefilter (shard-local executor probe), then
+        # exact anti-join (the truth)
         if not (self.opts.force or self.opts.force_errors or self.opts.expires is not None):
-            cand = bloom_prefilter(cand, bloom_bytes, self.spark)
+            cand = self._bloom.prefilter(cand)
         seen = self.seen_t.read()
         cand = anti_join_seen(
             cand,
@@ -274,8 +290,8 @@ class Crawler:
             if self.opts.per_host_cap is not None
             else cand
         )
-        selected = take_round_budget(selected, self.opts.round_budget)
-        n_candidates = cand.count() if self.opts.round_budget else None
+        selected = take_round_budget(selected, round_budget)
+        n_candidates = cand.count() if round_budget else None
 
         # Pin fetch parallelism. AQE sizes shuffle partitions by BYTES
         # (64 MB advisory), but frontier rows are slim while per-row fetch
@@ -285,7 +301,7 @@ class Crawler:
         # second shuffle); paths that re-cluster rows (host window, budget
         # sort) get an explicit round-robin repartition instead.
         if self.opts.rate_limit <= 0 and (
-            self.opts.per_host_cap is not None or self.opts.round_budget is not None
+            self.opts.per_host_cap is not None or round_budget is not None
         ):
             selected = selected.repartition(par * 2)
 
@@ -327,20 +343,25 @@ class Crawler:
         # serialize the parse stage (measured: 4x wall on local[8]).
         fetched = self.fetched_t.read_delta(snap, target_partitions=par * 2)
         mark("fetch+commit")
-        # one pruned columnar pull of this round's stats: bloom keys,
-        # selected/error tallies, AND redirect presence — which decides
-        # whether the seen commit needs the union+groupBy dedup at all
-        ks = (
-            fetched.select(
-                "key",
-                "status",
-                F.coalesce(F.size("hops"), F.lit(0)).alias("n_hops"),
-                F.coalesce(
-                    F.col("final_url") != F.col("canonical_url"), F.lit(False)
-                ).alias("moved"),
-            )
-        ).toPandas()
-        has_redirects = bool(ks["n_hops"].sum() > 0 or ks["moved"].any())
+        # one pruned columnar AGGREGATE of this round's stats: selected /
+        # error tallies AND redirect presence — which decides whether the
+        # seen commit needs the union+groupBy dedup at all. A single row
+        # reaches the driver (never the keys; at the 10^10 design point a
+        # per-round key pull would be ~10^8 rows). Redirect presence is a
+        # per-row guard (any row with hops or a moved final_url), robust to
+        # legacy sizeOfNull semantics.
+        err_cond = (F.col("status") >= 500) | (F.col("status") < 0)
+        st = fetched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(err_cond, 1).otherwise(0)).alias("errors"),
+            F.sum(
+                F.when(F.coalesce(F.size("hops"), F.lit(0)) > 0, 1).otherwise(0)
+            ).alias("hop_rows"),
+            F.max(
+                F.coalesce(F.col("final_url") != F.col("canonical_url"), F.lit(False)).cast("int")
+            ).alias("any_moved"),
+        ).collect()[0]
+        has_redirects = bool((st.hop_rows or 0) > 0 or (st.any_moved or 0) > 0)
         seen_new = fetched.select(
             "key",
             F.col("canonical_url").alias("url"),
@@ -399,23 +420,25 @@ class Crawler:
         seen_snap = self.seen_t.append(all_seen_new, {"round": rnd})
         mark("seen_commit")
         if has_redirects:
-            # hop rows exist only in the committed delta — re-pull stats
-            # from it (pruned columnar scan)
-            sk = self.seen_t.read_delta(seen_snap).select("key", "status", "hop_of").toPandas()
-            n_selected = int(sk["hop_of"].isna().sum())
-            n_errors = int(
-                (((sk["status"] >= 500) | (sk["status"] < 0)) & sk["hop_of"].isna()).sum()
-            )
-            bloom_keys = sk["key"].to_numpy("int64")
+            # hop rows exist only in the committed delta — re-aggregate from
+            # it (pruned columnar scan, one row to the driver)
+            sd = self.seen_t.read_delta(seen_snap)
+            direct = F.col("hop_of").isNull()
+            sr = sd.agg(
+                F.sum(F.when(direct, 1).otherwise(0)).alias("n"),
+                F.sum(F.when(direct & err_cond, 1).otherwise(0)).alias("errors"),
+            ).collect()[0]
+            n_selected = int(sr.n or 0)
+            n_errors = int(sr.errors or 0)
         else:
-            n_selected = len(ks)
-            n_errors = int(((ks["status"] >= 500) | (ks["status"] < 0)).sum())
-            bloom_keys = ks["key"].to_numpy("int64")
+            n_selected = int(st.n)
+            n_errors = int(st.errors or 0)
         n_fetched = n_selected
         if n_selected == 0:
             return {"round": rnd, "selected": 0, "done": True}
-        self._bloom.add(bloom_keys)
-        self._save_bloom()
+        # bloom update: distributed shard-local OR of the committed delta's
+        # keys (one task per shard; the driver writes only meta.json)
+        self._bloom.add_delta(self.seen_t.read_delta(seen_snap).select("key"))
         mark("keys+bloom")
 
         # C11: persist each host's final cookie jar for the next round.
@@ -538,10 +561,8 @@ class Crawler:
     def uncache(self, url: str, method: str = "GET", body: str = "") -> None:
         """Row-level delete (sinew's uncache). The Bloom may retain the key
         (false positive) — the exact anti-join no longer blocks, and
-        bloom_prefilter is skipped when force/expires semantics demand
+        the bloom prefilter is skipped when force/expires semantics demand
         refetch; to fully honor uncache we rebuild the bloom."""
         key, _ = self._key_for(url, method, body)
         self.seen_t.delete_where(F.col("key") == F.lit(key))
-        if os.path.exists(self._bloom_path):
-            os.remove(self._bloom_path)
-        self._bloom = self._load_bloom()
+        self._bloom.rebuild(self.seen_t.read().select("key"))

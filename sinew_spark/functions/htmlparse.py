@@ -233,6 +233,11 @@ def _make_link_resolver(base_url: str):
         if m.startswith(("http://", "https://")):
             return m
         if m.startswith("//"):
+            # empty-authority refs ('///p', '//?q', '//#f', bare '//')
+            # resolve against the base host in urljoin — only a ref with a
+            # real host char after '//' may take the concat fast path
+            if m[2:3] in ("", "/", "?", "#"):
+                return urljoin(base_url, m)
             return prefix + m
         if m.startswith("/") and "/." not in m:
             return origin + m

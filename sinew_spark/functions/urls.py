@@ -128,6 +128,21 @@ def make_canonicalize_udf(
     return canonicalize
 
 
+@F.pandas_udf(T.StringType())
+def urljoin_udf(base: pd.Series, ref: pd.Series) -> pd.Series:
+    """Vectorized RFC-3986 reference resolution: urljoin(base, ref) per row.
+    Used for DataFrame-native recipe chaining (`url_join` steps resolve the
+    next step's URLs against the previous step's final_url without any
+    driver round-trip — reference semantics: Ruby's `response.url + ref`,
+    /root/reference/test/recipes/url.sinew:5, URI#+ == urljoin)."""
+    from urllib.parse import urljoin
+
+    return pd.Series(
+        [None if b is None else urljoin(b, r or "") for b, r in zip(base, ref)],
+        dtype="object",
+    )
+
+
 def host_expr(url: Column) -> Column:
     """Extract lowercase host from a canonical URL — pure Catalyst."""
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))

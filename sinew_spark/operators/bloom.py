@@ -39,6 +39,7 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 
 _U64 = np.uint64
 
@@ -122,3 +123,173 @@ class BloomShards:
         obj.words = z["words"]
         obj.n_added = n_added
         return obj
+
+
+# --- executor-side shard store ----------------------------------------------------
+
+# per-python-worker shard cache: (path, mtime_ns, size) -> BloomShards.
+# Worker processes are reused across tasks/batches, so a shard file is read
+# once per worker per round (the mtime key invalidates it after add_delta).
+_SHARD_CACHE: dict = {}
+
+
+def _load_shard(dirpath: str, shard: int) -> "BloomShards | None":
+    p = os.path.join(dirpath, f"shard-{shard:05d}.npz")
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        return None
+    ck = (p, st.st_mtime_ns, st.st_size)
+    hit = _SHARD_CACHE.get(ck)
+    if hit is None:
+        with open(p, "rb") as f:
+            hit = BloomShards.from_bytes(f.read())
+        # drop stale generations of this shard before caching the new one
+        for k in [k for k in _SHARD_CACHE if k[0] == p and k != ck]:
+            del _SHARD_CACHE[k]
+        _SHARD_CACHE[ck] = hit
+    return hit
+
+
+class BloomShardStore:
+    """Directory-backed sharded Bloom sidecar; every probe and update runs
+    executor-side on exactly one shard per task (module docstring).
+
+    Layout: ``dir/meta.json`` + ``dir/shard-%05d.npz``. A shard file is a
+    serialized single-shard ``BloomShards`` sized for ``capacity/n_shards``
+    keys. Routing: ``pmod(hash(key), n_shards)`` — aligned with Spark's
+    hash partitioner so ``repartition(n_shards, key)`` stages are
+    one-shard-per-task."""
+
+    def __init__(self, path: str, capacity: int = 1_000_000, fpp: float = 0.01, n_shards: int = 64):
+        self.path = path
+        meta = self._read_meta()
+        if meta is None:
+            self.capacity, self.fpp, self.n_shards = capacity, fpp, n_shards
+            self.n_added = 0
+        else:  # persisted layout wins — shards are already sized for it
+            self.capacity = int(meta["capacity"])
+            self.fpp = float(meta["fpp"])
+            self.n_shards = int(meta["n_shards"])
+            self.n_added = int(meta["n_added"])
+
+    # --- meta -----------------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _read_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "capacity": self.capacity,
+                    "fpp": self.fpp,
+                    "n_shards": self.n_shards,
+                    "n_added": self.n_added,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path)
+
+    # --- spark-side ops ---------------------------------------------------------
+
+    def _shard_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(F.col("key")), F.lit(self.n_shards))
+
+    def add_delta(self, keys_df) -> int:
+        """Distributed shard update: one task per touched shard loads its
+        shard file, ORs in the new keys' bits, writes tmp+rename. The driver
+        never sees a key. Returns the number of keys added."""
+        from pyspark.sql import functions as F
+
+        dirpath, per_cap, fpp, ns = (
+            self.path,
+            max(1024, self.capacity // self.n_shards),
+            self.fpp,
+            self.n_shards,
+        )
+
+        def upd(pdf):
+            import pandas as pd
+
+            shard = int(pdf["_shard"].iloc[0])
+            # read the file directly (not via the worker cache) — mutating a
+            # cached object would let a failed write leave memory ahead of disk
+            p0 = os.path.join(dirpath, f"shard-{shard:05d}.npz")
+            if os.path.exists(p0):
+                with open(p0, "rb") as f:
+                    b = BloomShards.from_bytes(f.read())
+            else:
+                b = BloomShards(per_cap, fpp=fpp, n_shards=1)
+            keys = pdf["key"].to_numpy("int64")
+            b.add(keys)
+            tmp = p0 + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(b.to_bytes())
+            os.replace(tmp, p0)
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(keys)]})
+
+        os.makedirs(dirpath, exist_ok=True)
+        counts = (
+            keys_df.select("key")
+            .withColumn("_shard", self._shard_expr())
+            .groupBy("_shard")
+            .applyInPandas(upd, "shard int, n_keys long")
+            .agg(F.sum("n_keys").alias("n"))
+            .collect()
+        )
+        n = int(counts[0].n or 0)
+        self.n_added += n
+        self._write_meta()
+        return n
+
+    def prefilter(self, frontier):
+        """Probabilistic pre-reject of already-seen keys BEFORE the
+        anti-join shuffle. No false negatives: a rejected key is definitely
+        seen; survivors still face the exact anti-join. Each task probes
+        only the shard(s) of its rows — worker-cached, invalidated by
+        mtime after add_delta."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if self.n_added == 0:
+            return frontier
+        dirpath, ns = self.path, self.n_shards
+
+        @F.pandas_udf(T.BooleanType())
+        def maybe_new(key: pd.Series, shard: pd.Series) -> pd.Series:
+            keys = key.to_numpy("int64")
+            out = np.ones(len(keys), dtype=bool)
+            for s in shard.unique():
+                b = _load_shard(dirpath, int(s))
+                if b is None:  # shard never written -> nothing seen there
+                    continue
+                m = (shard == s).to_numpy()
+                out[m] = ~b.might_contain(keys[m])
+            return pd.Series(out)
+
+        return frontier.where(maybe_new(F.col("key"), self._shard_expr()))
+
+    def rebuild(self, keys_df) -> int:
+        """Drop and re-add from scratch (sidecar lost, or after a row-level
+        delete). One distributed pass over the keys."""
+        self.drop()
+        return self.add_delta(keys_df)
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        self.n_added = 0

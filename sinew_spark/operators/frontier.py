@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import time
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -75,25 +74,6 @@ def dedup_within_round(frontier: DataFrame) -> DataFrame:
         .agg(F.min_by(F.struct(*[f.name for f in FRONTIER_SCHEMA.fields]), F.col("seq")).alias("r"))
         .select("r.*")
     )
-
-
-def bloom_prefilter(frontier: DataFrame, bloom_bytes, spark) -> DataFrame:
-    """Probabilistic pre-reject of already-seen keys BEFORE the anti-join
-    shuffle. No false negatives: a key the bloom rejects is definitely seen.
-    Keys that pass still go through the exact anti-join (false positives are
-    only wasted join rows). Vectorized numpy probe inside a pandas UDF."""
-    if bloom_bytes is None:
-        return frontier
-    b = spark.sparkContext.broadcast(bloom_bytes)
-
-    @F.pandas_udf(T.BooleanType())
-    def maybe_new(keys: pd.Series) -> pd.Series:
-        from sinew_spark.operators.bloom import BloomShards
-
-        bloom = BloomShards.from_bytes(b.value)
-        return pd.Series(~bloom.might_contain(keys.to_numpy()))
-
-    return frontier.where(maybe_new(F.col("key")))
 
 
 def anti_join_seen(

@@ -78,15 +78,34 @@ def run_recipe(
     options: CrawlOptions | None = None,
 ) -> RecipeResult:
     """Execute a recipe: fetch each step's URLs through the exactly-once
-    crawler, extract, normalize, render CSV bytes (golden contract)."""
+    crawler, extract, normalize, render CSV bytes (golden contract).
+
+    Scale properties:
+    - step chaining is DataFrame-native: a ``url_join`` step resolves the
+      next URLs from the previous step's fetched DataFrame (vectorized
+      urljoin) and seeds the crawler with the plan — fetched rows are never
+      collected to the driver; the only driver-side materialization is the
+      final CSV render, which is driver-side by contract (golden bytes).
+    - ``limit`` is FLOW CONTROL, not just render truncation (the
+      reference's LimitError aborts fetching mid-run, lib/sinew/main.rb:
+      25-27, base.rb:146-149): each fetch step runs budget-bounded rounds
+      of at most the still-needed row count and stops issuing requests as
+      soon as enough rows have been emitted — a ``limit 3`` against a
+      10^6-URL step fetches one 3-URL round, not 10^6.
+    """
     t0 = time.time()
     options = options or CrawlOptions()
     crawler = Crawler(spark, os.path.join(workdir, "crawl"), fetcher, options)
     sink = CsvSink(recipe.header)
-    prev_rows: list = []  # collected rows of the previous step (tiny: step heads)
+    # previous fetch step's results (DataFrame; seq = dense step order)
+    prev_fetched: DataFrame | None = None
+    emitted = 0  # rows emitted so far — tracked only when limit is set
 
     for step_idx, step in enumerate(recipe.steps):
         base_seq = step_idx * STEP_STRIDE
+        remaining = None if recipe.limit is None else recipe.limit - emitted
+        if remaining is not None and remaining <= 0:
+            break  # LimitError analog: stop all further fetching/emitting
         if step.rows is not None:
             # constant emits — no fetch (implicit_header/limit recipes).
             # Implicit header = FIRST row's keys (base.rb:130-141); the
@@ -108,49 +127,84 @@ def run_recipe(
                 data, ", ".join([f"`{c}` string" for c in cols] + ["seq long"])
             )
             sink.emit(df)
-            prev_rows = []
+            emitted += len(data)
+            prev_fetched = None
             continue
 
-        # resolve step URLs
+        # resolve step URLs as a DataFrame. `want` maps canonical_url ->
+        # step_ord (the step's program order) for result alignment.
+        canon = crawler.canonicalize
         if step.url_join is not None:
-            from urllib.parse import urljoin
+            from sinew_spark.functions.urls import urljoin_udf
 
-            urls = [urljoin(row.final_url, step.url_join) for row in prev_rows]
+            if prev_fetched is None:
+                continue
+            # previous step's seq is its dense program order — chained URLs
+            # inherit it, preserving emit order with zero driver round-trips
+            urls_df = prev_fetched.select(
+                urljoin_udf(F.col("final_url"), F.lit(step.url_join)).alias("url"),
+                F.col("seq"),
+            )
+            if urls_df.isEmpty():
+                prev_fetched = None
+                continue
         else:
             urls = list(step.urls or [])
-        if not urls:
-            prev_rows = []
-            continue
-        crawler.seed(urls)
-        crawler.run()
-        # fetch results for exactly this step's urls, in seed order
-        canon = crawler.canonicalize
-        want = spark.createDataFrame(
-            [(u if isinstance(u, str) else u[0], i) for i, u in enumerate(urls)],
-            "url string, step_ord long",
-        ).select(canon(F.col("url")).alias("canonical_url"), "step_ord")
-        fetched = (
+            if not urls:
+                prev_fetched = None
+                continue
+            urls_df = spark.createDataFrame(
+                [(u if isinstance(u, str) else u[0], i) for i, u in enumerate(urls)],
+                "url string, seq long",
+            )
+        want = urls_df.select(
+            canon(F.col("url")).alias("canonical_url"), F.col("seq").alias("step_ord")
+        )
+        crawler.seed_df(urls_df)
+
+        def step_emits() -> DataFrame:
+            fetched = (
+                crawler.fetched_t.read()
+                .join(want, "canonical_url")
+                .withColumn("seq", F.col("step_ord"))
+                .drop("step_ord")
+            )
+            it = step.iterate
+            if it == "rows":
+                emits = row_project(fetched, step.columns)
+            elif isinstance(it, tuple) and it[0] == "regex":
+                emits = regex_scan(fetched, it[1], step.columns)
+            elif isinstance(it, tuple) and it[0] == "css":
+                emits = css_extract(fetched, it[1], step.columns)
+            else:
+                raise ValueError(f"bad iterate {it!r}")
+            return emits.withColumn(
+                "seq", F.lit(base_seq) + F.col("seq") * MATCH_STRIDE + F.col("match_idx")
+            ).drop("match_idx")
+
+        if remaining is None:
+            crawler.run()
+        else:
+            # budget-bounded rounds: fetch at most `remaining` URLs per
+            # round, stop as soon as the step has emitted enough rows (a
+            # regex/css step can emit >1 row per doc, so this over-fetches
+            # at most one round)
+            while True:
+                stats = crawler.run_round(budget=remaining)
+                if stats.get("done"):
+                    break
+                if step_emits().count() >= remaining:
+                    break
+        emits = step_emits()
+        sink.emit(emits)
+        if remaining is not None:
+            emitted += emits.count()
+        # keep the fetched view for chaining (final_url + program order)
+        prev_fetched = (
             crawler.fetched_t.read()
             .join(want, "canonical_url")
-            .withColumn("seq", F.col("step_ord"))
-            .drop("step_ord")
+            .select("final_url", "canonical_url", "status", F.col("step_ord").alias("seq"))
         )
-
-        it = step.iterate
-        if it == "rows":
-            emits = row_project(fetched, step.columns)
-        elif isinstance(it, tuple) and it[0] == "regex":
-            emits = regex_scan(fetched, it[1], step.columns)
-        elif isinstance(it, tuple) and it[0] == "css":
-            emits = css_extract(fetched, it[1], step.columns)
-        else:
-            raise ValueError(f"bad iterate {it!r}")
-
-        emits = emits.withColumn(
-            "seq", F.lit(base_seq) + F.col("seq") * MATCH_STRIDE + F.col("match_idx")
-        ).drop("match_idx")
-        sink.emit(emits)
-        prev_rows = fetched.orderBy("seq").select("final_url", "canonical_url", "status").collect()
 
     csv = sink.render(limit=recipe.limit)
     count, tally = sink.report(limit=recipe.limit)

@@ -1,9 +1,10 @@
 """Sharded Bloom filter: no false negatives, bounded false positives,
-round-trip serialization."""
+round-trip serialization; executor-side shard store lifecycle."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
-from sinew_spark.operators.bloom import BloomShards
+from sinew_spark.operators.bloom import BloomShards, BloomShardStore
 
 
 def test_no_false_negatives():
@@ -37,3 +38,49 @@ def test_serialization_roundtrip():
 def test_empty():
     b = BloomShards(capacity=100)
     assert not b.might_contain(np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+# --- BloomShardStore (executor-side lifecycle) --------------------------------
+
+
+def test_store_prefilter_no_false_negatives(spark, tmp_path):
+    """Every added key must be rejected by prefilter (no false negatives);
+    an empty store passes everything through."""
+    store = BloomShardStore(str(tmp_path / "b"), capacity=10_000, n_shards=8)
+    keys = spark.range(0, 5000).select((F.col("id") * 7919 - 2**40).alias("key"))
+    fresh = spark.range(6000, 7000).select((F.col("id") * 104729 + 2**50).alias("key"))
+
+    assert store.prefilter(keys).count() == 5000  # empty store: all pass
+    n = store.add_delta(keys)
+    assert n == 5000
+    assert store.prefilter(keys).count() == 0  # all seen keys rejected
+    # fresh keys mostly pass (false positives bounded, never negatives)
+    assert store.prefilter(fresh).count() > 900
+
+
+def test_store_incremental_delta_and_reopen(spark, tmp_path):
+    """add_delta accumulates across rounds; a reopened store (new object,
+    same dir) picks up the persisted shards + meta."""
+    path = str(tmp_path / "b")
+    store = BloomShardStore(path, capacity=10_000, n_shards=4)
+    k1 = spark.range(0, 1000).select(F.col("id").alias("key"))
+    k2 = spark.range(1000, 2000).select(F.col("id").alias("key"))
+    store.add_delta(k1)
+    store.add_delta(k2)
+    reopened = BloomShardStore(path, capacity=999, n_shards=16)  # params ignored
+    assert reopened.n_shards == 4 and reopened.n_added == 2000
+    both = k1.unionByName(k2)
+    assert reopened.prefilter(both).count() == 0
+
+
+def test_store_rebuild_after_delete(spark, tmp_path):
+    store = BloomShardStore(str(tmp_path / "b"), capacity=1000, n_shards=4)
+    keys = spark.range(0, 500).select(F.col("id").alias("key"))
+    store.add_delta(keys)
+    kept = spark.range(0, 250).select(F.col("id").alias("key"))
+    store.rebuild(kept)
+    assert store.n_added == 250
+    assert store.prefilter(kept).count() == 0
+    # dropped keys may straggle as false positives but most must pass again
+    dropped = spark.range(250, 500).select(F.col("id").alias("key"))
+    assert store.prefilter(dropped).count() > 200

@@ -185,3 +185,60 @@ def test_json_mash_extraction(spark, tmpdir_path):
     assert res.csv == (
         "method,a,b,url\nGET,1,2,http://host.test/get?a=1&b=2\n"
     )
+
+
+def test_limit_is_flow_control(spark, tmpdir_path):
+    """The reference's -l aborts fetching once the limit is hit
+    (lib/sinew/main.rb:25-27, base.rb:146-149) — a limit-3 recipe over a
+    1000-URL step must fetch at most one budget-bounded round (3 URLs),
+    not all 1000."""
+    import os
+
+    from sinew_spark.crawl import Crawler
+
+    urls = [f"http://host{i % 7}.test/page/{i}" for i in range(1000)]
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            limit=3,
+            steps=[Step(urls=urls, iterate="rows", columns={"url": "final_url"})],
+        ),
+        retries=0,
+    )
+    assert r.count == 3
+    assert r.csv.count("\n") == 4  # header + 3 rows
+    # fetched table holds only the budget-bounded rounds' rows
+    crawler = Crawler(spark, os.path.join(tmpdir_path, "crawl"), FixtureFetcher(seed=42))
+    assert crawler.fetched_t.read().count() <= 3
+
+
+def test_url_join_chaining_stays_distributed(spark, tmpdir_path):
+    """Chained steps resolve next URLs as a DataFrame plan; program order
+    (seq) survives the chain — first step order == second step emit order."""
+    urls = [f"http://chain.test/start/{i}" for i in range(5)]
+    r = run(
+        spark,
+        tmpdir_path,
+        Recipe(
+            steps=[
+                Step(urls=urls, iterate="rows", columns={"url": "final_url"}),
+                Step(url_join="/get", iterate="rows", columns={"url": "final_url"}),
+            ]
+        ),
+        retries=0,
+    )
+    lines = r.csv.strip().split("\n")
+    assert lines[0] == "url"
+    assert lines[1:6] == urls  # step 1 in seed order
+    # every chained get emits (one per parent row, reference program order);
+    # the FETCH deduped to one request, but cache hits still emit
+    assert lines[6:] == ["http://chain.test/get"] * 5
+    from sinew_spark.crawl import Crawler
+    import os
+
+    crawler = Crawler(spark, os.path.join(tmpdir_path, "crawl"), FixtureFetcher(seed=42))
+    n_get_fetches = (
+        crawler.fetched_t.read().where("canonical_url = 'http://chain.test/get'").count()
+    )
+    assert n_get_fetches == 1  # exactly-once fetch despite 5 chained refs
