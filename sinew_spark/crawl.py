@@ -198,6 +198,17 @@ class Crawler:
         prepared = prepare_frontier(df, self.canonicalize)
         self.frontier_t.overwrite(prepared, {"op": "seed", "n": len(rows)})
 
+    @staticmethod
+    def post_json(url: str, obj) -> tuple[str, str, str]:
+        """S3 convenience mirroring sinew's ``post_json`` (lib/sinew/
+        base.rb:77-81): JSON-encode the body compactly (Ruby ``to_json``
+        style — no spaces, insertion key order) and mark the request POST.
+        The encoded body is part of the identity key, so equal objects are
+        one fetch. Returns a ``seed()``-ready (url, method, body) tuple."""
+        import json
+
+        return (url, "POST", json.dumps(obj, separators=(",", ":")))
+
     def seed_df(self, urls_df: DataFrame) -> None:
         """DataFrame-native seeding — the scale path for recipe chaining:
         the next step's URLs stay a distributed plan end-to-end (no driver
@@ -548,12 +559,25 @@ class Crawler:
         return row.key, row.curl
 
     def status(self, url: str, method: str = "GET", body: str = "") -> dict:
+        """Probe one request identity. ``diskpath`` is the storage-location
+        handle analog of ``Response#diskpath`` (lib/sinew/response.rb:52-54)
+        — the reference stores one file per request under the httpdisk
+        cache dir; the engine stores rows in the fetched snapshot table, so
+        the handle is (table dir, identity key) rather than a per-request
+        file."""
         key, curl = self._key_for(url, method, body)
+        diskpath = os.path.join(self.workdir, "fetched")
         rows = self.seen_t.read().where(F.col("key") == key).limit(1).collect()
         if not rows:
-            return {"status": "miss", "key": key, "url": curl}
+            return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
         r = rows[0]
-        return {"status": int(r.status), "key": key, "url": curl, "fetched_at": r.fetched_at}
+        return {
+            "status": int(r.status),
+            "key": key,
+            "url": curl,
+            "fetched_at": r.fetched_at,
+            "diskpath": diskpath,
+        }
 
     def cached(self, url: str, method: str = "GET", body: str = "") -> bool:
         return self.status(url, method, body)["status"] != "miss"

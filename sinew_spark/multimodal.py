@@ -52,13 +52,33 @@ def _fake_decode_image(content: bytes) -> tuple[int, int, int]:
     return (64 + h[0] % 192, 64 + h[1] % 192, 3)
 
 
+def pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
-    if not fake:
+    """(width, height, channels). fake=True uses the deterministic hash
+    decoder (oracle-checkable); fake=False dispatches to Pillow when the
+    runtime has it and raises otherwise (this container does not ship
+    Pillow — recorded in FIXTURES.md)."""
+    if fake:
+        return _fake_decode_image(content)
+    try:
+        import io
+
+        import PIL.Image
+    except ImportError as e:
         raise NotImplementedError(
             "image decoding requires Pillow/libvips — not available in this "
             "container; pass fake=True for the deterministic test decoder"
-        )
-    return _fake_decode_image(content)
+        ) from e
+    with PIL.Image.open(io.BytesIO(content)) as im:
+        return (im.width, im.height, len(im.getbands()))
 
 
 def extract_image_metadata(media: DataFrame, fake: bool = True) -> DataFrame:

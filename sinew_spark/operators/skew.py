@@ -43,14 +43,25 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact`` with ``dim`` on ``key`` with dim-replication
     salting. ``salt_from`` names a fact column whose hash assigns the salt
-    (deterministic for replay); defaults to the key row's own full-row
-    entropy via ``key`` + ``spark_partition_id`` fallback — pass a unique
-    column (row id) when available.
+    (deterministic for replay) — pass a unique column (row id) when
+    available; the fallback hashes the WHOLE fact row, which is equally
+    deterministic under task retries / AQE re-planning (a partition-id
+    based salt is not) and spreads a hot key as long as its rows differ
+    anywhere.
+
+    Only fact-preserving joins are supported (inner / left / left_semi /
+    left_anti): with how='right'/'full' every UNMATCHED dim row would
+    surface ``salts`` times — a correctness bug, so those raise.
 
     Returns the joined frame without the internal salt column.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join(how={how!r}): dim replication duplicates unmatched "
+            "dim rows; use inner/left joins (or salt the other side)"
+        )
     if salt_from is None:
-        salt_expr = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salts))
+        salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts))
     else:
         salt_expr = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salts))
     f = fact.withColumn(SALT_COL, salt_expr.cast("int"))

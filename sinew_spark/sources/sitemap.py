@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_LOC_PATTERN = r"<loc>\s*([^<]+?)\s*</loc>"
+# case-insensitive, optional namespace prefix (<sm:loc>), optional CDATA
+# wrapper (<loc><![CDATA[...]]></loc> — permitted by the sitemap spec).
+# Lazy body stops at the first closing tag; CDATA content also flows
+# through the entity unescape (harmless for URLs, which the spec requires
+# to be entity-escaped OR CDATA-wrapped).
+_LOC_PATTERN = r"(?is)<(?:[\w.-]+:)?loc\s*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</(?:[\w.-]+:)?loc\s*>"
 
 
 def _xml_unescape(col: F.Column) -> F.Column:
@@ -46,5 +51,54 @@ def sitemap_locs(
 
 
 def is_sitemap_index(body_col: F.Column) -> F.Column:
-    """True when the document is a sitemap INDEX (its locs are sitemaps)."""
-    return body_col.contains("<sitemapindex")
+    """True when the document is a sitemap INDEX (its locs are sitemaps).
+    Case-insensitive; accepts a namespace prefix (<sm:sitemapindex>)."""
+    return body_col.rlike(r"(?i)<([\w.-]+:)?sitemapindex[\s>]")
+
+
+LOC_STRIDE = 100_000  # seq slots per parent sitemap for nested locs
+
+
+def expand_sitemap_frontier(crawler, sitemap_urls: list[str], max_depth: int = 3) -> DataFrame:
+    """Iterative index → urlset expansion through the crawler: fetch the
+    current level's sitemaps (one exactly-once crawl round per level —
+    never a driver-side per-URL loop), split fetched docs into indexes
+    (their locs are sitemaps → next level) and urlsets (their locs are
+    page URLs → output). Returns the frontier-ready page-URL DataFrame
+    ``(url, seq)`` with seq = nested document order, so
+    ``crawler.seed_df(result)`` starts the page crawl in sitemap order.
+
+    Sitemaps already in the seen set are NOT refetched (exactly-once
+    applies to sitemaps too) and contribute no locs to THIS expansion —
+    re-expansion of a partially-crawled tree wants ``expires``/``force``
+    options on the crawler, same as any refetch."""
+    spark = crawler.spark
+    urls = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(sitemap_urls)], "url string, seq long"
+    )
+    pages: DataFrame | None = None
+    for _ in range(max_depth):
+        if urls.isEmpty():
+            break
+        crawler.seed_df(urls)
+        crawler.run_round()
+        snap = crawler.fetched_t.current_snapshot()
+        fetched = crawler.fetched_t.read_delta(snap).where(
+            F.col("status").between(200, 299) & F.col("resp_body").isNotNull()
+        )
+        idx = F.coalesce(is_sitemap_index(F.col("resp_body")), F.lit(False))
+        locs = sitemap_locs(
+            fetched.select("seq", "resp_body", idx.alias("is_index")),
+            body_col="resp_body",
+            id_cols=("seq", "is_index"),
+        ).select(
+            (F.col("seq") * LOC_STRIDE + F.col("loc_idx")).alias("seq"),
+            F.col("loc").alias("url"),
+            "is_index",
+        )
+        level_pages = locs.where(~F.col("is_index")).select("url", "seq")
+        pages = level_pages if pages is None else pages.unionByName(level_pages)
+        urls = locs.where(F.col("is_index")).select("url", "seq")
+    if pages is None:
+        pages = spark.createDataFrame([], "url string, seq long")
+    return pages

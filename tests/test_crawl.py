@@ -312,3 +312,26 @@ def test_full_replay_determinism(spark, tmpdir_path):
     assert seen_a == seen_b
     assert docs_a == docs_b
     assert len(docs_a) > 12  # links were followed
+
+
+def test_post_json_convenience(spark, tmpdir_path):
+    """S3: post_json JSON-encodes the body Ruby-to_json-style and the
+    encoded body is part of the identity key (base.rb:77-81) — equal
+    objects are one fetch, different objects are distinct entries."""
+    import json
+
+    c = Crawler(spark, tmpdir_path, FixtureFetcher(seed=42), CrawlOptions(retries=0))
+    r1 = Crawler.post_json("http://api.test/things", {"a": 1, "b": [2, 3]})
+    r2 = Crawler.post_json("http://api.test/things", {"a": 1, "b": [2, 3]})
+    r3 = Crawler.post_json("http://api.test/things", {"a": 2})
+    assert r1 == ("http://api.test/things", "POST", '{"a":1,"b":[2,3]}')
+    assert r1 == r2
+    c.seed([r1, r2, r3])
+    c.run(max_rounds=1)
+    fetched = c.fetched_t.read().collect()
+    assert len(fetched) == 2  # r1/r2 collapse to one identity
+    echo = {r.body: json.loads(r.resp_body) for r in fetched}
+    assert echo['{"a":1,"b":[2,3]}']["body"] == '{"a":1,"b":[2,3]}'
+    assert all(v["method"] == "POST" for v in echo.values())
+    st = c.status("http://api.test/things", "POST", '{"a":1,"b":[2,3]}')
+    assert st["status"] == 200 and st["diskpath"].endswith("fetched")

@@ -47,3 +47,33 @@ def test_probe_seen_hit_miss(spark):
     seen = spark.createDataFrame([("k1",), ("k9",)], ["key"])
     out = {r.id: r.probe_status for r in probe_seen(frontier, seen).collect()}
     assert out == {1: "hit", 2: "miss", 3: "hit"}
+
+
+def test_salted_join_rejects_dim_preserving_joins(spark):
+    """how='right'/'full' would duplicate unmatched dim rows salts times."""
+    import pytest
+
+    from sinew_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "x")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d"), (2, "e")], "k long, d string")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", salts=4, how="right")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", salts=4, how="full")
+    # inner/left still work and never duplicate
+    assert salted_join(fact, dim, "k", salts=4).count() == 1
+    assert salted_join(fact, dim, "k", salts=4, how="left").count() == 1
+
+
+def test_salted_join_deterministic_across_partitionings(spark):
+    """The default salt hashes row content, so results (and salts) replay
+    identically whatever the input partitioning — task retries and AQE
+    re-plans can't change the assignment."""
+    from sinew_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 200).selectExpr("id % 3 AS k", "id AS row_id")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, d string")
+    r1 = sorted(map(tuple, salted_join(fact, dim, "k", salts=8).collect()))
+    r2 = sorted(map(tuple, salted_join(fact.repartition(13), dim, "k", salts=8).collect()))
+    assert r1 == r2 and len(r1) == 200

@@ -41,9 +41,24 @@ def test_media_table(media):
     assert all(len(r.content) > 0 for r in rows)
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx", fake=False)
+def test_decode_real_mode_dispatches_or_raises():
+    """fake=False dispatches to Pillow when the runtime has it; otherwise
+    the capability gate raises. The test runs whichever mode this container
+    supports (this one lacks Pillow — FIXTURES.md)."""
+    from sinew_spark.multimodal import pillow_available
+
+    if not pillow_available():
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", fake=False)
+    else:
+        # 1x1 PNG (smallest valid): decoded dims must be real, not hash-fake
+        import base64
+
+        png = base64.b64decode(
+            b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+            b"nGNgYGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC"
+        )
+        assert decode_image(png, fake=False) == (1, 1, 4)
 
 
 def test_image_metadata(media):

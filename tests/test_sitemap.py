@@ -75,3 +75,62 @@ def test_seed_frontier_from_sitemap(spark, tmpdir_path):
     assert "http://ex.test/a" in seen
     assert any("b?x=1" in u for u in seen)
     assert c.seen_t.read().count() == 4  # sitemap + 3 pages, exactly once
+
+
+def test_cdata_case_and_namespace_variants(spark):
+    """Sitemap-spec permitted forms: CDATA-wrapped locs, uppercase tags,
+    namespace-prefixed tags and index elements."""
+    body = (
+        '<?xml version="1.0"?><sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sm:sitemap><sm:loc><![CDATA[http://ex.test/s1.xml?a=1&b=2]]></sm:loc></sm:sitemap>"
+        "<sm:sitemap><LOC>HTTP://EX.TEST/S2.XML</LOC></sm:sitemap>"
+        "</sm:sitemapindex>"
+    )
+    df = spark.createDataFrame([(0, body)], "seq long, resp_body string")
+    locs = [r.loc for r in sitemap_locs(df).orderBy("loc_idx").collect()]
+    assert locs == ["http://ex.test/s1.xml?a=1&b=2", "HTTP://EX.TEST/S2.XML"]
+    flags = df.select(is_sitemap_index(F.col("resp_body")).alias("ix")).collect()
+    assert flags[0].ix is True
+
+
+def test_expand_sitemap_frontier_index_to_pages(spark, tmpdir_path):
+    """Index -> two urlsets -> page URLs, expanded level-by-level through
+    the crawler (one round per level, exactly-once on sitemaps), emerging
+    in nested sitemap order, seed_df-ready."""
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+    from sinew_spark.sources.sitemap import expand_sitemap_frontier
+
+    def urlset(*urls):
+        return (
+            "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>"
+        )
+
+    pages = {
+        "http://ex.test/sitemap.xml": (
+            200, "application/xml",
+            "<sitemapindex><sitemap><loc>http://ex.test/s1.xml</loc></sitemap>"
+            "<sitemap><loc>http://ex.test/s2.xml</loc></sitemap></sitemapindex>",
+            None,
+        ),
+        "http://ex.test/s1.xml": (
+            200, "application/xml", urlset("http://ex.test/p1", "http://ex.test/p2"), None,
+        ),
+        "http://ex.test/s2.xml": (
+            200, "application/xml", urlset("http://ex.test/p3"), None,
+        ),
+    }
+    c = Crawler(
+        spark, str(tmpdir_path), FixtureFetcher(extra_pages=pages),
+        CrawlOptions(rate_limit=0.0, retries=0),
+    )
+    out = expand_sitemap_frontier(c, ["http://ex.test/sitemap.xml"])
+    rows = out.orderBy("seq").collect()
+    assert [r.url for r in rows] == [
+        "http://ex.test/p1", "http://ex.test/p2", "http://ex.test/p3",
+    ]
+    # both sitemap levels were fetched exactly once each
+    fetched = c.fetched_t.read().select("canonical_url").collect()
+    assert sorted(r.canonical_url for r in fetched) == [
+        "http://ex.test/s1.xml", "http://ex.test/s2.xml", "http://ex.test/sitemap.xml",
+    ]
