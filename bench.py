@@ -357,8 +357,18 @@ def _write_bench_md(report: dict) -> None:
         f"{round(report['scaling_efficiency_8_to_32'] / max(ctl['raw_python_efficiency_8_to_32'], 1e-9), 3)}.",
         "",
     ]
+    # preserve manually-written trailing sections (history, input-size
+    # scaling) across regenerations
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        for marker in ("## History note", "## Input-size scaling"):
+            i = old.find(marker)
+            if i != -1:
+                tail = old[i:]
+                break
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + tail)
 
 
 if __name__ == "__main__":

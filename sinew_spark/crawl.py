@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from sinew_spark.functions.urls import host_expr, make_canonicalize_udf, request_key_expr
-from sinew_spark.operators.bloom import BloomShardStore
+from sinew_spark.operators.bloom import BloomShardStore, SeenKeyShardStore
 from sinew_spark.operators.frontier import (
     FRONTIER_SCHEMA,
     SEEN_SCHEMA,
@@ -177,6 +177,12 @@ class Crawler:
         )
         if self._bloom.n_added == 0 and self.seen_t.current_snapshot() is not None:
             self._bloom.rebuild(self.seen_t.read().select("key"))
+        # exact seen-key shards: the anti-join's zero-shuffle replacement
+        # for the plain exactly-once path (semantic modes — force / TTL /
+        # force_errors — need seen columns and keep the join)
+        self._seen_keys = SeenKeyShardStore(
+            os.path.join(workdir, "seen.keys.d"), n_shards=self.opts.bloom_shards
+        )
         self._round: int | None = None  # lazily read from metrics, then cached
 
     # --- seeding ----------------------------------------------------------------
@@ -275,18 +281,28 @@ class Crawler:
         if self.opts.max_depth is not None:
             cand = cand.where(F.col("depth") <= self.opts.max_depth)
 
-        # 2. probabilistic prefilter (shard-local executor probe), then
-        # exact anti-join (the truth)
-        if not (self.opts.force or self.opts.force_errors or self.opts.expires is not None):
+        # 2. exactly-once filter. Normal path: bloom prefilter (Catalyst
+        # pushes the key-only filter below the dedup shuffle) + EXACT
+        # shard-local key probe (SeenKeyShardStore) — no shuffle of either
+        # side; the seen table's keys are never reshuffled per round.
+        # Semantic modes (force / TTL expiry / force_errors) need seen
+        # columns (status, fetched_at) and use the exact anti-join.
+        semantic = self.opts.force or self.opts.force_errors or self.opts.expires is not None
+        if not semantic:
             cand = self._bloom.prefilter(cand)
-        seen = self.seen_t.read()
-        cand = anti_join_seen(
-            cand,
-            seen,
-            expires=self.opts.expires,
-            force=self.opts.force,
-            force_errors=self.opts.force_errors,
-        )
+            self._seen_keys.sync(self.seen_t)
+            if self._seen_keys.in_sync_with(self.seen_t):
+                cand = self._seen_keys.reject_seen(cand)
+            else:  # sync impossible (concurrent writer?) — join is the truth
+                cand = anti_join_seen(cand, self.seen_t.read())
+        else:
+            cand = anti_join_seen(
+                cand,
+                self.seen_t.read(),
+                expires=self.opts.expires,
+                force=self.opts.force,
+                force_errors=self.opts.force_errors,
+            )
 
         # 3. robots gating (north-rule addition; reference lacks it)
         if self.robots is not None:
@@ -503,8 +519,17 @@ class Crawler:
             next_frontier = leftover.unionByName(new_frontier_rows)
         else:
             next_frontier = leftover
-        seen_after = self.seen_t.read()  # includes this round's commits
-        next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
+        # drop already-seen rows (incl. this round's commits). Normal mode
+        # absorbs the fresh delta into the key shards (the sync the next
+        # round would do anyway) and probes shard-local — the per-round
+        # O(seen) shuffle this join used to cost is gone.
+        if not semantic:
+            self._seen_keys.sync(self.seen_t)
+        if not semantic and self._seen_keys.in_sync_with(self.seen_t):
+            next_frontier = self._seen_keys.reject_seen(next_frontier)
+        else:
+            seen_after = self.seen_t.read()
+            next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
         if self.opts.max_depth is not None:
             next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
         if self.robots is not None:

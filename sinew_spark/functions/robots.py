@@ -108,3 +108,30 @@ def robots_rules(fetched: DataFrame, agent: str = "*") -> DataFrame:
             yield pd.DataFrame({"host": hosts, "disallow_prefix": prefixes})
 
     return fetched.select("host", "status", "resp_body").mapInPandas(parse, RULES_SCHEMA)
+
+
+def bootstrap_robots(crawler, hosts: DataFrame, agent: str = "*", scheme: str = "http") -> DataFrame:
+    """Fetch ``http://<host>/robots.txt`` for every host through one
+    exactly-once crawl round and parse to the broadcastable rules table —
+    the full robots flow the module docstring describes, as one call:
+
+        rules = bootstrap_robots(bootstrap_crawler, hosts_df)
+        crawler = Crawler(spark, workdir, fetcher, opts, robots=rules)
+
+    ``hosts``: one ``host`` column. Robots URLs already in the crawler's
+    seen set are served from cache semantics (not refetched) and contribute
+    no rules to THIS call — bootstrap against a fresh workdir (or reuse the
+    returned rules table, which is tiny and worth persisting)."""
+    from pyspark.sql import functions as F
+
+    urls = hosts.select(
+        F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.xxhash64("host").alias("seq"),  # deterministic, order-free
+    )
+    crawler.seed_df(urls)
+    crawler.run_round()
+    snap = crawler.fetched_t.current_snapshot()
+    fetched = crawler.fetched_t.read_delta(snap)
+    return robots_rules(
+        fetched.where(F.col("canonical_url").endswith("/robots.txt")), agent
+    )

@@ -16,7 +16,11 @@ Two layers:
   ``pmod(hash(key), S)`` — ``F.hash`` is Murmur3-32 with seed 42, the SAME
   function Spark's hash partitioner applies, so in a stage repartitioned
   S-ways on ``key`` every row of partition p belongs to shard p and a task
-  opens exactly one shard file. Both the probe (``prefilter``) and the
+  opens exactly one shard file. The alignment generalizes: any stage
+  hash-partitioned on ``key`` into a MULTIPLE of S partitions maps each
+  partition to exactly one shard (m ≡ p mod kS ⇒ m ≡ p mod S), which is
+  why the crawl round's ``repartition(2*cores, key)`` stays one-shard-
+  per-task as long as S divides the partition count. Both the probe (``prefilter``) and the
   per-round update (``add_delta``) are Spark jobs whose tasks touch only
   their own shard — no driver ever holds keys or the filter, no broadcast
   of the whole bitset. At the 10^10-key design point (~12 GB of bits at
@@ -293,3 +297,179 @@ class BloomShardStore:
 
         shutil.rmtree(self.path, ignore_errors=True)
         self.n_added = 0
+
+
+# --- exact seen-key shards (the anti-join's scale path) ----------------------------
+
+_KEYS_CACHE: dict = {}  # (path, mtime_ns, size) -> sorted int64 ndarray
+
+
+def _load_keys_shard(dirpath: str, shard: int) -> np.ndarray:
+    p = os.path.join(dirpath, f"keys-{shard:05d}.npy")
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        return np.empty(0, dtype=np.int64)
+    ck = (p, st.st_mtime_ns, st.st_size)
+    hit = _KEYS_CACHE.get(ck)
+    if hit is None:
+        hit = np.load(p)
+        for k in [k for k in _KEYS_CACHE if k[0] == p and k != ck]:
+            del _KEYS_CACHE[k]
+        _KEYS_CACHE[ck] = hit
+    return hit
+
+
+class SeenKeyShardStore:
+    """EXACT seen-key membership as sorted int64 shard files — the
+    exactly-once filter's scale path.
+
+    Why it exists: the exact ``left_anti`` join against ``seen`` reshuffles
+    the seen side's keys every round (~80 GB at the 10^10-key design
+    point). This store keeps those keys as per-shard sorted arrays (same
+    ``pmod(hash(key), S)`` routing as ``BloomShardStore``, so the probe
+    runs inside the already-key-partitioned dedup stage, one shard file
+    per task, ~80 MB/shard at S=1000) and answers membership by binary
+    search — no shuffle of either side, no sort, worker-cached across
+    rounds until the shard changes.
+
+    Correctness discipline (this is TRUTH, unlike the fail-safe bloom): a
+    shard must never be BEHIND the committed seen table when probed, or a
+    seen URL would be refetched. ``sync()`` enforces it: shard meta records
+    the last absorbed seen snapshot id; on round start any newer append
+    snapshots are absorbed (incremental deltas), and any non-append
+    history (uncache's overwrite) triggers a full rebuild. The probe is
+    refused (caller falls back to the anti-join) only if sync was skipped.
+    Crash between seen commit and shard add is repaired by the same
+    catch-up on next start — the snapshot id only advances AFTER the
+    shards are written."""
+
+    def __init__(self, path: str, n_shards: int = 64):
+        self.path = path
+        meta = self._read_meta()
+        if meta is None:
+            self.n_shards = n_shards
+            self.snapshot_id: int | None = None
+            self.n_keys = 0
+        else:
+            self.n_shards = int(meta["n_shards"])
+            self.snapshot_id = meta["snapshot_id"]
+            self.n_keys = int(meta["n_keys"])
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _read_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"n_shards": self.n_shards, "snapshot_id": self.snapshot_id, "n_keys": self.n_keys},
+                f,
+            )
+        os.replace(tmp, self._meta_path)
+
+    def _shard_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(F.col("key")), F.lit(self.n_shards))
+
+    def _absorb(self, keys_df) -> int:
+        """Distributed sorted-merge of new keys into their shards."""
+        from pyspark.sql import functions as F
+
+        dirpath = self.path
+
+        def upd(pdf):
+            shard = int(pdf["_shard"].iloc[0])
+            p = os.path.join(dirpath, f"keys-{shard:05d}.npy")
+            new = pdf["key"].to_numpy("int64")
+            if os.path.exists(p):
+                merged = np.union1d(np.load(p), new)  # sorted unique
+            else:
+                merged = np.unique(new)
+            tmp = p + f".tmp{os.getpid()}.npy"
+            np.save(tmp, merged)
+            os.replace(tmp, p)
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(merged)]})
+
+        os.makedirs(dirpath, exist_ok=True)
+        counts = (
+            keys_df.select("key")
+            .withColumn("_shard", self._shard_expr())
+            .groupBy("_shard")
+            .applyInPandas(upd, "shard int, n_keys long")
+            .agg(F.sum("n_keys").alias("n"))
+            .collect()
+        )
+        return int(counts[0].n or 0)
+
+    def sync(self, seen_t) -> None:
+        """Bring shards up to the seen table's current snapshot: absorb
+        newer append deltas incrementally; rebuild on any non-append
+        history (row-level delete rewrites the table)."""
+        cur = seen_t.current_snapshot()
+        if cur is None or cur == self.snapshot_id:
+            return
+        newer = [
+            s
+            for s in seen_t.snapshots()
+            if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
+        ]
+        incremental = self.snapshot_id is not None and all(s["op"] == "append" for s in newer)
+        if incremental:
+            df = None
+            for s in newer:
+                d = seen_t.read_delta(s["id"]).select("key")
+                df = d if df is None else df.unionByName(d)
+            if df is not None:
+                self._absorb(df)
+        else:
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+            self._absorb(seen_t.read().select("key"))
+        # count once from shard metas? cheap: track approximately via absorb
+        self.snapshot_id = cur
+        self.n_keys = -1  # unknown aggregate; per-shard files are the truth
+        self._write_meta()
+
+    def in_sync_with(self, seen_t) -> bool:
+        return seen_t.current_snapshot() == self.snapshot_id
+
+    def reject_seen(self, frontier):
+        """EXACT filter: drop frontier rows whose key is in the seen set.
+        Equivalent to ``left_anti`` vs seen keys, with zero shuffle — a
+        per-task binary search against the task's shard file. Caller must
+        have sync()ed this round."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if self.snapshot_id is None:
+            return frontier
+        dirpath = self.path
+
+        @F.pandas_udf(T.BooleanType())
+        def is_new(key: pd.Series, shard: pd.Series) -> pd.Series:
+            keys = key.to_numpy("int64")
+            out = np.ones(len(keys), dtype=bool)
+            for s in shard.unique():
+                arr = _load_keys_shard(dirpath, int(s))
+                m = (shard == s).to_numpy()
+                if len(arr) == 0:
+                    continue
+                ks = keys[m]
+                idx = np.searchsorted(arr, ks)
+                idx_c = np.minimum(idx, len(arr) - 1)
+                out[m] = ~(arr[idx_c] == ks)
+            return pd.Series(out)
+
+        return frontier.where(is_new(F.col("key"), self._shard_expr()))

@@ -68,11 +68,21 @@ def prepare_frontier(df: DataFrame, canonicalize_udf) -> DataFrame:
 
 def dedup_within_round(frontier: DataFrame) -> DataFrame:
     """Keep the first (lowest seq) row per identity key within a round —
-    deterministic, unlike dropDuplicates."""
+    deterministic, unlike dropDuplicates.
+
+    The output keeps the GROUPING attribute as ``key`` (rather than
+    re-extracting it from the min_by struct): Catalyst then knows the
+    result is still hash-partitioned AND sorted by key, so the downstream
+    seen anti-join reuses the dedup's exchange+sort instead of reshuffling
+    the whole candidate set — one frontier-wide shuffle per round, not two
+    (verified via explain: no Exchange between this aggregate and the
+    SortMergeJoin's left side)."""
+    others = [f.name for f in FRONTIER_SCHEMA.fields if f.name != "key"]
     return (
         frontier.groupBy("key")
-        .agg(F.min_by(F.struct(*[f.name for f in FRONTIER_SCHEMA.fields]), F.col("seq")).alias("r"))
-        .select("r.*")
+        .agg(F.min_by(F.struct(*others), F.col("seq")).alias("r"))
+        .select("key", *[F.col(f"r.{c}").alias(c) for c in others])
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
 
 

@@ -84,3 +84,51 @@ def test_store_rebuild_after_delete(spark, tmp_path):
     # dropped keys may straggle as false positives but most must pass again
     dropped = spark.range(250, 500).select(F.col("id").alias("key"))
     assert store.prefilter(dropped).count() > 200
+
+
+# --- SeenKeyShardStore (exact membership, zero-shuffle anti-join path) --------
+
+
+def test_seen_keys_matches_anti_join(spark, tmp_path):
+    """reject_seen == left_anti join vs the same key set, exactly."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    t.append(spark.range(0, 3000).select((F.col("id") * 31 - 2**45).alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)
+    assert store.in_sync_with(t)
+
+    frontier = spark.range(0, 9000).select((F.col("id") * 31 - 2**45).alias("key"))
+    exact = frontier.join(t.read(), "key", "left_anti")
+    via_store = store.reject_seen(frontier)
+    assert sorted(r.key for r in via_store.collect()) == sorted(r.key for r in exact.collect())
+
+
+def test_seen_keys_incremental_and_rebuild(spark, tmp_path):
+    """Append deltas absorb incrementally; an overwrite (uncache/compact)
+    forces a rebuild; snapshot id advances only after shards are written."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    store.sync(t)
+    t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    store.sync(t)  # incremental
+    probe = spark.range(0, 300).select(F.col("id").alias("key"))
+    assert sorted(r.key for r in store.reject_seen(probe).collect()) == list(range(200, 300))
+
+    t.delete_where(F.col("key") < 50)  # overwrite op -> rebuild on sync
+    store2 = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)  # reopen
+    store2.sync(t)
+    kept = sorted(r.key for r in store2.reject_seen(probe).collect())
+    assert kept == list(range(0, 50)) + list(range(200, 300))

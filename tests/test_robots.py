@@ -73,3 +73,43 @@ def test_robots_rules_df_and_gating(spark, tmpdir_path):
     c2.run(1)
     fetched = {r.url for r in c2.seen_t.read().collect()}
     assert fetched == {"http://a.test/open/x", "http://b.test/blocked/x"}
+
+
+def test_bootstrap_robots_end_to_end(spark, tmpdir_path):
+    """One call fetches robots.txt per host through an exactly-once round,
+    parses rules, and the rules gate a subsequent crawl."""
+    from pyspark.sql import functions as F
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.functions.robots import bootstrap_robots
+    from sinew_spark.operators.frontier import apply_robots, prepare_frontier
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    pages = {
+        "http://a.test/robots.txt": (
+            200, "text/plain", "User-agent: *\nDisallow: /private\n", None,
+        ),
+        "http://b.test/robots.txt": (404, "text/plain", "", None),
+    }
+    fetcher = FixtureFetcher(extra_pages=pages)
+    boot = Crawler(
+        spark, f"{tmpdir_path}/boot", fetcher, CrawlOptions(rate_limit=0, retries=0)
+    )
+    hosts = spark.createDataFrame([("a.test",), ("b.test",)], "host string")
+    rules = bootstrap_robots(boot, hosts)
+    got = [(r.host, r.disallow_prefix) for r in rules.collect()]
+    assert got == [("a.test", "/private")]  # 404 robots -> allow-all
+
+    frontier = prepare_frontier(
+        spark.createDataFrame(
+            [
+                ("http://a.test/private/x", "GET", "", 0.0, 0, 0, 0),
+                ("http://a.test/public/y", "GET", "", 0.0, 0, 1, 0),
+                ("http://b.test/private/z", "GET", "", 0.0, 0, 2, 0),
+            ],
+            "url string, method string, body string, priority double, depth int, seq long, attempt int",
+        ),
+        boot.canonicalize,
+    )
+    kept = sorted(r.canonical_url for r in apply_robots(frontier, rules).collect())
+    assert kept == ["http://a.test/public/y", "http://b.test/private/z"]
