@@ -139,6 +139,16 @@ class CrawlOptions:
     follow_links: bool = False
     bloom_capacity: int = 1_000_000
     bloom_shards: int = 8
+    # exactly-once filter strategy: True = shard-local exact key probe
+    # (zero shuffle — the scale path), False = exact anti-join (AQE
+    # broadcasts a small seen side for free), None = auto by seen size
+    exact_shards: bool | None = None
+
+
+# below this, the seen key column broadcasts and the anti-join is cheaper
+# than a shard sync+probe's fixed job cost; above it, the join's seen-side
+# shuffle grows with the table while the shard probe stays delta+shard cost
+EXACT_SHARDS_AUTO_ROWS = 5_000_000
 
 
 class Crawler:
@@ -288,12 +298,18 @@ class Crawler:
         # Semantic modes (force / TTL expiry / force_errors) need seen
         # columns (status, fetched_at) and use the exact anti-join.
         semantic = self.opts.force or self.opts.force_errors or self.opts.expires is not None
+        use_shards = (
+            self.opts.exact_shards
+            if self.opts.exact_shards is not None
+            else self.seen_t.approx_rows() > EXACT_SHARDS_AUTO_ROWS
+        )
         if not semantic:
             cand = self._bloom.prefilter(cand)
-            self._seen_keys.sync(self.seen_t)
-            if self._seen_keys.in_sync_with(self.seen_t):
+            if use_shards:
+                self._seen_keys.sync(self.seen_t)
+            if use_shards and self._seen_keys.in_sync_with(self.seen_t):
                 cand = self._seen_keys.reject_seen(cand)
-            else:  # sync impossible (concurrent writer?) — join is the truth
+            else:  # small seen (broadcast join is free) or sync impossible
                 cand = anti_join_seen(cand, self.seen_t.read())
         else:
             cand = anti_join_seen(
@@ -519,13 +535,13 @@ class Crawler:
             next_frontier = leftover.unionByName(new_frontier_rows)
         else:
             next_frontier = leftover
-        # drop already-seen rows (incl. this round's commits). Normal mode
-        # absorbs the fresh delta into the key shards (the sync the next
-        # round would do anyway) and probes shard-local — the per-round
-        # O(seen) shuffle this join used to cost is gone.
-        if not semantic:
+        # drop already-seen rows (incl. this round's commits). The shard
+        # path absorbs the fresh delta into the key shards (the sync the
+        # next round would do anyway) and probes shard-local — the
+        # per-round O(seen) shuffle this join used to cost is gone.
+        if not semantic and use_shards:
             self._seen_keys.sync(self.seen_t)
-        if not semantic and self._seen_keys.in_sync_with(self.seen_t):
+        if not semantic and use_shards and self._seen_keys.in_sync_with(self.seen_t):
             next_frontier = self._seen_keys.reject_seen(next_frontier)
         else:
             seen_after = self.seen_t.read()

@@ -171,6 +171,24 @@ class SnapshotTable:
                 return s["dirs"]
         raise KeyError(f"snapshot {sid} not found in {self.path}")
 
+    def approx_rows(self, snapshot_id: int | None = None) -> int:
+        """Row count of a snapshot from manifest file stats — no Spark job,
+        no file reads. Used for plan selection (e.g. seen-filter strategy:
+        broadcast anti-join while small, shard probe at scale)."""
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            return 0
+        dir_rows: dict[str, int] = {}
+        for s in m["snapshots"]:
+            for f in s["meta"].get("files", []):
+                d = os.path.dirname(f["file"])
+                dir_rows[d] = dir_rows.get(d, 0) + f["rows"]
+        dirs = self._dirs(sid)
+        if not all(d in dir_rows for d in dirs):  # stats missing: count once
+            return self.read(sid).count()
+        return sum(dir_rows[d] for d in dirs)
+
     def read_delta(self, snapshot_id: int, target_partitions: int | None = None) -> DataFrame:
         """Read only the files ADDED by the given snapshot (incremental read
         — Iceberg's incremental scan). O(delta), not O(table).

@@ -335,3 +335,23 @@ def test_post_json_convenience(spark, tmpdir_path):
     assert all(v["method"] == "POST" for v in echo.values())
     st = c.status("http://api.test/things", "POST", '{"a":1,"b":[2,3]}')
     assert st["status"] == 200 and st["diskpath"].endswith("fetched")
+
+
+def test_exact_shards_path_equals_anti_join_path(spark, tmpdir_path):
+    """The zero-shuffle shard probe and the exact anti-join are the same
+    filter: a 2-round link-following crawl produces identical seen tables
+    under exact_shards=True and False (auto picks by seen size)."""
+    def run(mode, sub):
+        c = Crawler(
+            spark, f"{tmpdir_path}/{sub}",
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=3, synthetic_hosts=11),
+            CrawlOptions(rate_limit=0, retries=0, max_rounds=2, follow_links=True,
+                         exact_shards=mode),
+        )
+        c.seed([f"http://h{i % 11}.synth.test/p/{i}" for i in range(30)])
+        c.run()
+        return sorted(
+            (r.url, r.status, r.round) for r in c.seen_t.read().collect()
+        )
+
+    assert run(True, "shards") == run(False, "join")
