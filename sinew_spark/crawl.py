@@ -5,28 +5,34 @@ the cache-or-network, each emit appends a CSV row
 (/root/reference/lib/sinew/main.rb:18-29). The engine's lifecycle is a
 round loop of declarative DataFrame plans:
 
-  frontier --dedup(round)--> --bloom prefilter--> --anti-join seen-->
-  --robots--> --per-host cap--> --budget--> FETCH (per-host pandas groups)
-  --> seen += keys (+redirect hops)  --> PARSE --> documents += spans
+  frontier --bloom prefilter--> --dedup(round)--> --seen filter (exact
+  shard probe | anti-join)--> --robots--> --per-host cap--> --budget-->
+  FETCH (per-host pandas groups) --> seen += keys (+redirect hops)
+  --> PARSE --> documents += spans
   --> links -> next frontier (deterministic seq)  [repeat]
 
 Durability/resumability: frontier, seen, fetched, documents, metrics are
 snapshot tables (plans/snapshots.py); each round commits one snapshot per
 table, so a killed crawl resumes from the last committed round with
 identical ordering (seq is data, not runtime state). The Bloom sidecar is
-rebuilt from `seen` if missing — it's a pure optimization, never truth.
+rebuilt from `seen` if missing — it's a pure optimization, never truth;
+the exact seen-key shards are snapshot-synced truth with an anti-join
+fallback (operators/bloom.py).
 
 Determinism: every row carries (priority, seq); seq for discovered links is
 parent_seq * LINK_STRIDE + link_index, so replay ordering is a pure function
 of the seed list — the reference's program-order guarantee, distributed.
 
 Scale notes (100 TB design point):
-- the only shuffles per round: groupBy(key) round-dedup, left-anti join vs
-  seen (both on the 64-bit key — AQE-coalesced), and groupBy(host) for fetch
-- seen probe cost is bounded by the Bloom prefilter: candidate rows that
-  survive are O(new URLs), not O(frontier)
+- shuffles per round: groupBy(key) round-dedup (whose exchange+sort the
+  downstream seen filter reuses) and groupBy(host) for paced fetch —
+  nothing else: the bloom prefilter is pushed below the dedup shuffle
+  and the exactly-once check is a shard-local binary search
+  (SeenKeyShardStore; the anti-join fallback serves small-seen and
+  semantic modes)
 - per-host caps bound fetch-task skew regardless of host distribution
-- parse is shuffle-free mapInPandas
+- parse is shuffle-free mapInPandas; no O(rows) driver pulls anywhere in
+  the round loop (stats are single-row aggregates)
 """
 
 from __future__ import annotations
