@@ -319,8 +319,9 @@ def _write_bench_md(report: dict) -> None:
         "Same job, same input, only parallelism varies (the in-sandbox stand-in",
         "for N vs 4N executors; see BASELINE.md). Crawl benchmark: synthetic",
         f"seed crawl of {report['crawl_urls']} URLs over 1000 hosts (20% hot-host",
-        "skew, 20% duplicate URLs). Timed round: within-round dedup -> bloom",
-        "prefilter -> exact anti-join vs seen -> per-host cap -> fused",
+        "skew, 20% duplicate URLs). Timed round: bloom prefilter ->",
+        "within-round dedup -> seen filter (adaptive: exact key-shard probe /",
+        "anti-join) -> per-host cap -> fused",
         "fetch+parse (one Arrow pass) -> seen/documents/metrics snapshot",
         "commits. Seeding/datagen is excluded (input synthesis, like a TPC",
         "data load). Best of 2 runs per level (JVM/page-cache variance).",
