@@ -138,6 +138,10 @@ _ref = st.one_of(
     st.from_regex(r"/[A-Za-z0-9./_-]{0,16}(\?[a-z0-9=&]{0,8})?", fullmatch=True),
     st.from_regex(r"(\.\./)*[A-Za-z0-9._-]{1,10}(/[A-Za-z0-9._-]{0,8})?", fullmatch=True),
     st.from_regex(r"\?[a-z0-9=&]{1,10}", fullmatch=True),
+    # degenerate protocol-relative refs with an EMPTY authority — urljoin
+    # resolves these against the base host, the '//' concat fast path must
+    # not fire ('///p', '//?q', '//#f', bare '//')
+    st.from_regex(r"//(/[A-Za-z0-9./_-]{0,8}|\?[a-z0-9=&]{0,6}|#[a-z0-9]{0,6})?", fullmatch=True),
 )
 
 
