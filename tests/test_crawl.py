@@ -355,3 +355,40 @@ def test_exact_shards_path_equals_anti_join_path(spark, tmpdir_path):
         )
 
     assert run(True, "shards") == run(False, "join")
+
+
+def test_resume_with_exact_shards(spark, tmpdir_path):
+    """Crash-resume under the shard-probe path: a crawl killed after its
+    seen commit (shards potentially behind) must resume to the same seen
+    table and fetch order as an uninterrupted run — sync-on-round-start
+    repairs the shard lag before any probe."""
+    import shutil
+
+    def crawl(workdir, rounds):
+        return Crawler(
+            spark, workdir,
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=3, synthetic_hosts=7),
+            CrawlOptions(rate_limit=0, retries=0, max_rounds=rounds,
+                         follow_links=True, exact_shards=True),
+        )
+
+    urls = [f"http://h{i % 7}.synth.test/p/{i}" for i in range(12)]
+
+    a = crawl(tmpdir_path + "/a", 3)
+    a.seed(urls)
+    a.run()
+
+    b = crawl(tmpdir_path + "/b", 1)
+    b.seed(urls)
+    b.run_round()
+    # crash model: the key-shard sidecar is LOST entirely (worse than lag)
+    shutil.rmtree(tmpdir_path + "/b/seen.keys.d", ignore_errors=True)
+    b2 = crawl(tmpdir_path + "/b", 2)  # rounds 1-2 (max_rounds is per run())
+    b2.run()
+
+    sa = sorted((r.key, r.url, r.round) for r in a.seen_t.read().collect())
+    sb = sorted((r.key, r.url, r.round) for r in b2.seen_t.read().collect())
+    assert sa == sb
+    fa = [r.url for r in a.fetched_t.read().orderBy("round", "seq").collect()]
+    fb = [r.url for r in b2.fetched_t.read().orderBy("round", "seq").collect()]
+    assert fa == fb
