@@ -17,6 +17,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -966,6 +967,99 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_real(spark, sf_dir):
+    """Multimodal REAL decode (round 2): synthesize genuine PNG images and
+    RIFF/WAVE PCM audio whose parameters are md5-derived, push them through
+    the engine's real decode kernels (extract_image_metadata /
+    extract_audio_metadata / resize_images with fake=False — the pure-numpy
+    PNG/WAV codecs in sinew_spark/functions/imagecodec.py), and emit the
+    measured metadata. Images additionally go through the full
+    decode -> nearest-neighbor resize -> PNG re-encode -> decode loop
+    (rs_width/rs_height are measured from the re-encoded bytes). The oracle
+    re-derives every value from md5(ref) arithmetic alone, so the
+    encode/decode round trips must reproduce the planted parameters
+    exactly. n_frames is recovered from the measured duration
+    (round(duration * rate)) to keep compared columns integer-typed."""
+    from sinew_spark.multimodal import (
+        extract_audio_metadata,
+        extract_image_metadata,
+        resize_images,
+    )
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    mk = lambda kind, scheme, idx: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        F.concat(F.lit(scheme), F.col("doc_id").cast("string"), F.lit(idx)).alias("ref"),
+    )
+    refs = d.select(
+        F.explode(F.array(mk("image", "img://", "/0"), mk("audio", "aud://", "/1"))).alias("m")
+    ).select("m.kind", "m.ref")
+
+    @F.pandas_udf("binary")
+    def gen_media(kind: pd.Series, ref: pd.Series) -> pd.Series:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        from sinew_spark.functions import imagecodec
+
+        out = []
+        for k, r in zip(kind, ref):
+            hx = hashlib.md5(r.encode()).hexdigest()
+            dig = [int(c, 16) for c in hx[:6]]
+            if k == "image":
+                w = 8 + dig[0] % 9
+                h = 8 + dig[1] % 9
+                c = (1, 3, 4)[dig[2] % 3]
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((xx + 3 * yy)[..., None] + 7 * np.arange(c)) % 256
+                out.append(imagecodec.encode_png(px.astype(np.uint8)))
+            else:
+                rate = (8000, 16000, 44100)[dig[3] % 3]
+                nch = 1 + dig[4] % 2
+                n_frames = rate // 4 + dig[5]
+                body = b"\x00" * (n_frames * nch * 2)
+                fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+                out.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(body)) + body
+                )
+        return pd.Series(out)
+
+    media = refs.select(
+        F.md5("ref").alias("media_id"),
+        "kind",
+        gen_media("kind", "ref").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.col("ref").alias("source_url"),
+    )
+    nul_i = F.lit(None).cast("int")
+    img_meta = extract_image_metadata(media, fake=False)
+    rs = resize_images(media, max_side=12, fake=False)
+    rs_meta = extract_image_metadata(
+        rs.select("media_id", F.lit("image").alias("kind"), "content"), fake=False
+    ).select("media_id", F.col("width").alias("rs_width"), F.col("height").alias("rs_height"))
+    img = img_meta.join(rs_meta, "media_id").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "width", "height", "channels", "rs_width", "rs_height",
+        nul_i.alias("sample_rate"),
+        nul_i.alias("n_channels"),
+        F.lit(None).cast("long").alias("n_frames"),
+    )
+    aud = extract_audio_metadata(media, fake=False).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        nul_i.alias("width"), nul_i.alias("height"), nul_i.alias("channels"),
+        nul_i.alias("rs_width"), nul_i.alias("rs_height"),
+        "sample_rate", "n_channels",
+        F.round(F.col("duration_sec") * F.col("sample_rate")).cast("long").alias("n_frames"),
+    )
+    return img.unionByName(aud).orderBy("media_id")
+
+
 def q_json_extract(spark, sf_dir):
     """P4/P5: JSON body parse + mash dotted access — get_json_object over
     the raw body via the engine's row_project ('json' column spec,
@@ -1193,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_framesample": q_multimodal_framesample,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_decode_real": q_multimodal_decode_real,
         "json_extract": q_json_extract,
         "salted_join": q_salted_join,
         "sitemap_extract": q_sitemap_extract,
@@ -1573,6 +1668,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(trunc(w0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS width, "
             "CAST(trunc(h0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS height "
             "FROM d ORDER BY media_id"
+        ),
+        "multimodal_decode_real": (
+            "WITH refs AS ("
+            "SELECT 'image' AS kind, 'img://' || CAST(doc_id AS VARCHAR) || '/0' AS ref FROM documents "
+            "UNION ALL "
+            "SELECT 'audio', 'aud://' || CAST(doc_id AS VARCHAR) || '/1' FROM documents), "
+            "p AS (SELECT md5(ref) AS media_id, kind, "
+            "8 + CAST(concat('0x', substr(md5(ref), 1, 1)) AS INT) % 9 AS w, "
+            "8 + CAST(concat('0x', substr(md5(ref), 2, 1)) AS INT) % 9 AS h, "
+            "CASE CAST(concat('0x', substr(md5(ref), 3, 1)) AS INT) % 3 "
+            "WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c, "
+            "CASE CAST(concat('0x', substr(md5(ref), 4, 1)) AS INT) % 3 "
+            "WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate, "
+            "1 + CAST(concat('0x', substr(md5(ref), 5, 1)) AS INT) % 2 AS nch, "
+            "CAST(concat('0x', substr(md5(ref), 6, 1)) AS INT) AS d5 "
+            "FROM refs) "
+            "SELECT media_id, kind, "
+            "CASE WHEN kind = 'image' THEN w END AS width, "
+            "CASE WHEN kind = 'image' THEN h END AS height, "
+            "CASE WHEN kind = 'image' THEN c END AS channels, "
+            "CASE WHEN kind = 'image' THEN "
+            "CAST(trunc(w * least(1.0, 12.0 / greatest(w, h))) AS INT) END AS rs_width, "
+            "CASE WHEN kind = 'image' THEN "
+            "CAST(trunc(h * least(1.0, 12.0 / greatest(w, h))) AS INT) END AS rs_height, "
+            "CASE WHEN kind = 'audio' THEN rate END AS sample_rate, "
+            "CASE WHEN kind = 'audio' THEN nch END AS n_channels, "
+            "CASE WHEN kind = 'audio' THEN CAST(rate // 4 + d5 AS BIGINT) END AS n_frames "
+            "FROM p ORDER BY media_id"
         ),
         "json_extract": (
             "WITH r AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "

@@ -5,12 +5,15 @@ media_ref=URL). At pipeline scale the media bytes live in a binary column
 with typed metadata; decode/resize/frame-sample run as Arrow-batched
 mapInPandas stages.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries): `decode_image` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder produces metadata
-derived from the bytes — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested; swapping in Pillow/ffmpeg
-changes only the kernel body.
+Decode kernels (round 2): REAL for the containers decodable without
+native libraries — PNG/BMP/PPM/PGM images and RIFF/WAVE audio are decoded
+by the pure-numpy codecs in functions/imagecodec.py; image resize
+decodes, nearest-neighbor downsamples, and re-encodes PNG for real.
+Formats that require native codecs (JPEG/WebP images, compressed audio,
+all video) dispatch to Pillow/ffmpeg when the runtime has them and raise
+`NotImplementedError` otherwise (this container ships neither —
+FIXTURES.md §9). `fake=True` keeps the deterministic hash-derived
+decoder for oracle-checkable fixtures whose bytes aren't valid media.
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sinew_spark.functions import imagecodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -61,21 +66,47 @@ def pillow_available() -> bool:
         return False
 
 
+def decode_image_pixels(content: bytes):
+    """Decode to an (H, W, C) uint8 array. Pure-numpy codecs first
+    (PNG/BMP/PPM/PGM — imagecodec.py), then Pillow for anything else it
+    can open, else NotImplementedError naming the missing capability."""
+    if imagecodec.sniff(content) in ("png", "bmp", "ppm", "pgm"):
+        return imagecodec.decode_image_array(content)
+    try:
+        import io
+
+        import numpy as np
+        import PIL.Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "not a PNG/BMP/PPM/PGM — decoding other formats (e.g. JPEG/WebP) "
+            "requires Pillow, which this container does not ship; pass "
+            "fake=True for the deterministic test decoder"
+        ) from e
+    with PIL.Image.open(io.BytesIO(content)) as im:
+        return np.asarray(im.convert(im.mode))
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
-    """(width, height, channels). fake=True uses the deterministic hash
-    decoder (oracle-checkable); fake=False dispatches to Pillow when the
-    runtime has it and raises otherwise (this container does not ship
-    Pillow — recorded in FIXTURES.md)."""
+    """(width, height, channels). fake=False decodes for real — pure-numpy
+    PNG/BMP/PPM/PGM kernels, Pillow fallback for other formats when
+    installed. fake=True uses the deterministic hash decoder for fixture
+    bytes that aren't valid media (oracle-checkable)."""
     if fake:
         return _fake_decode_image(content)
+    if imagecodec.sniff(content) in ("png", "bmp", "ppm", "pgm"):
+        px = imagecodec.decode_image_array(content)
+        h, w = px.shape[:2]
+        return (w, h, px.shape[2] if px.ndim == 3 else 1)
     try:
         import io
 
         import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires Pillow/libvips — not available in this "
-            "container; pass fake=True for the deterministic test decoder"
+            "not a PNG/BMP/PPM/PGM — decoding other formats (e.g. JPEG/WebP) "
+            "requires Pillow, which this container does not ship; pass "
+            "fake=True for the deterministic test decoder"
         ) from e
     with PIL.Image.open(io.BytesIO(content)) as im:
         return (im.width, im.height, len(im.getbands()))
@@ -147,11 +178,11 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024, fake: bool 
 def resize_images(
     media: DataFrame, max_side: int = 256, fake: bool = True
 ) -> DataFrame:
-    """Resize plumbing: emits (media_id, width, height, content) with target
-    dimensions clamped to max_side preserving aspect ratio. The pixel
-    transform is stubbed (no Pillow here): fake mode passes bytes through
-    and computes the target dims from the (fake-)decoded source dims —
-    schema, batching, and the dimension math are the real pipeline."""
+    """Resize: emits (media_id, width, height, content) with max(H, W)
+    clamped to max_side preserving aspect ratio. fake=False is the REAL
+    transform — decode (pure-numpy codecs), nearest-neighbor downsample,
+    re-encode PNG. fake=True keeps the dimension math but passes bytes
+    through (for hash-derived fixture bytes that aren't valid images)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.StringType()),
@@ -166,14 +197,21 @@ def resize_images(
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
-                w, h, _c = decode_image(content, fake=fake)
-                scale = min(1.0, max_side / max(w, h))
+                if fake:
+                    w, h, _c = decode_image(content, fake=True)
+                    scale = min(1.0, max_side / max(w, h))
+                    out_w, out_h, out_bytes = int(w * scale), int(h * scale), content
+                else:
+                    px = decode_image_pixels(content)
+                    small = imagecodec.resize_nearest(px, max_side)
+                    out_h, out_w = small.shape[:2]
+                    out_bytes = imagecodec.encode_png(small)
                 rows.append(
                     {
                         "media_id": r.media_id,
-                        "width": int(w * scale),
-                        "height": int(h * scale),
-                        "content": content,  # real impl: re-encoded pixels
+                        "width": out_w,
+                        "height": out_h,
+                        "content": out_bytes,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
@@ -195,24 +233,38 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def extract_audio_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Audio feature-extract plumbing (duration/rate/channels). Stubbed
-    decoder (no ffmpeg/soundfile in this container): fake mode derives
-    deterministic metadata from the content hash."""
-    if not fake:
-        raise NotImplementedError("audio decode requires ffmpeg/soundfile — container lacks it")
+    """Audio feature-extract (duration/rate/channels). fake=False parses
+    RIFF/WAVE headers for real (imagecodec.wav_info — PCM and IEEE-float);
+    compressed formats (mp3/ogg/aac) would need ffmpeg/soundfile, absent
+    here, and raise. fake mode derives deterministic metadata from the
+    content hash for fixture bytes that aren't valid audio."""
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
-                h = hashlib.sha256(content).digest()
+                if fake:
+                    h = hashlib.sha256(content).digest()
+                    dur = round(1.0 + h[2] / 16.0, 4)
+                    rate = 16000 if h[3] % 2 == 0 else 44100
+                    nch = 1 + h[4] % 2
+                else:
+                    if imagecodec.sniff(content) != "wav":
+                        raise NotImplementedError(
+                            "not RIFF/WAVE — compressed audio needs "
+                            "ffmpeg/soundfile, absent in this container"
+                        )
+                    info = imagecodec.wav_info(content)
+                    dur = round(info["duration_sec"], 6)
+                    rate = info["sample_rate"]
+                    nch = info["n_channels"]
                 rows.append(
                     {
                         "media_id": r.media_id,
-                        "duration_sec": round(1.0 + h[2] / 16.0, 4),
-                        "sample_rate": 16000 if h[3] % 2 == 0 else 44100,
-                        "n_channels": 1 + h[4] % 2,
+                        "duration_sec": dur,
+                        "sample_rate": rate,
+                        "n_channels": nch,
                         "sha256": hashlib.sha256(content).hexdigest(),
                     }
                 )

@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: media table from spans, stubbed decode,
-frame sampling — schemas and batching real, kernels deterministic fakes."""
+"""Multimodal tests: media table from spans, REAL decode kernels
+(pure-numpy PNG/BMP/PPM/WAV — functions/imagecodec.py), frame sampling,
+and the deterministic fake decoders kept for hash-derived fixtures."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -41,24 +42,92 @@ def test_media_table(media):
     assert all(len(r.content) > 0 for r in rows)
 
 
-def test_decode_real_mode_dispatches_or_raises():
-    """fake=False dispatches to Pillow when the runtime has it; otherwise
-    the capability gate raises. The test runs whichever mode this container
-    supports (this one lacks Pillow — FIXTURES.md)."""
+def test_decode_real_png_without_pillow():
+    """fake=False decodes PNG for real via the pure-numpy kernel — no
+    Pillow needed. 1x1 RGBA PNG assembled chunk-by-chunk from the spec."""
+    import struct
+    import zlib
+
+    def chunk(t, body):
+        return struct.pack(">I", len(body)) + t + body + struct.pack(
+            ">I", zlib.crc32(t + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image(png, fake=False) == (1, 1, 4)
+
+
+def test_decode_real_mode_unknown_format_dispatch():
+    """Non-pure-decodable bytes dispatch to Pillow when installed and raise
+    the capability gate otherwise (this container lacks Pillow —
+    FIXTURES.md §9)."""
     from sinew_spark.multimodal import pillow_available
 
     if not pillow_available():
         with pytest.raises(NotImplementedError):
-            decode_image(b"xx", fake=False)
-    else:
-        # 1x1 PNG (smallest valid): decoded dims must be real, not hash-fake
-        import base64
+            decode_image(b"\xff\xd8\xffjunk", fake=False)
 
-        png = base64.b64decode(
-            b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
-            b"nGNgYGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC"
-        )
-        assert decode_image(png, fake=False) == (1, 1, 4)
+
+def test_real_image_pipeline_end_to_end(spark):
+    """Real kernels through the Spark surface: encode PNGs -> media table
+    -> extract_image_metadata(fake=False) measures true dims -> resize
+    (real decode + nearest-neighbor + PNG re-encode) -> re-decode measures
+    the clamped dims."""
+    import numpy as np
+
+    from sinew_spark.functions.imagecodec import decode_png, encode_png
+    from sinew_spark.multimodal import resize_images
+
+    imgs = {
+        "m1": np.random.default_rng(1).integers(0, 256, (20, 30, 3), dtype=np.uint8),
+        "m2": np.random.default_rng(2).integers(0, 256, (8, 8, 1), dtype=np.uint8),
+    }
+    media = spark.createDataFrame(
+        [(k, "image", bytearray(encode_png(v)), "image/png", f"http://x/{k}.png")
+         for k, v in imgs.items()],
+        "media_id string, kind string, content binary, content_type string, source_url string",
+    )
+    meta = {m.media_id: m for m in extract_image_metadata(media, fake=False).collect()}
+    assert (meta["m1"].width, meta["m1"].height, meta["m1"].channels) == (30, 20, 3)
+    assert (meta["m2"].width, meta["m2"].height, meta["m2"].channels) == (8, 8, 1)
+
+    out = {r.media_id: r for r in resize_images(media, max_side=10, fake=False).collect()}
+    assert (out["m1"].width, out["m1"].height) == (10, 6)
+    px = decode_png(bytes(out["m1"].content))
+    assert px.shape == (6, 10, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src = imgs["m1"].reshape(-1, 3)
+    assert all(tuple(p) in {tuple(s) for s in src} for p in px.reshape(-1, 3))
+    # under max_side the image passes through un-resized
+    assert (out["m2"].width, out["m2"].height) == (8, 8)
+
+
+def test_real_audio_metadata(spark):
+    """extract_audio_metadata(fake=False) parses true RIFF/WAVE headers."""
+    import io
+    import wave
+
+    from sinew_spark.multimodal import extract_audio_metadata
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 4000)  # 0.25 s stereo
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(buf.getvalue()), "audio/wav", "http://x/a1.wav")],
+        "media_id string, kind string, content binary, content_type string, source_url string",
+    )
+    m = extract_audio_metadata(media, fake=False).collect()[0]
+    assert m.sample_rate == 16000
+    assert m.n_channels == 2
+    assert m.duration_sec == pytest.approx(0.25)
 
 
 def test_image_metadata(media):
