@@ -173,6 +173,7 @@ def headline_queries(spark) -> dict:
         "multimodal_framesample",
         "multimodal_audio_meta",
         "multimodal_resize",
+        "multimodal_decode_real",
         "json_extract",
         "salted_join",
         "sitemap_extract",

@@ -301,23 +301,62 @@ class BloomShardStore:
 
 # --- exact seen-key shards (the anti-join's scale path) ----------------------------
 
-_KEYS_CACHE: dict = {}  # (path, mtime_ns, size) -> sorted int64 ndarray
+_KEYS_CACHE: dict = {}  # (dirpath, shard, run-list fingerprint) -> sorted int64 ndarray
+
+# LSM knobs: a shard is a set of sorted-unique RUN files (one per absorbed
+# round) unioned at probe time; when a shard accumulates this many runs the
+# next absorb merges them into one. Bounds per-round write volume to
+# O(delta) instead of O(shard) — at the 10^10-key design point a round
+# writes ~0.8 GB of new runs instead of rewriting the full 80 GB key set,
+# while probes still see one worker-cached sorted array per shard.
+KEYS_COMPACT_RUNS = 8
+
+
+def _run_gen(name: str) -> int:
+    """Run-file generation: keys-SSSSS.rGGGGGG.npy -> G; legacy
+    keys-SSSSS.npy (pre-LSM single-file shard) counts as generation 0."""
+    base = name[:-4]  # strip .npy
+    pos = base.rfind(".r")
+    return int(base[pos + 2 :]) if pos >= 0 else 0
+
+
+def _shard_run_files(dirpath: str, shard: int) -> list[str]:
+    prefix = f"keys-{shard:05d}"
+    try:
+        names = os.listdir(dirpath)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        os.path.join(dirpath, n)
+        for n in names
+        if n.startswith(prefix) and n.endswith(".npy")
+    )
 
 
 def _load_keys_shard(dirpath: str, shard: int) -> np.ndarray:
-    p = os.path.join(dirpath, f"keys-{shard:05d}.npy")
-    try:
-        st = os.stat(p)
-    except FileNotFoundError:
-        return np.empty(0, dtype=np.int64)
-    ck = (p, st.st_mtime_ns, st.st_size)
-    hit = _KEYS_CACHE.get(ck)
-    if hit is None:
-        hit = np.load(p)
-        for k in [k for k in _KEYS_CACHE if k[0] == p and k != ck]:
-            del _KEYS_CACHE[k]
-        _KEYS_CACHE[ck] = hit
-    return hit
+    """Union of the shard's run files as one sorted array, worker-cached
+    keyed by the run list's (name, mtime, size) fingerprint — reloaded only
+    when an absorb/compaction changes the shard."""
+    for _attempt in range(3):  # a concurrent compaction can unlink a run mid-read
+        files = _shard_run_files(dirpath, shard)
+        if not files:
+            return np.empty(0, dtype=np.int64)
+        try:
+            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
+            ck = (dirpath, shard, sig)
+            hit = _KEYS_CACHE.get(ck)
+            if hit is None:
+                arrs = [np.load(p) for p in files]
+                hit = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+                for k in [
+                    k for k in _KEYS_CACHE if k[0] == dirpath and k[1] == shard and k != ck
+                ]:
+                    del _KEYS_CACHE[k]
+                _KEYS_CACHE[ck] = hit
+            return hit
+        except FileNotFoundError:
+            continue
+    raise OSError(f"shard {shard} runs kept disappearing under {dirpath}")
 
 
 class SeenKeyShardStore:
@@ -332,6 +371,13 @@ class SeenKeyShardStore:
     per task, ~80 MB/shard at S=1000) and answers membership by binary
     search — no shuffle of either side, no sort, worker-cached across
     rounds until the shard changes.
+
+    Shard layout is LSM-shaped: an absorb appends a sorted-unique RUN file
+    per touched shard (write volume O(round delta), not O(total keys) — a
+    round at the design point writes ~0.8 GB of runs instead of rewriting
+    the 80 GB key set), and a shard that reaches KEYS_COMPACT_RUNS runs is
+    merged back to one on its next absorb. Probes union a shard's runs
+    into one sorted array, cached per worker until the run list changes.
 
     Correctness discipline (this is TRUTH, unlike the fail-safe bloom): a
     shard must never be BEHIND the committed seen table when probed, or a
@@ -383,23 +429,38 @@ class SeenKeyShardStore:
         return F.pmod(F.hash(F.col("key")), F.lit(self.n_shards))
 
     def _absorb(self, keys_df) -> int:
-        """Distributed sorted-merge of new keys into their shards."""
+        """Distributed LSM absorb: each touched shard gains one sorted-unique
+        RUN file holding just the delta (write volume O(delta), never a
+        rewrite of the shard's existing keys); once a shard accumulates
+        KEYS_COMPACT_RUNS runs the absorb merges them into a single run.
+        Crash-safe without repair: runs are tmp+renamed, compaction renames
+        the merged run BEFORE unlinking its inputs, and membership is the
+        UNION of run files — a leftover stale run after a crash is a subset
+        of the merged run and changes nothing. Returns delta key count."""
         from pyspark.sql import functions as F
 
         dirpath = self.path
 
         def upd(pdf):
             shard = int(pdf["_shard"].iloc[0])
-            p = os.path.join(dirpath, f"keys-{shard:05d}.npy")
-            new = pdf["key"].to_numpy("int64")
-            if os.path.exists(p):
-                merged = np.union1d(np.load(p), new)  # sorted unique
+            new = np.unique(pdf["key"].to_numpy("int64"))
+            files = _shard_run_files(dirpath, shard)
+            nxt = max((_run_gen(os.path.basename(f)) for f in files), default=0) + 1
+            target = os.path.join(dirpath, f"keys-{shard:05d}.r{nxt:06d}.npy")
+            tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
+            if len(files) + 1 > KEYS_COMPACT_RUNS:  # compact: merge all runs + delta
+                out = np.unique(np.concatenate([np.load(f) for f in files] + [new]))
             else:
-                merged = np.unique(new)
-            tmp = p + f".tmp{os.getpid()}.npy"
-            np.save(tmp, merged)
-            os.replace(tmp, p)
-            return pd.DataFrame({"shard": [shard], "n_keys": [len(merged)]})
+                out = new
+            np.save(tmp, out)
+            os.replace(tmp, target)
+            if out is not new:  # compaction: drop absorbed inputs (rename-first)
+                for f in files:
+                    try:
+                        os.unlink(f)
+                    except FileNotFoundError:
+                        pass
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(new)]})
 
         os.makedirs(dirpath, exist_ok=True)
         counts = (

@@ -132,3 +132,59 @@ def test_seen_keys_incremental_and_rebuild(spark, tmp_path):
     store2.sync(t)
     kept = sorted(r.key for r in store2.reject_seen(probe).collect())
     assert kept == list(range(0, 50)) + list(range(200, 300))
+
+
+def test_seen_keys_lsm_runs_and_compaction(spark, tmp_path):
+    """Absorbs append O(delta) run files without rewriting existing runs;
+    crossing KEYS_COMPACT_RUNS merges a shard back to one run; membership
+    is always the union. A stale leftover run (crash between compaction
+    rename and input unlink) changes nothing."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from sinew_spark.operators.bloom import (
+        KEYS_COMPACT_RUNS,
+        SeenKeyShardStore,
+        _load_keys_shard,
+        _shard_run_files,
+    )
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=2)
+
+    t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    store.sync(t)
+    first = {
+        s: {(os.path.basename(p), os.stat(p).st_mtime_ns) for p in _shard_run_files(store.path, s)}
+        for s in range(2)
+    }
+    assert all(len(v) == 1 for v in first.values())
+
+    t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    store.sync(t)
+    for s in range(2):
+        now = {(os.path.basename(p), os.stat(p).st_mtime_ns) for p in _shard_run_files(store.path, s)}
+        assert first[s] <= now and len(now) == 2  # old run untouched, new run added
+
+    # drive past the compaction threshold
+    lo = 200
+    for _ in range(KEYS_COMPACT_RUNS):
+        t.append(spark.range(lo, lo + 50).select(F.col("id").alias("key")))
+        store.sync(t)
+        lo += 50
+    assert all(len(_shard_run_files(store.path, s)) <= KEYS_COMPACT_RUNS for s in range(2))
+    probe = spark.range(0, lo + 100).select(F.col("id").alias("key"))
+    assert sorted(r.key for r in store.reject_seen(probe).collect()) == list(range(lo, lo + 100))
+
+    # stale-run crash model: duplicate an existing run under a newer name
+    runs0 = _shard_run_files(store.path, 0)
+    shutil.copyfile(runs0[0], os.path.join(store.path, "keys-00000.r009999.npy"))
+    before = _load_keys_shard(store.path, 0)
+    assert sorted(r.key for r in store.reject_seen(probe).collect()) == list(range(lo, lo + 100))
+    assert np.array_equal(_load_keys_shard(store.path, 0), before)
