@@ -20,6 +20,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -138,6 +139,59 @@ def q_ttl_expiry(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_expired"))
         .orderBy("event_type")
     )
+
+
+def q_seen_vals_semantic(spark, sf_dir):
+    """C5+C6 scale path: SeenValueShardStore — the zero-shuffle valued seen
+    shards (per-key class-max fetched_at) — answering the combined
+    TTL + force_errors recrawl predicate exactly. Seen entries derive
+    deterministically from events (key = event_id, every 7th key an error
+    entry, fetched_at = floor(epoch(ts))); the frontier re-offers every
+    seen key plus 500 never-seen keys; the result is the fetchable set —
+    unseen keys, error-only keys, and keys whose ok entry aged past 7
+    days. The SQL oracle replays the same predicate as NOT EXISTS over
+    the same derivation (reference semantics: httpdisk TTL as cache miss,
+    test_base.rb:13-20 + error refetch, base.rb:39). Materialized so the
+    shard-sidecar tempdir can be deleted."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.operators.bloom import SeenValueShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    lims = e.agg(
+        F.max(F.unix_timestamp("ts")).alias("mx_ts"), F.max("event_id").alias("mx_id")
+    ).collect()[0]
+    now = float(lims.mx_ts) + 1.0
+    seen = e.select(
+        F.col("event_id").alias("key"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(503))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.unix_timestamp("ts").cast("double").alias("fetched_at"),
+    )
+    workdir = tempfile.mkdtemp(prefix="sinew_q_vals_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("key", T.LongType()),
+                T.StructField("status", T.IntegerType()),
+                T.StructField("fetched_at", T.DoubleType()),
+            ]
+        )
+        t = SnapshotTable(spark, os.path.join(workdir, "seen"), schema)
+        t.append(seen)
+        store = SeenValueShardStore(os.path.join(workdir, "vals"), n_shards=8)
+        store.sync(t)
+        frontier = spark.range(0, int(lims.mx_id) + 501).select(F.col("id").alias("key"))
+        out = store.reject_seen(frontier, expires=86400.0 * 7, force_errors=True, now=now)
+        rows = [(r.key,) for r in out.select("key").orderBy("key").collect()]
+        return spark.createDataFrame(rows, "key bigint")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def q_per_host_cap(spark, sf_dir):
@@ -1018,7 +1072,7 @@ def q_multimodal_decode_real(spark, sf_dir):
             else:
                 rate = (8000, 16000, 44100)[dig[3] % 3]
                 nch = 1 + dig[4] % 2
-                n_frames = rate // 4 + dig[5]
+                n_frames = 256 + dig[5]
                 body = b"\x00" * (n_frames * nch * 2)
                 fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
                 out.append(
@@ -1028,13 +1082,15 @@ def q_multimodal_decode_real(spark, sf_dir):
                 )
         return pd.Series(out)
 
+    # three consumers (image meta, resize chain, audio meta) — cache the
+    # generated bytes so the gen UDF runs once, not once per branch
     media = refs.select(
         F.md5("ref").alias("media_id"),
         "kind",
         gen_media("kind", "ref").alias("content"),
         F.lit("application/octet-stream").alias("content_type"),
         F.col("ref").alias("source_url"),
-    )
+    ).persist()
     nul_i = F.lit(None).cast("int")
     img_meta = extract_image_metadata(media, fake=False)
     rs = resize_images(media, max_side=12, fake=False)
@@ -1298,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "join_star": q_join_star,
+        "seen_vals_semantic": q_seen_vals_semantic,
     }
 
 
@@ -1357,6 +1414,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_expired FROM events "
             "WHERE epoch(ts) < (SELECT max(epoch(ts)) FROM events) - 86400*7 "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        # floor(epoch(ts)) matches Spark's unix_timestamp second truncation;
+        # now/cutoff derive from the same floored values on both sides
+        "seen_vals_semantic": (
+            "WITH p AS (SELECT floor(max(epoch(ts))) + 1.0 AS now, "
+            "max(event_id) AS mx FROM events), "
+            "seen AS (SELECT event_id AS key, "
+            "CASE WHEN event_id % 7 = 0 THEN 503 ELSE 200 END AS status, "
+            "floor(epoch(ts)) AS fetched_at FROM events), "
+            "frontier AS (SELECT range AS key FROM range(0, 100000000) "
+            "WHERE range < (SELECT mx + 501 FROM p)) "
+            "SELECT f.key AS key FROM frontier f "
+            "WHERE NOT EXISTS (SELECT 1 FROM seen s, p "
+            "WHERE s.key = f.key AND s.status < 400 "
+            "AND s.fetched_at >= p.now - 604800.0) "
+            "ORDER BY key"
         ),
         "per_host_cap": (
             "WITH h AS (SELECT event_id, 'host' || CAST(user_id % 20 AS VARCHAR) AS host FROM events), "
@@ -1694,7 +1767,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(trunc(h * least(1.0, 12.0 / greatest(w, h))) AS INT) END AS rs_height, "
             "CASE WHEN kind = 'audio' THEN rate END AS sample_rate, "
             "CASE WHEN kind = 'audio' THEN nch END AS n_channels, "
-            "CASE WHEN kind = 'audio' THEN CAST(rate // 4 + d5 AS BIGINT) END AS n_frames "
+            "CASE WHEN kind = 'audio' THEN CAST(256 + d5 AS BIGINT) END AS n_frames "
             "FROM p ORDER BY media_id"
         ),
         "json_extract": (
