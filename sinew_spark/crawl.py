@@ -27,9 +27,11 @@ Scale notes (100 TB design point):
 - shuffles per round: groupBy(key) round-dedup (whose exchange+sort the
   downstream seen filter reuses) and groupBy(host) for paced fetch —
   nothing else: the bloom prefilter is pushed below the dedup shuffle
-  and the exactly-once check is a shard-local binary search
-  (SeenKeyShardStore; the anti-join fallback serves small-seen and
-  semantic modes)
+  and the exactly-once check is a shard-local binary search — plain
+  membership via SeenKeyShardStore, TTL/force_errors semantics via
+  SeenValueShardStore (per-key class-max fetched_at), so even the
+  continuous-recrawl mode never joins against the seen table; the
+  anti-join fallback serves small-seen runs
 - per-host caps bound fetch-task skew regardless of host distribution
 - parse is shuffle-free mapInPandas; no O(rows) driver pulls anywhere in
   the round loop (stats are single-row aggregates)
@@ -47,7 +49,11 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from sinew_spark.functions.urls import host_expr, make_canonicalize_udf, request_key_expr
-from sinew_spark.operators.bloom import BloomShardStore, SeenKeyShardStore
+from sinew_spark.operators.bloom import (
+    BloomShardStore,
+    SeenKeyShardStore,
+    SeenValueShardStore,
+)
 from sinew_spark.operators.frontier import (
     FRONTIER_SCHEMA,
     SEEN_SCHEMA,
@@ -199,6 +205,13 @@ class Crawler:
         self._seen_keys = SeenKeyShardStore(
             os.path.join(workdir, "seen.keys.d"), n_shards=self.opts.bloom_shards
         )
+        # valued shards for the semantic modes (TTL expiry / force_errors):
+        # per-key class-max fetched_at lets the recrawl loop reject
+        # shard-locally with anti_join_seen's exact semantics. Distinct
+        # sidecar dir — the two stores version against seen independently.
+        self._seen_vals = SeenValueShardStore(
+            os.path.join(workdir, "seen.vals.d"), n_shards=self.opts.bloom_shards
+        )
         self._round: int | None = None  # lazily read from metrics, then cached
 
     # --- seeding ----------------------------------------------------------------
@@ -301,8 +314,15 @@ class Crawler:
         # pushes the key-only filter below the dedup shuffle) + EXACT
         # shard-local key probe (SeenKeyShardStore) — no shuffle of either
         # side; the seen table's keys are never reshuffled per round.
-        # Semantic modes (force / TTL expiry / force_errors) need seen
-        # columns (status, fetched_at) and use the exact anti-join.
+        # Semantic modes (TTL expiry / force_errors) need the per-key
+        # status/fetched_at statistics: at scale they probe the VALUED
+        # shards (SeenValueShardStore — same zero-shuffle discipline, the
+        # recrawl loop's hot path since `expires` re-examines the whole
+        # corpus every round), falling back to the exact anti-join while
+        # the seen side is still broadcast-small. `force` ignores seen
+        # entirely — no filter, no sync. The bloom prefilter is ONLY valid
+        # in plain mode: it drops every maybe-seen key, which TTL/force
+        # modes must keep and re-examine.
         semantic = self.opts.force or self.opts.force_errors or self.opts.expires is not None
         use_shards = (
             self.opts.exact_shards
@@ -317,14 +337,22 @@ class Crawler:
                 cand = self._seen_keys.reject_seen(cand)
             else:  # small seen (broadcast join is free) or sync impossible
                 cand = anti_join_seen(cand, self.seen_t.read())
-        else:
-            cand = anti_join_seen(
-                cand,
-                self.seen_t.read(),
-                expires=self.opts.expires,
-                force=self.opts.force,
-                force_errors=self.opts.force_errors,
-            )
+        elif not self.opts.force:
+            if use_shards:
+                self._seen_vals.sync(self.seen_t)
+            if use_shards and self._seen_vals.in_sync_with(self.seen_t):
+                cand = self._seen_vals.reject_seen(
+                    cand,
+                    expires=self.opts.expires,
+                    force_errors=self.opts.force_errors,
+                )
+            else:
+                cand = anti_join_seen(
+                    cand,
+                    self.seen_t.read(),
+                    expires=self.opts.expires,
+                    force_errors=self.opts.force_errors,
+                )
 
         # 3. robots gating (north-rule addition; reference lacks it)
         if self.robots is not None:
@@ -541,14 +569,19 @@ class Crawler:
             next_frontier = leftover.unionByName(new_frontier_rows)
         else:
             next_frontier = leftover
-        # drop already-seen rows (incl. this round's commits). The shard
-        # path absorbs the fresh delta into the key shards (the sync the
-        # next round would do anyway) and probes shard-local — the
-        # per-round O(seen) shuffle this join used to cost is gone.
-        if not semantic and use_shards:
-            self._seen_keys.sync(self.seen_t)
-        if not semantic and use_shards and self._seen_keys.in_sync_with(self.seen_t):
-            next_frontier = self._seen_keys.reject_seen(next_frontier)
+        # drop already-seen rows (incl. this round's commits) — PLAIN key
+        # semantics here even in TTL/force modes: a key fetched this run is
+        # out of the frontier, and the next round's start re-applies the
+        # semantic filter to whatever re-enters. The shard path absorbs the
+        # fresh delta into its shards (the sync the next round would do
+        # anyway) and probes shard-local — the per-round O(seen) shuffle
+        # this join used to cost is gone. Semantic runs keep only the
+        # valued store in sync (it answers the plain probe too).
+        store = self._seen_vals if semantic else self._seen_keys
+        if use_shards:
+            store.sync(self.seen_t)
+        if use_shards and store.in_sync_with(self.seen_t):
+            next_frontier = store.reject_seen(next_frontier)
         else:
             seen_after = self.seen_t.read()
             next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")

@@ -534,3 +534,218 @@ class SeenKeyShardStore:
             return pd.Series(out)
 
         return frontier.where(is_new(F.col("key"), self._shard_expr()))
+
+
+# --- valued seen shards (semantic modes: TTL expiry / force_errors) ----------------
+
+_VALS_CACHE: dict = {}  # (dirpath, shard, run fingerprint) -> (keys, fa_ok, fa_err)
+
+_NEG_INF = float("-inf")
+
+
+def _shard_val_files(dirpath: str, shard: int) -> list[str]:
+    prefix = f"vals-{shard:05d}"
+    try:
+        names = os.listdir(dirpath)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        os.path.join(dirpath, n)
+        for n in names
+        if n.startswith(prefix) and n.endswith(".npz")
+    )
+
+
+def _merge_val_runs(arrs: list[tuple]) -> tuple:
+    """Union runs into (sorted unique keys, per-key class maxima)."""
+    keys = np.concatenate([a[0] for a in arrs])
+    fa_ok = np.concatenate([a[1] for a in arrs])
+    fa_err = np.concatenate([a[2] for a in arrs])
+    uk, inv = np.unique(keys, return_inverse=True)
+    mok = np.full(len(uk), _NEG_INF)
+    merr = np.full(len(uk), _NEG_INF)
+    np.maximum.at(mok, inv, fa_ok)
+    np.maximum.at(merr, inv, fa_err)
+    return uk, mok, merr
+
+
+def _load_vals_shard(dirpath: str, shard: int) -> tuple:
+    for _attempt in range(3):
+        files = _shard_val_files(dirpath, shard)
+        if not files:
+            e = np.empty(0)
+            return e.astype(np.int64), e, e
+        try:
+            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
+            ck = (dirpath, shard, sig)
+            hit = _VALS_CACHE.get(ck)
+            if hit is None:
+                arrs = []
+                for p in files:
+                    z = np.load(p)
+                    arrs.append((z["keys"], z["fa_ok"], z["fa_err"]))
+                hit = arrs[0] if len(arrs) == 1 else _merge_val_runs(arrs)
+                for k in [
+                    k for k in _VALS_CACHE if k[0] == dirpath and k[1] == shard and k != ck
+                ]:
+                    del _VALS_CACHE[k]
+                _VALS_CACHE[ck] = hit
+            return hit
+        except FileNotFoundError:
+            continue
+    raise OSError(f"value shard {shard} runs kept disappearing under {dirpath}")
+
+
+class SeenValueShardStore(SeenKeyShardStore):
+    """Seen-key shards carrying the per-key sufficient statistics for the
+    SEMANTIC exactly-once modes — TTL expiry and force_errors — so the
+    recrawl loop (the realistic continuous mode at scale: ``expires`` set,
+    every round re-examines the whole corpus) is as shuffle-free as the
+    plain path.
+
+    Per key two values: ``fa_ok`` = max fetched_at over non-error seen
+    entries (status < 400, matching ``anti_join_seen``'s live filter) and
+    ``fa_err`` = max over error entries; either is -inf when that class has
+    no entry. These are sufficient for every predicate combination
+    ``anti_join_seen`` evaluates, because its live-entry condition is a
+    conjunction of a status-class test and a freshness test and seen
+    entries only accumulate:
+
+    - plain:            blocked iff any entry          (fa_ok or fa_err > -inf)
+    - expires:          blocked iff max(fa_ok, fa_err) >= now - expires
+    - force_errors:     blocked iff fa_ok > -inf
+    - both:             blocked iff fa_ok >= now - expires
+
+    Same LSM layout/discipline as the key store (O(delta) runs with
+    class-max merge on compaction, rename-before-unlink, snapshot-gated
+    sync); runs are 24 B/key npz files (240 MB/shard at S=1000 and 10^10
+    keys — still one worker-cached array set per task)."""
+
+    def _absorb(self, keys_df) -> int:
+        from pyspark.sql import functions as F
+
+        dirpath = self.path
+
+        def upd(pdf):
+            shard = int(pdf["_shard"].iloc[0])
+            keys = pdf["key"].to_numpy("int64")
+            # null status: anti_join_seen's `status < 400` is NULL -> the
+            # entry never counts as ok-class but still blocks plainly —
+            # i.e. exactly the error-class treatment, so map null -> 600.
+            # null fetched_at: NULL freshness comparisons drop the entry
+            # from every TTL-filtered live set while it still blocks the
+            # plain probe — a finite -1e308 reproduces both.
+            status = pdf["status"].fillna(600).to_numpy("int64")
+            fa = pdf["fetched_at"].fillna(-1e308).to_numpy("float64")
+            ok = status < 400
+            uk, inv = np.unique(keys, return_inverse=True)
+            mok = np.full(len(uk), _NEG_INF)
+            merr = np.full(len(uk), _NEG_INF)
+            np.maximum.at(mok, inv[ok], fa[ok])
+            np.maximum.at(merr, inv[~ok], fa[~ok])
+            new = (uk, mok, merr)
+            files = _shard_val_files(dirpath, shard)
+            nxt = max((_run_gen(os.path.basename(f)) for f in files), default=0) + 1
+            target = os.path.join(dirpath, f"vals-{shard:05d}.r{nxt:06d}.npz")
+            tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npz")
+            if len(files) + 1 > KEYS_COMPACT_RUNS:
+                arrs = []
+                for f in files:
+                    z = np.load(f)
+                    arrs.append((z["keys"], z["fa_ok"], z["fa_err"]))
+                out = _merge_val_runs(arrs + [new])
+            else:
+                out = new
+            with open(tmp, "wb") as fh:
+                np.savez(fh, keys=out[0], fa_ok=out[1], fa_err=out[2])
+            os.replace(tmp, target)
+            if out is not new:
+                for f in files:
+                    try:
+                        os.unlink(f)
+                    except FileNotFoundError:
+                        pass
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(uk)]})
+
+        os.makedirs(dirpath, exist_ok=True)
+        counts = (
+            keys_df.select("key", "status", "fetched_at")
+            .withColumn("_shard", self._shard_expr())
+            .groupBy("_shard")
+            .applyInPandas(upd, "shard int, n_keys long")
+            .agg(F.sum("n_keys").alias("n"))
+            .collect()
+        )
+        return int(counts[0].n or 0)
+
+    def sync(self, seen_t) -> None:
+        """Same snapshot discipline as the key store, but deltas carry
+        (key, status, fetched_at)."""
+        cur = seen_t.current_snapshot()
+        if cur is None or cur == self.snapshot_id:
+            return
+        newer = [
+            s
+            for s in seen_t.snapshots()
+            if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
+        ]
+        incremental = self.snapshot_id is not None and all(s["op"] == "append" for s in newer)
+        cols = ["key", "status", "fetched_at"]
+        if incremental:
+            df = None
+            for s in newer:
+                d = seen_t.read_delta(s["id"]).select(*cols)
+                df = d if df is None else df.unionByName(d)
+            if df is not None:
+                self._absorb(df)
+        else:
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+            self._absorb(seen_t.read().select(*cols))
+        self.snapshot_id = cur
+        self.n_keys = -1
+        self._write_meta()
+
+    def reject_seen(
+        self,
+        frontier,
+        expires: float | None = None,
+        force_errors: bool = False,
+        now: float | None = None,
+    ):
+        """EXACT semantic filter, shard-local: equivalent to
+        ``anti_join_seen(frontier, seen, expires=..., force_errors=...)``
+        with zero shuffle of the seen side. Caller must have sync()ed."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if self.snapshot_id is None:
+            return frontier
+        dirpath = self.path
+        cutoff = None
+        if expires is not None:
+            cutoff = (_time.time() if now is None else now) - expires
+
+        @F.pandas_udf(T.BooleanType())
+        def is_fetchable(key: pd.Series, shard: pd.Series) -> pd.Series:
+            keys = key.to_numpy("int64")
+            out = np.ones(len(keys), dtype=bool)
+            for s in shard.unique():
+                uk, mok, merr = _load_vals_shard(dirpath, int(s))
+                m = (shard == s).to_numpy()
+                if len(uk) == 0:
+                    continue
+                ks = keys[m]
+                idx = np.minimum(np.searchsorted(uk, ks), len(uk) - 1)
+                found = uk[idx] == ks
+                fa_ok = np.where(found, mok[idx], _NEG_INF)
+                fa_err = np.where(found, merr[idx], _NEG_INF)
+                live = fa_ok if force_errors else np.maximum(fa_ok, fa_err)
+                blocked = live >= cutoff if cutoff is not None else live > _NEG_INF
+                out[m] = ~blocked
+            return pd.Series(out)
+
+        return frontier.where(is_fetchable(F.col("key"), self._shard_expr()))

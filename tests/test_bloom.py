@@ -188,3 +188,135 @@ def test_seen_keys_lsm_runs_and_compaction(spark, tmp_path):
     before = _load_keys_shard(store.path, 0)
     assert sorted(r.key for r in store.reject_seen(probe).collect()) == list(range(lo, lo + 100))
     assert np.array_equal(_load_keys_shard(store.path, 0), before)
+
+
+# --- SeenValueShardStore (semantic modes: TTL / force_errors, zero-shuffle) ----
+
+
+def _mk_seen_table(spark, path):
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("fetched_at", T.DoubleType()),
+        ]
+    )
+    return SnapshotTable(spark, path, schema)
+
+
+def test_seen_vals_matches_semantic_anti_join(spark, tmp_path):
+    """reject_seen(expires/force_errors) == anti_join_seen with the same
+    flags, for every mode combination — including keys holding a mix of
+    ok and error entries at different ages, absorbed across several
+    deltas (run-merge path exercised)."""
+    from sinew_spark.operators.bloom import SeenValueShardStore
+    from sinew_spark.operators.frontier import anti_join_seen
+
+    now = 1_000_000.0
+    t = _mk_seen_table(spark, str(tmp_path / "seen"))
+    # key k: entry classes cycle through ok-only / err-only / both; ages
+    # straddle the 100s cutoff. Two appends so per-key maxima span runs.
+    rows1, rows2 = [], []
+    for k in range(400):
+        age_a = 10.0 + (k % 7) * 30.0   # 10..190s old
+        age_b = 250.0 - (k % 5) * 55.0  # 30..250s old
+        cls = k % 3
+        rows1.append((k, 200 if cls != 1 else 500, now - age_a))
+        rows2.append((k, 200 if cls == 0 else 503, now - age_b))
+    t.append(spark.createDataFrame(rows1, t.schema))
+    store = SeenValueShardStore(str(tmp_path / "vs"), n_shards=4)
+    store.sync(t)
+    t.append(spark.createDataFrame(rows2, t.schema))
+    store.sync(t)  # incremental second run
+    assert store.in_sync_with(t)
+
+    frontier = spark.range(0, 800).select(F.col("id").alias("key"))
+    for expires, force_errors in [(None, False), (100.0, False), (None, True), (100.0, True)]:
+        exact = anti_join_seen(
+            frontier, t.read(), expires=expires, force_errors=force_errors, now=now
+        )
+        via = store.reject_seen(frontier, expires=expires, force_errors=force_errors, now=now)
+        assert sorted(r.key for r in via.collect()) == sorted(
+            r.key for r in exact.collect()
+        ), f"divergence at expires={expires} force_errors={force_errors}"
+
+
+def test_seen_vals_plain_probe_and_rebuild(spark, tmp_path):
+    """No flags -> plain blocked-iff-any-entry (the valued store subsumes
+    the key store); an overwrite op forces a rebuild on a reopened store."""
+    from sinew_spark.operators.bloom import SeenValueShardStore
+
+    t = _mk_seen_table(spark, str(tmp_path / "seen"))
+    t.append(
+        spark.range(0, 200).select(
+            F.col("id").alias("key"),
+            F.lit(200).cast("int").alias("status"),
+            F.lit(5.0).alias("fetched_at"),
+        )
+    )
+    store = SeenValueShardStore(str(tmp_path / "vs"), n_shards=4)
+    store.sync(t)
+    probe = spark.range(0, 300).select(F.col("id").alias("key"))
+    assert sorted(r.key for r in store.reject_seen(probe).collect()) == list(range(200, 300))
+
+    t.delete_where(F.col("key") < 50)  # overwrite -> rebuild
+    store2 = SeenValueShardStore(str(tmp_path / "vs"), n_shards=4)
+    store2.sync(t)
+    kept = sorted(r.key for r in store2.reject_seen(probe).collect())
+    assert kept == list(range(0, 50)) + list(range(200, 300))
+
+
+def test_seen_vals_lsm_compaction_keeps_class_maxima(spark, tmp_path):
+    """Driving a shard past KEYS_COMPACT_RUNS merges runs with per-key
+    class-max semantics — an old ok-entry must survive a pile of newer
+    error entries for the same key; a stale duplicated run (crash model)
+    changes nothing because merge is max()."""
+    import os
+    import shutil
+
+    from sinew_spark.operators.bloom import (
+        KEYS_COMPACT_RUNS,
+        SeenValueShardStore,
+        _shard_val_files,
+    )
+    from sinew_spark.operators.frontier import anti_join_seen
+
+    now = 1_000_000.0
+    t = _mk_seen_table(spark, str(tmp_path / "seen"))
+    store = SeenValueShardStore(str(tmp_path / "vs"), n_shards=2)
+    # run 1: keys 0..49 fetched OK, fresh
+    t.append(
+        spark.range(0, 50).select(
+            F.col("id").alias("key"),
+            F.lit(200).cast("int").alias("status"),
+            F.lit(now - 10.0).alias("fetched_at"),
+        )
+    )
+    store.sync(t)
+    # many error-only runs for the same keys -> compaction must keep fa_ok
+    for i in range(KEYS_COMPACT_RUNS + 2):
+        t.append(
+            spark.range(0, 50).select(
+                F.col("id").alias("key"),
+                F.lit(500).cast("int").alias("status"),
+                F.lit(now - 5.0 + i).alias("fetched_at"),
+            )
+        )
+        store.sync(t)
+    assert all(len(_shard_val_files(store.path, s)) <= KEYS_COMPACT_RUNS for s in range(2))
+
+    frontier = spark.range(0, 80).select(F.col("id").alias("key"))
+    # force_errors: the surviving ok-entry still blocks 0..49
+    blocked = store.reject_seen(frontier, force_errors=True, now=now)
+    assert sorted(r.key for r in blocked.collect()) == list(range(50, 80))
+    exact = anti_join_seen(frontier, t.read(), force_errors=True, now=now)
+    assert sorted(r.key for r in exact.collect()) == list(range(50, 80))
+
+    # stale-run crash model: re-copy an old run under a newer generation
+    runs0 = _shard_val_files(store.path, 0)
+    shutil.copyfile(runs0[0], os.path.join(store.path, "vals-00000.r009999.npz"))
+    again = store.reject_seen(frontier, force_errors=True, now=now)
+    assert sorted(r.key for r in again.collect()) == list(range(50, 80))

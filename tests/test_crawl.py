@@ -392,3 +392,48 @@ def test_resume_with_exact_shards(spark, tmpdir_path):
     fa = [r.url for r in a.fetched_t.read().orderBy("round", "seq").collect()]
     fb = [r.url for r in b2.fetched_t.read().orderBy("round", "seq").collect()]
     assert fa == fb
+
+
+def test_semantic_shards_path_equals_anti_join_path(spark, tmpdir_path):
+    """The valued-shard probe (SeenValueShardStore) and the exact semantic
+    anti-join are the same filter: force_errors and TTL recrawls select
+    identical row sets under exact_shards=True and False. Hosts h0-h2 are
+    persistently flaky, so the first crawl seeds a mix of ok and error
+    entries for force_errors to discriminate."""
+    def run(mode, sub):
+        urls = [f"http://h{i % 9}.synth.test/p/{i}" for i in range(40)]
+        flaky = {f"h{i}.synth.test": 99 for i in range(3)}
+
+        def mk(opts):
+            return Crawler(
+                spark, f"{tmpdir_path}/{sub}",
+                FixtureFetcher(seed=7, synthetic=True, synthetic_hosts=9, flaky=flaky),
+                opts,
+            )
+
+        c = mk(CrawlOptions(rate_limit=0, retries=0, max_rounds=1, exact_shards=mode))
+        c.seed(urls)
+        c.run()
+        # force_errors: exactly the error rows refetch
+        c2 = mk(CrawlOptions(rate_limit=0, retries=0, max_rounds=1,
+                             force_errors=True, exact_shards=mode))
+        c2.seed(urls)
+        n_err = c2.run()[0]["selected"]
+        # TTL not yet expired: nothing refetches
+        c3 = mk(CrawlOptions(rate_limit=0, retries=0, max_rounds=1,
+                             expires=3600, exact_shards=mode))
+        c3.seed(urls)
+        n_fresh = c3.run()[0]["selected"]
+        # TTL long expired: everything refetches
+        c4 = mk(CrawlOptions(rate_limit=0, retries=0, max_rounds=1,
+                             expires=1e-6, exact_shards=mode))
+        c4.seed(urls)
+        n_stale = c4.run()[0]["selected"]
+        fetched = sorted((r.url, r.status, r.round) for r in c4.fetched_t.read().collect())
+        return (n_err, n_fresh, n_stale, fetched)
+
+    a = run(True, "shards")
+    b = run(False, "join")
+    assert a == b
+    n_err, n_fresh, n_stale, _ = a
+    assert (n_err, n_fresh, n_stale) == (15, 0, 40)  # 15 urls land on h0-h2
