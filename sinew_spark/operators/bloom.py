@@ -131,10 +131,49 @@ class BloomShards:
 
 # --- executor-side shard store ----------------------------------------------------
 
-# per-python-worker shard cache: (path, mtime_ns, size) -> BloomShards.
-# Worker processes are reused across tasks/batches, so a shard file is read
-# once per worker per round (the mtime key invalidates it after add_delta).
-_SHARD_CACHE: dict = {}
+
+class _ShardLRU:
+    """Byte-bounded per-python-worker cache of shard payloads, keyed by a
+    stable shard identity plus a freshness fingerprint (mtime/size — a new
+    fingerprint drops the shard's stale generations on insert). Worker
+    processes are reused across tasks/batches, so a hot shard is read once
+    per worker per round.
+
+    The byte bound exists because probe placement is not always
+    one-shard-per-task: Catalyst pushes the probe filter BELOW the key
+    exchange when that is the better plan (blocked rows never shuffle — the
+    recrawl regime's big win), and there a task's rows span many shards. An
+    unbounded cache would then grow toward the whole store per worker
+    (80-240 GB at the 10^10 design point); the LRU keeps each worker at
+    SINEW_SHARD_CACHE_BYTES (default 2 GiB) and the hot shards resident."""
+
+    def __init__(self, budget_bytes: int):
+        from collections import OrderedDict
+
+        self.budget = budget_bytes
+        self._d = OrderedDict()
+        self._bytes = 0
+
+    def get(self, ident, fp):
+        hit = self._d.get((ident, fp))
+        if hit is None:
+            return None
+        self._d.move_to_end((ident, fp))
+        return hit[0]
+
+    def put(self, ident, fp, value, nbytes: int) -> None:
+        for k in [k for k in self._d if k[0] == ident]:
+            self._bytes -= self._d.pop(k)[1]
+        self._d[(ident, fp)] = (value, int(nbytes))
+        self._bytes += int(nbytes)
+        while self._bytes > self.budget and len(self._d) > 1:
+            _k, (_v, b) = self._d.popitem(last=False)
+            self._bytes -= b
+
+
+_CACHE_BUDGET = int(os.environ.get("SINEW_SHARD_CACHE_BYTES", str(2 << 30)))
+
+_SHARD_CACHE = _ShardLRU(_CACHE_BUDGET)
 
 
 def _load_shard(dirpath: str, shard: int) -> "BloomShards | None":
@@ -143,15 +182,12 @@ def _load_shard(dirpath: str, shard: int) -> "BloomShards | None":
         st = os.stat(p)
     except FileNotFoundError:
         return None
-    ck = (p, st.st_mtime_ns, st.st_size)
-    hit = _SHARD_CACHE.get(ck)
+    fp = (st.st_mtime_ns, st.st_size)
+    hit = _SHARD_CACHE.get(p, fp)
     if hit is None:
         with open(p, "rb") as f:
             hit = BloomShards.from_bytes(f.read())
-        # drop stale generations of this shard before caching the new one
-        for k in [k for k in _SHARD_CACHE if k[0] == p and k != ck]:
-            del _SHARD_CACHE[k]
-        _SHARD_CACHE[ck] = hit
+        _SHARD_CACHE.put(p, fp, hit, hit.words.nbytes)
     return hit
 
 
@@ -301,7 +337,7 @@ class BloomShardStore:
 
 # --- exact seen-key shards (the anti-join's scale path) ----------------------------
 
-_KEYS_CACHE: dict = {}  # (dirpath, shard, run-list fingerprint) -> sorted int64 ndarray
+_KEYS_CACHE = _ShardLRU(_CACHE_BUDGET)  # (dirpath, shard) + run-list fp -> sorted int64 keys
 
 # LSM knobs: a shard is a set of sorted-unique RUN files (one per absorbed
 # round) unioned at probe time; when a shard accumulates this many runs the
@@ -343,16 +379,11 @@ def _load_keys_shard(dirpath: str, shard: int) -> np.ndarray:
             return np.empty(0, dtype=np.int64)
         try:
             sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
-            ck = (dirpath, shard, sig)
-            hit = _KEYS_CACHE.get(ck)
+            hit = _KEYS_CACHE.get((dirpath, shard), sig)
             if hit is None:
                 arrs = [np.load(p) for p in files]
                 hit = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
-                for k in [
-                    k for k in _KEYS_CACHE if k[0] == dirpath and k[1] == shard and k != ck
-                ]:
-                    del _KEYS_CACHE[k]
-                _KEYS_CACHE[ck] = hit
+                _KEYS_CACHE.put((dirpath, shard), sig, hit, hit.nbytes)
             return hit
         except FileNotFoundError:
             continue
@@ -538,7 +569,7 @@ class SeenKeyShardStore:
 
 # --- valued seen shards (semantic modes: TTL expiry / force_errors) ----------------
 
-_VALS_CACHE: dict = {}  # (dirpath, shard, run fingerprint) -> (keys, fa_ok, fa_err)
+_VALS_CACHE = _ShardLRU(_CACHE_BUDGET)  # (dirpath, shard) + run fp -> (keys, fa_ok, fa_err)
 
 _NEG_INF = float("-inf")
 
@@ -577,19 +608,14 @@ def _load_vals_shard(dirpath: str, shard: int) -> tuple:
             return e.astype(np.int64), e, e
         try:
             sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
-            ck = (dirpath, shard, sig)
-            hit = _VALS_CACHE.get(ck)
+            hit = _VALS_CACHE.get((dirpath, shard), sig)
             if hit is None:
                 arrs = []
                 for p in files:
                     z = np.load(p)
                     arrs.append((z["keys"], z["fa_ok"], z["fa_err"]))
                 hit = arrs[0] if len(arrs) == 1 else _merge_val_runs(arrs)
-                for k in [
-                    k for k in _VALS_CACHE if k[0] == dirpath and k[1] == shard and k != ck
-                ]:
-                    del _VALS_CACHE[k]
-                _VALS_CACHE[ck] = hit
+                _VALS_CACHE.put((dirpath, shard), sig, hit, sum(a.nbytes for a in hit))
             return hit
         except FileNotFoundError:
             continue

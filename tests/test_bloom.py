@@ -320,3 +320,31 @@ def test_seen_vals_lsm_compaction_keeps_class_maxima(spark, tmp_path):
     shutil.copyfile(runs0[0], os.path.join(store.path, "vals-00000.r009999.npz"))
     again = store.reject_seen(frontier, force_errors=True, now=now)
     assert sorted(r.key for r in again.collect()) == list(range(50, 80))
+
+
+def test_shard_lru_bounds_and_generations():
+    """The worker shard cache evicts LRU entries past the byte budget and
+    drops stale generations of a shard on insert — a worker probing many
+    shards (pre-shuffle placement) stays bounded."""
+    from sinew_spark.operators.bloom import _ShardLRU
+
+    lru = _ShardLRU(budget_bytes=100)
+    for i in range(5):
+        lru.put(("d", i), "fp0", f"v{i}", 30)  # 5 x 30 B > 100 B budget
+    assert lru._bytes <= 100 and len(lru._d) == 3
+    assert lru.get(("d", 0), "fp0") is None  # oldest evicted
+    assert lru.get(("d", 4), "fp0") == "v4"
+
+    # recency: touching shard 2 saves it from the next eviction
+    assert lru.get(("d", 2), "fp0") == "v2"
+    lru.put(("d", 9), "fp0", "v9", 30)
+    assert lru.get(("d", 2), "fp0") == "v2" and lru.get(("d", 3), "fp0") is None
+
+    # new generation replaces the old one, never duplicates its bytes
+    lru.put(("d", 9), "fp1", "v9b", 30)
+    assert lru.get(("d", 9), "fp0") is None and lru.get(("d", 9), "fp1") == "v9b"
+    assert lru._bytes == sum(b for _v, b in lru._d.values())
+
+    # a single oversized entry stays resident (never evict the working item)
+    lru.put(("d", 8), "fp0", "big", 500)
+    assert lru.get(("d", 8), "fp0") == "big" and len(lru._d) == 1
