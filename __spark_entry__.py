@@ -194,6 +194,47 @@ def q_seen_vals_semantic(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_train_split(spark, sf_dir):
+    """Pipeline: deterministic leakage-safe train/val/test assignment
+    (operators/pipeline.py assign_split — pure Catalyst projection, split
+    is a function of the key only). Oracle-facing hash = md5-derived
+    bucket (engine default is xxhash64; DuckDB lacks it)."""
+    from sinew_spark.operators.pipeline import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    out = assign_split(
+        d,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="doc_id",
+        buckets=100,
+        hash_expr=hv,
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_contamination(spark, sf_dir):
+    """Pipeline: benchmark n-gram contamination (operators/pipeline.py
+    contamination_report). Benchmark set = every 37th document; the report
+    flags any document sharing a distinct word 5-gram with it (the
+    benchmark docs themselves at frac 1.0, near-duplicates partially).
+    Broadcast-join shape: benchmark collapses to distinct grams, corpus
+    explodes and partial-aggregates — no all-pairs, no corpus shuffle."""
+    from sinew_spark.operators.pipeline import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    rep = contamination_report(d, bench, n=5)
+    return rep.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "n_contaminated",
+        "frac",
+    ).orderBy("doc_id")
+
+
 def q_per_host_cap(spark, sf_dir):
     """C7/C14: per-host politeness cap via row_number window (cap=5)."""
     from pyspark.sql.window import Window
@@ -1355,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "join_star": q_join_star,
         "seen_vals_semantic": q_seen_vals_semantic,
+        "train_split": q_train_split,
+        "contamination": q_contamination,
     }
 
 
@@ -1430,6 +1473,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.key = f.key AND s.status < 400 "
             "AND s.fetched_at >= p.now - 604800.0) "
             "ORDER BY key"
+        ),
+        "train_split": (
+            "SELECT doc_id, CASE "
+            "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' "
+            "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM documents ORDER BY doc_id"
+        ),
+        # same n-gram formula as dedup_ngram_jaccard's oracle (5-gram slice)
+        "contamination": (
+            "WITH docs AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 5, 0) + 2), "
+            "i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+4], ' '))) AS ng "
+            "FROM documents), "
+            "bench AS (SELECT DISTINCT unnest(ng) AS gram FROM docs WHERE doc_id % 37 = 0), "
+            "corp AS (SELECT doc_id, len(ng) AS n_grams, unnest(ng) AS gram FROM docs) "
+            "SELECT c.doc_id AS doc_id, c.n_grams AS n_grams, "
+            "count(*) AS n_contaminated, "
+            "CAST(count(*) AS DOUBLE) / c.n_grams AS frac "
+            "FROM corp c JOIN bench b USING (gram) "
+            "GROUP BY c.doc_id, c.n_grams ORDER BY doc_id"
         ),
         "per_host_cap": (
             "WITH h AS (SELECT event_id, 'host' || CAST(user_id % 20 AS VARCHAR) AS host FROM events), "

@@ -1,0 +1,110 @@
+"""Training-data pipeline operators: deterministic corpus splitting and
+benchmark-contamination detection.
+
+These sit downstream of the crawl/dedup/quality stages in a large-scale
+training-data build. Neither exists in the reference (a single-node
+scraper, /root/reference/lib/sinew); both are pipeline additions alongside
+the dedup/similarity operators (SURVEY.md §2 addendum) and are designed
+for the 100 TB regime:
+
+- ``assign_split`` is a pure Catalyst projection — zero shuffle, zero
+  Python, stable under any repartitioning.
+- ``contamination_report`` broadcasts the (small) benchmark n-gram set and
+  partial-aggregates corpus-side, so the only wide operation is the final
+  per-document count combine — never an all-pairs or a corpus shuffle by
+  n-gram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    buckets: int = 10_000,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment.
+
+    ``split`` is a pure function of the key (never of row order, partition,
+    or run), so re-runs, resumes, and cluster re-partitionings assign every
+    document identically — and hashing a GROUPING key (canonical URL host,
+    dedup-cluster id) instead of the row id keeps near-duplicate families
+    inside one split, the property that actually prevents train/test
+    leakage. Buckets are allocated to splits by cumulative weight over
+    ``buckets``; ``hash_expr`` overrides the bucket source (default
+    ``xxhash64(key, salt)``, the engine identity; oracle-facing callers
+    pass an md5-derived expression — DuckDB lacks xxhash64).
+
+    Pure projection: no shuffle, no UDF, whole-stage codegen.
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must name at least one split")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(key_col), F.lit(salt))
+    bucket = F.pmod(h, F.lit(buckets))
+    acc, chain = 0.0, None
+    for nm in names[:-1]:
+        acc += weights[nm] / total
+        cond = bucket < F.lit(int(round(acc * buckets)))
+        chain = F.when(cond, nm) if chain is None else chain.when(cond, nm)
+    split = chain.otherwise(names[-1]) if chain is not None else F.lit(names[-1])
+    return df.withColumn("split", split)
+
+
+def _word_ngrams(c: Column, n: int) -> Column:
+    """Distinct word n-grams — identical construction to
+    ``dedup.ngram_jaccard_pairs`` so the DuckDB oracle formula is shared."""
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark contamination: per corpus document, how many of its
+    distinct word n-grams occur anywhere in the benchmark set.
+
+    Scale shape: the benchmark side collapses to DISTINCT n-grams (eval
+    sets are megabytes against a 100 TB corpus) and broadcasts; the corpus
+    explodes to (doc, gram) rows that hit the broadcast join map-side, and
+    the per-document count partial-aggregates before the single combine
+    shuffle. Returns only contaminated documents:
+    (doc_id, n_grams, n_contaminated, frac).
+    """
+    corp = corpus.select(
+        F.col(id_col), _word_ngrams(F.col(text_col), n).alias("ng")
+    ).select(
+        id_col, F.size("ng").alias("n_grams"), F.explode("ng").alias("gram")
+    )
+    bench = benchmark.select(
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        corp.join(bench, "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .withColumn(
+            "frac", F.col("n_contaminated").cast("double") / F.col("n_grams")
+        )
+    )

@@ -1,0 +1,86 @@
+"""Training-pipeline operators: deterministic split assignment and
+benchmark-contamination detection (operators/pipeline.py)."""
+
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.pipeline import assign_split, contamination_report
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    out = assign_split(df, {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.9) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.05) < 0.01
+
+    # pure function of the key: any repartitioning/order gives identical splits
+    again = assign_split(
+        df.repartition(13, "doc_id").sortWithinPartitions(F.desc("doc_id")),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt=7,
+    )
+    a = dict((r.doc_id, r.split) for r in out.collect())
+    b = dict((r.doc_id, r.split) for r in again.collect())
+    assert a == b
+    # different salt reshuffles membership
+    other = assign_split(df, {"train": 0.9, "val": 0.05, "test": 0.05}, salt=8)
+    c = dict((r.doc_id, r.split) for r in other.collect())
+    assert a != c
+
+
+def test_assign_split_group_key_prevents_leakage(spark):
+    """Hashing a family/grouping key puts every member of a near-dup family
+    in the same split — the leakage-safety property."""
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100).alias("family")
+    )
+    out = assign_split(df, {"train": 0.8, "test": 0.2}, key_col="family")
+    fam_splits = (
+        out.groupBy("family").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert all(r.k == 1 for r in fam_splits)
+
+
+def test_assign_split_no_shuffle(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    plan = assign_split(df, {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_contamination_planted_overlap(spark):
+    mk = lambda i, t: (i, t)
+    corpus = spark.createDataFrame(
+        [
+            mk(0, "alpha beta gamma delta epsilon zeta"),   # benchmark doc
+            mk(1, "alpha beta gamma delta epsilon eta"),    # shares 2 of 3 trigram-5s? n=3 below
+            mk(2, "one two three four five six"),           # clean
+            mk(3, "zeta alpha beta gamma delta epsilon"),   # rotated overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.where(F.col("doc_id") == 0)
+    rep = contamination_report(corpus, bench, n=3).orderBy("doc_id")
+    rows = {r.doc_id: (r.n_grams, r.n_contaminated) for r in rep.collect()}
+    assert rows[0] == (4, 4)  # the benchmark doc: fully contaminated
+    assert 2 not in rows  # clean doc absent from the report
+    assert rows[1] == (4, 3)  # 'alpha beta gamma','beta gamma delta','gamma delta epsilon'
+    assert rows[3][1] == 3  # rotation keeps the 3 interior trigrams
+
+    frac = {r.doc_id: r.frac for r in rep.collect()}
+    assert frac[0] == 1.0 and frac[1] == 0.75
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" x y z q r s t")).alias("text"),
+    )
+    bench = corpus.where(F.col("doc_id") < 3)
+    plan = (
+        contamination_report(corpus, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
