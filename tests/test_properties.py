@@ -156,3 +156,69 @@ def test_link_resolver_matches_urljoin(base, ref):
     from sinew_spark.functions.htmlparse import _make_link_resolver
 
     assert _make_link_resolver(base)(ref) == urljoin(base, ref)
+
+
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),      # key
+            st.integers(min_value=200, max_value=599),   # status
+            st.floats(min_value=0.0, max_value=1000.0),  # fetched_at
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    n_runs=st.integers(min_value=1, max_value=5),
+    expires=st.one_of(st.none(), st.floats(min_value=1.0, max_value=1500.0)),
+    force_errors=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_valued_shard_stats_match_brute_force(entries, n_runs, expires, force_errors):
+    """The valued store's per-key class-max statistics, merged across any
+    run partitioning, answer every TTL/force_errors predicate exactly like
+    a brute-force scan over the raw seen entries (anti_join_seen's
+    semantics: blocked iff a live entry exists)."""
+    from sinew_spark.operators.bloom import _NEG_INF, _merge_val_runs
+
+    NOW = 1000.0
+    cutoff = None if expires is None else NOW - expires
+
+    # partition entries into runs arbitrarily, build per-run class maxima
+    runs = []
+    for r in range(n_runs):
+        chunk = entries[r::n_runs]
+        if not chunk:
+            continue
+        keys = np.array([k for k, _s, _f in chunk], dtype=np.int64)
+        st_ = np.array([s for _k, s, _f in chunk])
+        fa = np.array([f for _k, _s, f in chunk])
+        ok = st_ < 400
+        uk, inv = np.unique(keys, return_inverse=True)
+        mok = np.full(len(uk), _NEG_INF)
+        merr = np.full(len(uk), _NEG_INF)
+        np.maximum.at(mok, inv[ok], fa[ok])
+        np.maximum.at(merr, inv[~ok], fa[~ok])
+        runs.append((uk, mok, merr))
+    if runs:
+        uk, mok, merr = runs[0] if len(runs) == 1 else _merge_val_runs(runs)
+    else:
+        uk = np.empty(0, dtype=np.int64)
+        mok = merr = np.empty(0)
+
+    for key in range(45):
+        # store's answer (reject_seen's blocked predicate)
+        i = np.searchsorted(uk, key)
+        found = i < len(uk) and uk[i] == key
+        fa_ok = mok[i] if found else _NEG_INF
+        fa_err = merr[i] if found else _NEG_INF
+        live = fa_ok if force_errors else max(fa_ok, fa_err)
+        blocked_store = live >= cutoff if cutoff is not None else live > _NEG_INF
+
+        # brute force over raw entries
+        blocked_brute = any(
+            (s < 400 if force_errors else True)
+            and (f >= cutoff if cutoff is not None else True)
+            for k, s, f in entries
+            if k == key
+        )
+        assert blocked_store == blocked_brute, (key, expires, force_errors)
