@@ -139,13 +139,81 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.where(F.col("r_host").isNull()).drop("r_host", "disallow_prefix")
 
 
-def take_round_budget(frontier: DataFrame, budget: int | None) -> DataFrame:
-    """Global round budget by (priority, seq). At scale this is a top-k, not
-    a full sort: Spark's TakeOrderedAndProject handles limit+orderBy without
-    a total shuffle sort."""
+# above this budget the single-partition merge behind TakeOrderedAndProject
+# becomes the bottleneck (budget x ~150 B frontier rows through ONE task —
+# 15 GB at the design point's 10^8-URL rounds) and the distributed
+# range-partitioned top-k takes over
+LARGE_BUDGET_ROWS = 2_000_000
+
+
+def take_round_budget(
+    frontier: DataFrame, budget: int | None, large_threshold: int = LARGE_BUDGET_ROWS
+) -> DataFrame:
+    """Global round budget: top-`budget` rows by (priority, seq).
+
+    Small budgets use limit+orderBy — Spark's TakeOrderedAndProject does
+    per-partition top-k then one merge, no total sort; right up until the
+    merge task has to hold the whole budget. Large budgets (the design
+    point selects 10^8 URLs/round) switch to a distributed top-k:
+
+    1. ``repartitionByRange(priority, seq)`` — ordered ranges across P
+       partitions ((priority, seq) is unique, so ranges are total).
+    2. count rows per range partition (one tiny P-row aggregate to the
+       driver; the range shuffle's files are reused by the next job).
+    3. partitions wholly inside the budget pass entirely, the boundary
+       partition locally sorts and takes the remainder, later ones drop —
+       a per-partition head via mapInPandas + TaskContext, no further
+       shuffle and never more than one partition's rows sorted anywhere.
+
+    Range sampling is NOT stable across actions (measured), so phase 2
+    never reuses phase-1 partition placement: it filters the original
+    frontier by the VALUE thresholds phase 1 derived, which select the
+    identical set under any partitioning. (priority, seq) is unique, so
+    ranges are total and struct comparison is a total order."""
     if budget is None:
         return frontier
-    return frontier.orderBy("priority", "seq").limit(budget)
+    if budget <= large_threshold:
+        return frontier.orderBy("priority", "seq").limit(budget)
+
+    par = frontier.sparkSession.sparkContext.defaultParallelism
+    sk = F.struct(F.col("priority"), F.col("seq"))
+    # phase 1 (one action, internally consistent): per-range row count and
+    # actual [min, max] sort-key, ranges contiguous and pid-ordered
+    stats = (
+        frontier.repartitionByRange(par * 2, F.col("priority"), F.col("seq"))
+        .select(F.spark_partition_id().alias("pid"), sk.alias("sk"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("sk").alias("lo"), F.max("sk").alias("hi"))
+        .collect()
+    )
+    acc, boundary = 0, None
+    for row in sorted(stats, key=lambda r: r.pid):
+        if acc + row.cnt >= budget:
+            boundary = row
+            break
+        acc += int(row.cnt)
+    if boundary is None:  # budget >= total rows
+        return frontier
+
+    def _sk_lit(v):
+        return F.struct(
+            F.lit(v.priority).cast("double").alias("priority"),
+            F.lit(v.seq).cast("bigint").alias("seq"),
+        )
+
+    lo, hi = _sk_lit(boundary.lo), _sk_lit(boundary.hi)
+    # phase 2: keys strictly below the boundary range all pass (exactly
+    # `acc` rows — earlier ranges end below the boundary range's true min);
+    # the boundary range's own rows (~frontier/2P of the data) go through
+    # an ordinary top-r, the only merge anywhere and never larger than one
+    # range's rows
+    passed = frontier.where(sk < lo)
+    edge = (
+        frontier.where((sk >= lo) & (sk <= hi))
+        .orderBy("priority", "seq")
+        .limit(budget - acc)
+    )
+    return passed.unionByName(edge)
 
 
 def resolve_redirects(

@@ -77,3 +77,28 @@ def test_salted_join_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, salted_join(fact, dim, "k", salts=8).collect()))
     r2 = sorted(map(tuple, salted_join(fact.repartition(13), dim, "k", salts=8).collect()))
     assert r1 == r2 and len(r1) == 200
+
+
+def test_take_round_budget_scale_path_exact_topk(spark):
+    """The distributed range-partitioned top-k (large budgets) selects
+    exactly the same set as limit+orderBy, across boundary shapes: budget
+    inside one partition, spanning several, zero, and > total."""
+    from sinew_spark.operators.frontier import take_round_budget
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 17).cast("double").alias("priority"),
+        ((F.col("id") * 7919) % 5_000).alias("seq"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+
+    for budget in (1, 37, 1_000, 4_999, 5_000, 6_000):
+        small = take_round_budget(df, budget).select("priority", "seq", "payload")
+        large = take_round_budget(df, budget, large_threshold=0).select(
+            "priority", "seq", "payload"
+        )
+        a = sorted(map(tuple, small.collect()))
+        b = sorted(map(tuple, large.collect()))
+        assert a == b, f"budget={budget}: scale path diverges"
+        assert len(b) == min(budget, 5_000)
+
+    assert take_round_budget(df.limit(0), 10, large_threshold=0).count() == 0
