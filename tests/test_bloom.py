@@ -43,19 +43,19 @@ def test_empty():
 # --- BloomShardStore (executor-side lifecycle) --------------------------------
 
 
-def test_store_prefilter_no_false_negatives(spark, tmp_path):
-    """Every added key must be rejected by prefilter (no false negatives);
-    an empty store passes everything through."""
+def test_store_maybe_seen_no_false_negatives(spark, tmp_path):
+    """Every added key must be flagged by maybe_seen (no false negatives);
+    an empty store flags nothing."""
     store = BloomShardStore(str(tmp_path / "b"), capacity=10_000, n_shards=8)
     keys = spark.range(0, 5000).select((F.col("id") * 7919 - 2**40).alias("key"))
     fresh = spark.range(6000, 7000).select((F.col("id") * 104729 + 2**50).alias("key"))
 
-    assert store.prefilter(keys).count() == 5000  # empty store: all pass
+    assert store.maybe_seen(keys).count() == 0  # empty store: nothing claimed
     n = store.add_delta(keys)
     assert n == 5000
-    assert store.prefilter(keys).count() == 0  # all seen keys rejected
-    # fresh keys mostly pass (false positives bounded, never negatives)
-    assert store.prefilter(fresh).count() > 900
+    assert store.maybe_seen(keys).count() == 5000  # all seen keys flagged
+    # fresh keys mostly unflagged (false positives bounded, never negatives)
+    assert store.maybe_seen(fresh).count() < 100
 
 
 def test_store_incremental_delta_and_reopen(spark, tmp_path):
@@ -70,20 +70,71 @@ def test_store_incremental_delta_and_reopen(spark, tmp_path):
     reopened = BloomShardStore(path, capacity=999, n_shards=16)  # params ignored
     assert reopened.n_shards == 4 and reopened.n_added == 2000
     both = k1.unionByName(k2)
-    assert reopened.prefilter(both).count() == 0
+    assert reopened.maybe_seen(both).count() == 2000
 
 
-def test_store_rebuild_after_delete(spark, tmp_path):
+def test_store_rebuild_after_resize(spark, tmp_path):
     store = BloomShardStore(str(tmp_path / "b"), capacity=1000, n_shards=4)
     keys = spark.range(0, 500).select(F.col("id").alias("key"))
     store.add_delta(keys)
     kept = spark.range(0, 250).select(F.col("id").alias("key"))
     store.rebuild(kept)
     assert store.n_added == 250
-    assert store.prefilter(kept).count() == 0
-    # dropped keys may straggle as false positives but most must pass again
+    assert store.maybe_seen(kept).count() == 250
+    # dropped keys may straggle as false positives but most must unflag
     dropped = spark.range(250, 500).select(F.col("id").alias("key"))
-    assert store.prefilter(dropped).count() > 200
+    assert store.maybe_seen(dropped).count() < 50
+
+
+def test_store_sync_gating_and_delete_advance(spark, tmp_path):
+    """sync() absorbs append deltas snapshot-by-snapshot; a delete/overwrite
+    snapshot advances the id WITHOUT rebuilding (over-approximation is
+    fail-safe under the fused probe); a legacy/fresh store rebuilds from
+    the full seen read on first sync."""
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    store = BloomShardStore(str(tmp_path / "b"), capacity=10_000, n_shards=4)
+    assert not store.in_sync_with(t)
+    store.sync(t)  # fresh store: rebuild from full read
+    assert store.in_sync_with(t) and store.n_added == 100
+
+    t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    store.sync(t)  # incremental delta absorb
+    assert store.in_sync_with(t) and store.n_added == 200
+    probe = spark.range(0, 200).select(F.col("id").alias("key"))
+    assert store.maybe_seen(probe).count() == 200
+
+    sid_before = store.snapshot_id
+    t.delete_where(F.col("key") < 50)  # overwrite op
+    store.sync(t)
+    assert store.in_sync_with(t) and store.snapshot_id > sid_before
+    # stale entries allowed (over-approximation): still flags deleted keys
+    assert store.maybe_seen(probe).count() == 200
+
+
+def test_store_sync_resizes_past_capacity(spark, tmp_path):
+    """Outgrowing capacity triggers a 4x re-size rebuild so fpp returns to
+    budget instead of saturating."""
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    store = BloomShardStore(str(tmp_path / "b"), capacity=500, n_shards=4)
+    t.append(spark.range(0, 2000).select(F.col("id").alias("key")))
+    store.sync(t)
+    assert store.capacity >= 4000 and store.n_added == 2000
+    assert store.in_sync_with(t)
+    seen = spark.range(0, 2000).select(F.col("id").alias("key"))
+    fresh = spark.range(10_000, 11_000).select(F.col("id").alias("key"))
+    assert store.maybe_seen(seen).count() == 2000  # never false-negative
+    assert store.maybe_seen(fresh).count() < 100  # fpp back under budget
 
 
 # --- SeenKeyShardStore (exact membership, zero-shuffle anti-join path) --------
@@ -106,7 +157,68 @@ def test_seen_keys_matches_anti_join(spark, tmp_path):
     frontier = spark.range(0, 9000).select((F.col("id") * 31 - 2**45).alias("key"))
     exact = frontier.join(t.read(), "key", "left_anti")
     via_store = store.reject_seen(frontier)
-    assert sorted(r.key for r in via_store.collect()) == sorted(r.key for r in exact.collect())
+    expected = sorted(r.key for r in exact.collect())
+    assert sorted(r.key for r in via_store.collect()) == expected
+
+    # fused bloom short-circuit: identical results, bit for bit
+    bloom = BloomShardStore(str(tmp_path / "bl"), capacity=10_000, n_shards=4)
+    bloom.sync(t)
+    via_fused = store.reject_seen(frontier, bloom=bloom)
+    assert sorted(r.key for r in via_fused.collect()) == expected
+
+
+def test_fused_probe_bloom_false_positive_never_drops(spark, tmp_path):
+    """THE fused-probe guarantee: a key the bloom wrongly flags as seen
+    (false positive) must fall through to the exact search and SURVIVE.
+    Modeled deterministically by adding an extra key to the bloom only —
+    indistinguishable from an FP at that key. The old standalone-prefilter
+    design dropped such URLs forever."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    t.append(spark.range(0, 1000).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)
+
+    bloom = BloomShardStore(str(tmp_path / "bl"), capacity=10_000, n_shards=4)
+    extra = 777_777  # in the bloom, NOT in seen -> a guaranteed "FP"
+    planted = spark.range(0, 1000).select(F.col("id").alias("key")).unionByName(
+        spark.createDataFrame([(extra,)], "key long")
+    )
+    bloom.add_delta(planted, snapshot_id=t.current_snapshot())
+    assert bloom.in_sync_with(t)
+
+    frontier = spark.createDataFrame([(extra,), (5,), (999_999,)], "key long")
+    out = sorted(r.key for r in store.reject_seen(frontier, bloom=bloom).collect())
+    assert out == [extra, 999_999]  # FP survived; truly-seen 5 rejected
+
+
+def test_fused_probe_ignores_differently_synced_bloom(spark, tmp_path):
+    """A bloom synced to a different seen snapshot than the key store must
+    be ignored (exact-only probe) — its definitely-new claim is stale."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    bloom = BloomShardStore(str(tmp_path / "bl"), capacity=10_000, n_shards=4)
+    bloom.sync(t)  # synced at snapshot 1
+    t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)  # synced at snapshot 2: bloom is BEHIND
+
+    # if the stale bloom were trusted, keys 100..199 would look
+    # definitely-new and skip the exact search -> refetch. They must not.
+    frontier = spark.range(0, 300).select(F.col("id").alias("key"))
+    out = sorted(r.key for r in store.reject_seen(frontier, bloom=bloom).collect())
+    assert out == list(range(200, 300))
 
 
 def test_seen_keys_incremental_and_rebuild(spark, tmp_path):
