@@ -672,10 +672,12 @@ class Crawler:
         return self.status(url, method, body)["status"] != "miss"
 
     def uncache(self, url: str, method: str = "GET", body: str = "") -> None:
-        """Row-level delete (sinew's uncache). The Bloom may retain the key
-        — fail-safe: under the fused probe a stale bloom entry only sends
-        the key to the exact search, which honors the delete (the key
-        store re-syncs against the post-delete snapshot before any probe).
-        No sidecar rebuild is needed here."""
+        """Row-level delete (sinew's uncache) — O(delta) end to end at the
+        10^10-key design point: a merge-on-read equality-delete snapshot
+        (tiny delete file, no table rewrite) that the key/value shard
+        stores absorb as tombstone runs on their next sync (no O(seen)
+        rebuild). The Bloom may retain the key — fail-safe: under the
+        fused probe a stale bloom entry only sends the key to the exact
+        search, which honors the tombstone."""
         key, _ = self._key_for(url, method, body)
-        self.seen_t.delete_where(F.col("key") == F.lit(key))
+        self.seen_t.delete_keys([key])

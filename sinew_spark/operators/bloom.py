@@ -434,8 +434,8 @@ def _run_gen(name: str) -> int:
     return int(base[pos + 2 :]) if pos >= 0 else 0
 
 
-def _shard_run_files(dirpath: str, shard: int) -> list[str]:
-    prefix = f"keys-{shard:05d}"
+def _shard_run_files(dirpath: str, shard: int, prefix: str = "keys") -> list[str]:
+    pre = f"{prefix}-{shard:05d}"
     try:
         names = os.listdir(dirpath)
     except FileNotFoundError:
@@ -443,24 +443,51 @@ def _shard_run_files(dirpath: str, shard: int) -> list[str]:
     return sorted(
         os.path.join(dirpath, n)
         for n in names
-        if n.startswith(prefix) and n.endswith(".npy")
+        if n.startswith(pre) and n.endswith(".npy")
     )
 
 
+def _fold_key_runs(entries: list[tuple[int, str, np.ndarray]]) -> np.ndarray:
+    """Resolve a shard's run sequence into one sorted-unique key array.
+    ``entries`` are (generation, kind, sorted-unique array) with kind 'k'
+    (add run) or 'd' (tombstone run); later generations win, so a key
+    deleted at gen g and re-added at gen g' > g is a member. Runs within
+    one kind commute, so the no-tombstone fast path is a plain union."""
+    if all(kind == "k" for _g, kind, _a in entries):
+        arrs = [a for _g, _k, a in entries]
+        return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+    cur = np.empty(0, dtype=np.int64)
+    for _g, kind, arr in sorted(entries, key=lambda e: e[0]):
+        if kind == "k":
+            cur = np.union1d(cur, arr)
+        else:
+            cur = np.setdiff1d(cur, arr, assume_unique=True)
+    return cur
+
+
+def _shard_entries(dirpath: str, shard: int, prefix: str = "keys") -> list[tuple[int, str, str]]:
+    """(generation, kind, path) for a shard's add + tombstone run files."""
+    adds = _shard_run_files(dirpath, shard, prefix)
+    dels = _shard_run_files(dirpath, shard, "dels" if prefix == "keys" else "vdel")
+    return [(_run_gen(os.path.basename(p)), "k", p) for p in adds] + [
+        (_run_gen(os.path.basename(p)), "d", p) for p in dels
+    ]
+
+
 def _load_keys_shard(dirpath: str, shard: int) -> np.ndarray:
-    """Union of the shard's run files as one sorted array, worker-cached
-    keyed by the run list's (name, mtime, size) fingerprint — reloaded only
-    when an absorb/compaction changes the shard."""
+    """The shard's run sequence folded into one sorted array (tombstones
+    applied in generation order), worker-cached keyed by the run list's
+    (name, mtime, size) fingerprint — reloaded only when an
+    absorb/compaction changes the shard."""
     for _attempt in range(3):  # a concurrent compaction can unlink a run mid-read
-        files = _shard_run_files(dirpath, shard)
-        if not files:
+        entries = _shard_entries(dirpath, shard)
+        if not entries:
             return np.empty(0, dtype=np.int64)
         try:
-            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
+            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for _g, _k, p in entries)
             hit = _KEYS_CACHE.get((dirpath, shard), sig)
             if hit is None:
-                arrs = [np.load(p) for p in files]
-                hit = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+                hit = _fold_key_runs([(g, k, np.load(p)) for g, k, p in entries])
                 _KEYS_CACHE.put((dirpath, shard), sig, hit, hit.nbytes)
             return hit
         except FileNotFoundError:
@@ -484,20 +511,25 @@ class SeenKeyShardStore:
     Shard layout is LSM-shaped: an absorb appends a sorted-unique RUN file
     per touched shard (write volume O(round delta), not O(total keys) — a
     round at the design point writes ~0.8 GB of runs instead of rewriting
-    the 80 GB key set), and a shard that reaches KEYS_COMPACT_RUNS runs is
-    merged back to one on its next absorb. Probes union a shard's runs
-    into one sorted array, cached per worker until the run list changes.
+    the 80 GB key set); equality deletes (uncache) absorb as TOMBSTONE
+    runs in the same generation sequence; and a shard that reaches
+    KEYS_COMPACT_RUNS runs is folded back to one resolved run on its next
+    absorb. Probes fold a shard's runs in generation order (adds union,
+    tombstones subtract — so delete-then-re-append replays exactly) into
+    one sorted array, cached per worker until the run list changes.
 
     Correctness discipline (this is TRUTH, unlike the fail-safe bloom): a
     shard must never be BEHIND the committed seen table when probed, or a
     seen URL would be refetched. ``sync()`` enforces it: shard meta records
-    the last absorbed seen snapshot id; on round start any newer append
-    snapshots are absorbed (incremental deltas), and any non-append
-    history (uncache's overwrite) triggers a full rebuild. The probe is
-    refused (caller falls back to the anti-join) only if sync was skipped.
-    Crash between seen commit and shard add is repaired by the same
-    catch-up on next start — the snapshot id only advances AFTER the
-    shards are written."""
+    the last absorbed seen snapshot id; on round start any newer append /
+    equality-delete snapshots are absorbed (incremental O(delta) deltas),
+    and history the runs can't express (overwrite/compaction) triggers a
+    full rebuild. The probe is refused (caller falls back to the
+    anti-join) only if sync was skipped. Crash between seen commit and
+    shard add is repaired by the same catch-up on next start — the
+    snapshot id only advances AFTER the shards are written, and
+    re-absorbing a snapshot sequence is idempotent (unions and ordered
+    subtractions replay to the same fold)."""
 
     def __init__(self, path: str, n_shards: int = 64):
         self.path = path
@@ -553,20 +585,23 @@ class SeenKeyShardStore:
         def upd(pdf):
             shard = int(pdf["_shard"].iloc[0])
             new = np.unique(pdf["key"].to_numpy("int64"))
-            files = _shard_run_files(dirpath, shard)
-            nxt = max((_run_gen(os.path.basename(f)) for f in files), default=0) + 1
+            entries = _shard_entries(dirpath, shard)
+            nxt = max((g for g, _k, _p in entries), default=0) + 1
             target = os.path.join(dirpath, f"keys-{shard:05d}.r{nxt:06d}.npy")
             tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
-            if len(files) + 1 > KEYS_COMPACT_RUNS:  # compact: merge all runs + delta
-                out = np.unique(np.concatenate([np.load(f) for f in files] + [new]))
+            compact = len(entries) + 1 > KEYS_COMPACT_RUNS
+            if compact:  # merge all runs + delta, tombstones resolved
+                out = _fold_key_runs(
+                    [(g, k, np.load(p)) for g, k, p in entries] + [(nxt, "k", new)]
+                )
             else:
                 out = new
             np.save(tmp, out)
             os.replace(tmp, target)
-            if out is not new:  # compaction: drop absorbed inputs (rename-first)
-                for f in files:
+            if compact:  # drop absorbed inputs (rename-first)
+                for _g, _k, p in entries:
                     try:
-                        os.unlink(f)
+                        os.unlink(p)
                     except FileNotFoundError:
                         pass
             return pd.DataFrame({"shard": [shard], "n_keys": [len(new)]})
@@ -582,26 +617,82 @@ class SeenKeyShardStore:
         )
         return int(counts[0].n or 0)
 
+    def _absorb_deletes(self, keys_df) -> int:
+        """Absorb an equality-delete snapshot as TOMBSTONE runs — O(delta),
+        vs the full O(seen) rebuild that row-level deletes used to force.
+        Each touched shard gains one sorted-unique `dels-` run in the same
+        generation sequence as the add runs; the fold (probe time /
+        compaction) applies runs in generation order, so a key re-added
+        after the delete is seen again. Crossing KEYS_COMPACT_RUNS folds
+        everything into one resolved add run (rename-before-unlink, same
+        crash model: a stale lower-generation leftover is re-subsumed)."""
+        from pyspark.sql import functions as F
+
+        dirpath = self.path
+
+        def upd(pdf):
+            shard = int(pdf["_shard"].iloc[0])
+            dead = np.unique(pdf["key"].to_numpy("int64"))
+            entries = _shard_entries(dirpath, shard)
+            nxt = max((g for g, _k, _p in entries), default=0) + 1
+            tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
+            if len(entries) + 1 > KEYS_COMPACT_RUNS:  # fold to one resolved run
+                out = _fold_key_runs(
+                    [(g, k, np.load(p)) for g, k, p in entries] + [(nxt, "d", dead)]
+                )
+                target = os.path.join(dirpath, f"keys-{shard:05d}.r{nxt:06d}.npy")
+                np.save(tmp, out)
+                os.replace(tmp, target)
+                for _g, _k, p in entries:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+            else:
+                target = os.path.join(dirpath, f"dels-{shard:05d}.r{nxt:06d}.npy")
+                np.save(tmp, dead)
+                os.replace(tmp, target)
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(dead)]})
+
+        os.makedirs(dirpath, exist_ok=True)
+        counts = (
+            keys_df.select("key")
+            .withColumn("_shard", self._shard_expr())
+            .groupBy("_shard")
+            .applyInPandas(upd, "shard int, n_keys long")
+            .agg(F.sum("n_keys").alias("n"))
+            .collect()
+        )
+        return int(counts[0].n or 0)
+
     def sync(self, seen_t) -> None:
         """Bring shards up to the seen table's current snapshot: absorb
-        newer append deltas incrementally; rebuild on any non-append
-        history (row-level delete rewrites the table)."""
+        newer append deltas incrementally and equality-delete snapshots as
+        tombstone runs (both O(delta)); rebuild only on history the runs
+        can't express incrementally (overwrite/compaction rewrites the
+        table). Appends and edeletes are absorbed in snapshot order so the
+        run-generation sequence reproduces the table's delete-then-re-add
+        semantics."""
         cur = seen_t.current_snapshot()
         if cur is None or cur == self.snapshot_id:
             return
-        newer = [
-            s
-            for s in seen_t.snapshots()
-            if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
-        ]
-        incremental = self.snapshot_id is not None and all(s["op"] == "append" for s in newer)
+        newer = sorted(
+            (
+                s
+                for s in seen_t.snapshots()
+                if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
+            ),
+            key=lambda s: s["id"],
+        )
+        incremental = self.snapshot_id is not None and all(
+            s["op"] in ("append", "edelete") for s in newer
+        )
         if incremental:
-            df = None
             for s in newer:
-                d = seen_t.read_delta(s["id"]).select("key")
-                df = d if df is None else df.unionByName(d)
-            if df is not None:
-                self._absorb(df)
+                if s["op"] == "append":
+                    self._absorb(seen_t.read_delta(s["id"]).select("key"))
+                else:
+                    self._absorb_deletes(seen_t.read_delete_delta(s["id"]).select("key"))
         else:
             import shutil
 
@@ -705,21 +796,55 @@ def _merge_val_runs(arrs: list[tuple]) -> tuple:
     return uk, mok, merr
 
 
+def _val_entries(dirpath: str, shard: int) -> list[tuple[int, str, str]]:
+    """(generation, kind, path) for a shard's value runs ('k') and
+    tombstone runs ('d', plain .npy key arrays under the vdel- prefix)."""
+    adds = _shard_val_files(dirpath, shard)
+    dels = _shard_run_files(dirpath, shard, "vdel")
+    # _run_gen strips a 4-char extension: works for .npz and .npy alike
+    return [(_run_gen(os.path.basename(p)), "k", p) for p in adds] + [
+        (_run_gen(os.path.basename(p)), "d", p) for p in dels
+    ]
+
+
+def _fold_val_runs(entries: list[tuple[int, str, object]]) -> tuple:
+    """Resolve value runs + tombstones in generation order: add runs merge
+    per-key class maxima; a tombstone removes its keys (with all their
+    statistics — a later re-add starts fresh, matching the table's
+    delete-then-re-append semantics). No-tombstone fast path is the
+    order-free class-max merge."""
+    if all(kind == "k" for _g, kind, _a in entries):
+        arrs = [a for _g, _k, a in entries]
+        return arrs[0] if len(arrs) == 1 else _merge_val_runs(arrs)
+    e = np.empty(0)
+    cur = (e.astype(np.int64), e.astype(np.float64), e.astype(np.float64))
+    for _g, kind, payload in sorted(entries, key=lambda t: t[0]):
+        if kind == "k":
+            cur = _merge_val_runs([cur, payload]) if len(cur[0]) else payload
+        else:
+            keep = ~np.isin(cur[0], payload, assume_unique=True)
+            cur = (cur[0][keep], cur[1][keep], cur[2][keep])
+    return cur
+
+
 def _load_vals_shard(dirpath: str, shard: int) -> tuple:
     for _attempt in range(3):
-        files = _shard_val_files(dirpath, shard)
-        if not files:
+        entries = _val_entries(dirpath, shard)
+        if not entries:
             e = np.empty(0)
             return e.astype(np.int64), e, e
         try:
-            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)
+            sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for _g, _k, p in entries)
             hit = _VALS_CACHE.get((dirpath, shard), sig)
             if hit is None:
-                arrs = []
-                for p in files:
-                    z = np.load(p)
-                    arrs.append((z["keys"], z["fa_ok"], z["fa_err"]))
-                hit = arrs[0] if len(arrs) == 1 else _merge_val_runs(arrs)
+                loaded = []
+                for g, k, p in entries:
+                    if k == "k":
+                        z = np.load(p)
+                        loaded.append((g, k, (z["keys"], z["fa_ok"], z["fa_err"])))
+                    else:
+                        loaded.append((g, k, np.load(p)))
+                hit = _fold_val_runs(loaded)
                 _VALS_CACHE.put((dirpath, shard), sig, hit, sum(a.nbytes for a in hit))
             return hit
         except FileNotFoundError:
@@ -775,25 +900,29 @@ class SeenValueShardStore(SeenKeyShardStore):
             np.maximum.at(mok, inv[ok], fa[ok])
             np.maximum.at(merr, inv[~ok], fa[~ok])
             new = (uk, mok, merr)
-            files = _shard_val_files(dirpath, shard)
-            nxt = max((_run_gen(os.path.basename(f)) for f in files), default=0) + 1
+            entries = _val_entries(dirpath, shard)
+            nxt = max((g for g, _k, _p in entries), default=0) + 1
             target = os.path.join(dirpath, f"vals-{shard:05d}.r{nxt:06d}.npz")
             tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npz")
-            if len(files) + 1 > KEYS_COMPACT_RUNS:
-                arrs = []
-                for f in files:
-                    z = np.load(f)
-                    arrs.append((z["keys"], z["fa_ok"], z["fa_err"]))
-                out = _merge_val_runs(arrs + [new])
+            compact = len(entries) + 1 > KEYS_COMPACT_RUNS
+            if compact:  # fold all runs + delta, tombstones resolved
+                loaded = []
+                for g, k, p in entries:
+                    if k == "k":
+                        z = np.load(p)
+                        loaded.append((g, k, (z["keys"], z["fa_ok"], z["fa_err"])))
+                    else:
+                        loaded.append((g, k, np.load(p)))
+                out = _fold_val_runs(loaded + [(nxt, "k", new)])
             else:
                 out = new
             with open(tmp, "wb") as fh:
                 np.savez(fh, keys=out[0], fa_ok=out[1], fa_err=out[2])
             os.replace(tmp, target)
-            if out is not new:
-                for f in files:
+            if compact:
+                for _g, _k, p in entries:
                     try:
-                        os.unlink(f)
+                        os.unlink(p)
                     except FileNotFoundError:
                         pass
             return pd.DataFrame({"shard": [shard], "n_keys": [len(uk)]})
@@ -809,26 +938,83 @@ class SeenValueShardStore(SeenKeyShardStore):
         )
         return int(counts[0].n or 0)
 
+    def _absorb_deletes(self, keys_df) -> int:
+        """Equality-delete tombstones, same discipline as the key store's:
+        one `vdel-` run per touched shard in the shared generation
+        sequence. A tombstone wipes the key's statistics entirely — the
+        table forgot the entry, so the store must too (a later re-append
+        rebuilds stats from its own run)."""
+        from pyspark.sql import functions as F
+
+        dirpath = self.path
+
+        def upd(pdf):
+            shard = int(pdf["_shard"].iloc[0])
+            dead = np.unique(pdf["key"].to_numpy("int64"))
+            entries = _val_entries(dirpath, shard)
+            nxt = max((g for g, _k, _p in entries), default=0) + 1
+            tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
+            if len(entries) + 1 > KEYS_COMPACT_RUNS:  # fold to one resolved run
+                loaded = []
+                for g, k, p in entries:
+                    if k == "k":
+                        z = np.load(p)
+                        loaded.append((g, k, (z["keys"], z["fa_ok"], z["fa_err"])))
+                    else:
+                        loaded.append((g, k, np.load(p)))
+                out = _fold_val_runs(loaded + [(nxt, "d", dead)])
+                target = os.path.join(dirpath, f"vals-{shard:05d}.r{nxt:06d}.npz")
+                tmpz = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npz")
+                with open(tmpz, "wb") as fh:
+                    np.savez(fh, keys=out[0], fa_ok=out[1], fa_err=out[2])
+                os.replace(tmpz, target)
+                for _g, _k, p in entries:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+            else:
+                target = os.path.join(dirpath, f"vdel-{shard:05d}.r{nxt:06d}.npy")
+                np.save(tmp, dead)
+                os.replace(tmp, target)
+            return pd.DataFrame({"shard": [shard], "n_keys": [len(dead)]})
+
+        os.makedirs(dirpath, exist_ok=True)
+        counts = (
+            keys_df.select("key")
+            .withColumn("_shard", self._shard_expr())
+            .groupBy("_shard")
+            .applyInPandas(upd, "shard int, n_keys long")
+            .agg(F.sum("n_keys").alias("n"))
+            .collect()
+        )
+        return int(counts[0].n or 0)
+
     def sync(self, seen_t) -> None:
-        """Same snapshot discipline as the key store, but deltas carry
-        (key, status, fetched_at)."""
+        """Same snapshot discipline as the key store (appends + equality
+        deletes absorb O(delta), in snapshot order; other history
+        rebuilds), but append deltas carry (key, status, fetched_at)."""
         cur = seen_t.current_snapshot()
         if cur is None or cur == self.snapshot_id:
             return
-        newer = [
-            s
-            for s in seen_t.snapshots()
-            if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
-        ]
-        incremental = self.snapshot_id is not None and all(s["op"] == "append" for s in newer)
+        newer = sorted(
+            (
+                s
+                for s in seen_t.snapshots()
+                if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
+            ),
+            key=lambda s: s["id"],
+        )
+        incremental = self.snapshot_id is not None and all(
+            s["op"] in ("append", "edelete") for s in newer
+        )
         cols = ["key", "status", "fetched_at"]
         if incremental:
-            df = None
             for s in newer:
-                d = seen_t.read_delta(s["id"]).select(*cols)
-                df = d if df is None else df.unionByName(d)
-            if df is not None:
-                self._absorb(df)
+                if s["op"] == "append":
+                    self._absorb(seen_t.read_delta(s["id"]).select(*cols))
+                else:
+                    self._absorb_deletes(seen_t.read_delete_delta(s["id"]).select("key"))
         else:
             import shutil
 

@@ -8,8 +8,19 @@ snapshot-versioned tables: every commit produces a new immutable snapshot
 
 - atomic per-round commits (the resumability points),
 - time travel (read any snapshot id — used by resume + replay tests),
-- row-level delete via copy-on-write rewrite (sinew's `uncache`),
+- row-level delete two ways: `delete_keys` is a merge-on-read EQUALITY
+  delete (Iceberg v2 model — a small delete file of key values, O(delta);
+  sinew's `uncache` path), `delete_where` is a copy-on-write rewrite for
+  arbitrary predicates,
 - lineage: each snapshot records the operation + round that produced it.
+
+Merge-on-read sequence rule (Iceberg's): an equality delete applies only
+to data files added BEFORE it, so a key re-appended after a delete is
+visible again. `read()` resolves deletes by grouping data dirs by their
+applicable delete set (≤ n_deletes+1 groups; delete files are tiny and
+broadcast). Accumulating more than MOR_COMPACT_DELETES delete files
+triggers a compaction first, so read plans stay bounded and the rewrite
+cost is amortized over that many point deletes.
 
 This is the Iceberg table model implemented over plain parquet + a JSON
 manifest, because the sandbox has no Iceberg runtime jars. The API is
@@ -31,7 +42,14 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# equality-delete files tolerated before a compaction resolves them — bounds
+# both the read plan (union of <= N+1 anti-joined groups) and the shard
+# stores' tombstone-run count; the compaction rewrite is amortized over N
+# point deletes instead of paid per delete (the old COW-only behavior)
+MOR_COMPACT_DELETES = 8
 
 
 def _arrow_type(dt: T.DataType):
@@ -106,8 +124,30 @@ class SnapshotTable:
                 )
         return out
 
-    def _new_snapshot(self, dirs: list[str], op: str, meta: dict | None) -> None:
+    def _snapshot(self, snapshot_id: int | None = None) -> dict | None:
         m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            return None
+        for s in m["snapshots"]:
+            if s["id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found in {self.path}")
+
+    def _new_snapshot(
+        self,
+        dirs: list[str],
+        op: str,
+        meta: dict | None,
+        deletes: list[dict] | None = None,
+    ) -> None:
+        """``deletes`` is the new snapshot's FULL cumulative equality-delete
+        list; None inherits the current snapshot's (appends and edeletes
+        carry deletes forward; overwrite/compaction resolves them to [])."""
+        m = self._read_manifest()
+        if deletes is None:
+            cur = self._snapshot()
+            deletes = list(cur.get("deletes", [])) if cur else []
         # max over history, not current: after a rollback, current < max id
         sid = max((s["id"] for s in m["snapshots"]), default=0) + 1
         m["snapshots"].append(
@@ -117,6 +157,7 @@ class SnapshotTable:
                 "op": op,
                 "ts": time.time(),
                 "meta": meta or {},
+                "deletes": deletes,
             }
         )
         m["current"] = sid
@@ -150,14 +191,56 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data(df.select([f.name for f in self.schema.fields]))
-        self._new_snapshot([d], "overwrite", {**(meta or {}), "files": self._file_stats([d])})
+        self._new_snapshot(
+            [d], "overwrite", {**(meta or {}), "files": self._file_stats([d])}, deletes=[]
+        )
         return self.current_snapshot()
 
     def delete_where(self, condition, meta: dict | None = None) -> int:
-        """Row-level delete via copy-on-write rewrite (sinew's uncache,
-        /root/reference/lib/sinew/base.rb:101-105)."""
+        """Row-level delete via copy-on-write rewrite — for arbitrary
+        predicates. Point deletes by key should use ``delete_keys`` (O(delta)
+        merge-on-read) instead of this O(table) rewrite."""
         kept = self.read().where(~condition)
         return self.overwrite(kept, {**(meta or {}), "delete": True})
+
+    def delete_keys(self, values: list, key_col: str = "key", meta: dict | None = None) -> int:
+        """Equality delete, merge-on-read (sinew's `uncache`,
+        /root/reference/lib/sinew/base.rb:101-105): write the deleted key
+        VALUES as a tiny delete file and a new snapshot whose data dirs are
+        unchanged — O(delta), vs delete_where's full copy-on-write rewrite
+        (1.2 TB for one key at the 10^10-row design point). The delete
+        applies only to data files added before this snapshot (sequence
+        rule), so re-appending a key later makes it visible again. Past
+        MOR_COMPACT_DELETES accumulated delete files a compaction resolves
+        them first (amortized rewrite). Driver-side pyarrow write — point
+        deletes don't need a Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.current_snapshot() is None or not values:
+            return self.current_snapshot()
+        cur_deletes = list(self._snapshot().get("deletes", []))
+        if len(cur_deletes) >= MOR_COMPACT_DELETES:
+            self.compact()
+            cur_deletes = []
+        field = next(f for f in self.schema.fields if f.name == key_col)
+        d = os.path.join(self.path, "data", uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.table(
+            {key_col: list(values)},
+            schema=pa.schema([(key_col, _arrow_type(field.dataType))]),
+        )
+        pq.write_table(tbl, os.path.join(d, "delete-0.parquet"))
+        m = self._read_manifest()
+        sid = max((s["id"] for s in m["snapshots"]), default=0) + 1
+        cur_dirs = self._dirs()
+        self._new_snapshot(
+            cur_dirs,
+            "edelete",
+            {**(meta or {}), "n_deleted_keys": len(values)},
+            deletes=cur_deletes + [{"id": sid, "dir": d, "key_col": key_col}],
+        )
+        return self.current_snapshot()
 
     # --- reads ----------------------------------------------------------------
 
@@ -174,7 +257,9 @@ class SnapshotTable:
     def approx_rows(self, snapshot_id: int | None = None) -> int:
         """Row count of a snapshot from manifest file stats — no Spark job,
         no file reads. Used for plan selection (e.g. seen-filter strategy:
-        broadcast anti-join while small, shard probe at scale)."""
+        broadcast anti-join while small, shard probe at scale). Unresolved
+        equality deletes overcount by the deleted rows — negligible for
+        point deletes, and only ever biases strategy selection upward."""
         m = self._read_manifest()
         sid = snapshot_id if snapshot_id is not None else m["current"]
         if sid is None:
@@ -207,6 +292,8 @@ class SnapshotTable:
             prev = s
         if target is None:
             raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+        if target["op"] == "edelete":  # adds no data files
+            return self.spark.createDataFrame([], self.schema)
         prev_dirs = set(prev["dirs"]) if prev and target["op"] == "append" else set()
         new_dirs = [d for d in target["dirs"] if d not in prev_dirs]
         if not new_dirs:
@@ -231,13 +318,60 @@ class SnapshotTable:
         # small files would otherwise still coalesce via openCostInBytes padding
         self.spark.conf.set("spark.sql.files.openCostInBytes", str(min(4 << 20, size // 4)))
 
+    def read_delete_delta(self, snapshot_id: int) -> DataFrame:
+        """The key values deleted BY the given edelete snapshot — the
+        incremental feed for sidecar stores absorbing tombstones."""
+        s = self._snapshot(snapshot_id)
+        mine = [dl for dl in s.get("deletes", []) if dl["id"] == snapshot_id]
+        if not mine:
+            return self.spark.createDataFrame([], T.StructType([]))
+        key_col = mine[0]["key_col"]
+        field = next(f for f in self.schema.fields if f.name == key_col)
+        schema = T.StructType([field])
+        return self.spark.read.schema(schema).parquet(*[dl["dir"] for dl in mine])
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Parquet scans get
-        full Catalyst pushdown/pruning."""
+        full Catalyst pushdown/pruning. Equality deletes are resolved
+        merge-on-read: data dirs are grouped by their applicable delete set
+        (sequence rule — a delete hits only dirs added before it), each
+        group anti-joined against its broadcast delete keys. Point-delete
+        files are tiny, MOR_COMPACT_DELETES bounds the group count."""
         dirs = self._dirs(snapshot_id)
         if not dirs:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*dirs)
+        snap = self._snapshot(snapshot_id)
+        deletes = snap.get("deletes", [])
+        if not deletes:
+            return self.spark.read.schema(self.schema).parquet(*dirs)
+        # first snapshot id that carried each dir = the dir's add sequence
+        first_seen: dict[str, int] = {}
+        for s in sorted(self._read_manifest()["snapshots"], key=lambda s: s["id"]):
+            for d in s["dirs"]:
+                first_seen.setdefault(d, s["id"])
+        key_col = deletes[0]["key_col"]
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            appl = tuple(dl["id"] for dl in deletes if dl["id"] > first_seen.get(d, 0))
+            groups.setdefault(appl, []).append(d)
+        field = next(f for f in self.schema.fields if f.name == key_col)
+        del_schema = T.StructType([field])
+        parts = []
+        for appl, ds in groups.items():
+            part = self.spark.read.schema(self.schema).parquet(*ds)
+            if appl:
+                del_dirs = [dl["dir"] for dl in deletes if dl["id"] in appl]
+                dk = (
+                    self.spark.read.schema(del_schema)
+                    .parquet(*del_dirs)
+                    .distinct()
+                )
+                part = part.join(F.broadcast(dk), key_col, "left_anti")
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point current at an older snapshot (resume-from-checkpoint)."""

@@ -1,6 +1,8 @@
 """Sharded Bloom filter: no false negatives, bounded false positives,
 round-trip serialization; executor-side shard store lifecycle."""
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -460,3 +462,133 @@ def test_shard_lru_bounds_and_generations():
     # a single oversized entry stays resident (never evict the working item)
     lru.put(("d", 8), "fp0", "big", 500)
     assert lru.get(("d", 8), "fp0") == "big" and len(lru._d) == 1
+
+
+# --- equality-delete tombstones (uncache's O(delta) path) ----------------------
+
+
+def test_seen_keys_edelete_absorbs_tombstones_not_rebuild(spark, tmp_path):
+    """An equality-delete snapshot absorbs as tombstone runs — the existing
+    add runs are untouched (no O(seen) rebuild), the probe honors the
+    delete, and a re-appended key is seen again (generation order)."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore, _shard_run_files
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    t.append(spark.range(0, 1000).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)
+    adds_before = {
+        s: [os.path.basename(p) for p in _shard_run_files(store.path, s)] for s in range(4)
+    }
+
+    t.delete_keys([5, 6, 7])
+    store.sync(t)
+    assert store.in_sync_with(t)
+    adds_after = {
+        s: [os.path.basename(p) for p in _shard_run_files(store.path, s)] for s in range(4)
+    }
+    assert adds_after == adds_before  # no rebuild, no new add runs
+    assert sum(len(_shard_run_files(store.path, s, "dels")) for s in range(4)) > 0
+
+    probe = spark.range(0, 1010).select(F.col("id").alias("key"))
+    out = sorted(r.key for r in store.reject_seen(probe).collect())
+    assert out == [5, 6, 7] + list(range(1000, 1010))
+
+    # re-append one deleted key: a higher-generation add run wins
+    t.append(spark.createDataFrame([(5,)], "key long"))
+    store.sync(t)
+    out2 = sorted(r.key for r in store.reject_seen(probe).collect())
+    assert out2 == [6, 7] + list(range(1000, 1010))
+
+    # fused bloom probe agrees (stale bloom entries fall through to exact)
+    bloom = BloomShardStore(str(tmp_path / "bl"), capacity=10_000, n_shards=4)
+    bloom.sync(t)
+    out3 = sorted(r.key for r in store.reject_seen(probe, bloom=bloom).collect())
+    assert out3 == out2
+
+
+def test_seen_keys_tombstone_compaction_resolves(spark, tmp_path):
+    """Interleaved deletes count toward KEYS_COMPACT_RUNS; crossing it folds
+    the shard to one resolved add run and membership replays exactly."""
+    import os as _os
+
+    from sinew_spark.operators.bloom import (
+        KEYS_COMPACT_RUNS,
+        SeenKeyShardStore,
+        _shard_run_files,
+    )
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "seen"), T.StructType([T.StructField("key", T.LongType())])
+    )
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=2)
+    lo, dead = 0, []
+    for i in range(KEYS_COMPACT_RUNS + 3):
+        t.append(spark.range(lo, lo + 40).select(F.col("id").alias("key")))
+        store.sync(t)
+        if i % 2 == 0:  # interleave point deletes
+            t.delete_keys([lo + 1, lo + 2])
+            store.sync(t)
+            dead += [lo + 1, lo + 2]
+        lo += 40
+    for s in range(2):
+        n_runs = len(_shard_run_files(store.path, s)) + len(
+            _shard_run_files(store.path, s, "dels")
+        )
+        assert n_runs <= KEYS_COMPACT_RUNS, n_runs
+    probe = spark.range(0, lo + 50).select(F.col("id").alias("key"))
+    expected = sorted(dead + list(range(lo, lo + 50)))
+    assert sorted(r.key for r in store.reject_seen(probe).collect()) == expected
+
+
+def test_seen_vals_edelete_tombstones_match_anti_join(spark, tmp_path):
+    """Valued shards absorb equality deletes as tombstones and keep exact
+    anti_join_seen semantics across modes; a deleted key's statistics are
+    wiped (a later re-append starts fresh)."""
+    from sinew_spark.operators.bloom import SeenValueShardStore, _shard_val_files
+    from sinew_spark.operators.frontier import anti_join_seen
+
+    now = 1_000_000.0
+    t = _mk_seen_table(spark, str(tmp_path / "seen"))
+    t.append(
+        spark.range(0, 300).select(
+            F.col("id").alias("key"),
+            F.when(F.col("id") % 3 == 1, 500).otherwise(200).cast("int").alias("status"),
+            (F.lit(now) - 50.0 - (F.col("id") % 7) * 40.0).alias("fetched_at"),
+        )
+    )
+    store = SeenValueShardStore(str(tmp_path / "vs"), n_shards=4)
+    store.sync(t)
+    vals_before = {
+        s: [os.path.basename(p) for p in _shard_val_files(store.path, s)] for s in range(4)
+    }
+    t.delete_keys([10, 11, 12, 13])
+    store.sync(t)
+    assert store.in_sync_with(t)
+    assert {
+        s: [os.path.basename(p) for p in _shard_val_files(store.path, s)] for s in range(4)
+    } == vals_before  # tombstones only, no rebuild
+
+    # old error entry deleted, fresh ok re-append: stats start fresh
+    t.append(spark.createDataFrame([(10, 200, now - 1.0)], t.schema))
+    store.sync(t)
+
+    frontier = spark.range(0, 400).select(F.col("id").alias("key"))
+    for expires, fe in [(None, False), (100.0, False), (None, True), (100.0, True)]:
+        exact = sorted(
+            r.key
+            for r in anti_join_seen(
+                frontier, t.read(), expires=expires, force_errors=fe, now=now
+            ).collect()
+        )
+        via = sorted(
+            r.key
+            for r in store.reject_seen(frontier, expires=expires, force_errors=fe, now=now).collect()
+        )
+        assert via == exact, f"divergence at expires={expires} force_errors={fe}"

@@ -71,3 +71,45 @@ def test_compact_preserves_rows_and_history(spark, tmpdir_path):
     assert n_dirs_before == 4
     # pre-compaction snapshot still time-travels
     assert t.read(s_pre).count() == 4
+
+
+def test_delete_keys_merge_on_read(spark, tmpdir_path):
+    """Equality delete writes a tiny delete file, no table rewrite: data
+    dirs are unchanged, the read resolves the delete, time travel still
+    sees the row, and the sequence rule makes a re-appended key visible
+    again (the delete only applies to files added before it)."""
+    t = SnapshotTable(spark, tmpdir_path + "/t", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], SCHEMA))
+    s1 = t.current_snapshot()
+    dirs_before = t._dirs()
+    t.delete_keys([2], key_col="k")
+    assert t._dirs() == dirs_before  # merge-on-read: no data rewrite
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+    assert sorted(r.k for r in t.read(s1).collect()) == [1, 2, 3]  # time travel
+    assert t.read_delta(t.current_snapshot()).count() == 0  # adds nothing
+    assert [r.k for r in t.read_delete_delta(t.current_snapshot()).collect()] == [2]
+
+    # sequence rule: re-append key 2 -> visible; a later delete hits both
+    t.append(spark.createDataFrame([(2, "b2")], SCHEMA))
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b2"), (3, "c")]
+    t.delete_keys([2, 3], key_col="k")
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+    # compaction resolves deletes into plain data
+    t.compact()
+    assert t._snapshot().get("deletes") == []
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+
+def test_delete_keys_auto_compacts(spark, tmpdir_path):
+    """Accumulated delete files are bounded by MOR_COMPACT_DELETES — the
+    read plan never grows past that many anti-join groups."""
+    from sinew_spark.plans.snapshots import MOR_COMPACT_DELETES
+
+    t = SnapshotTable(spark, tmpdir_path + "/t", SCHEMA)
+    t.append(spark.createDataFrame([(0, "x")], SCHEMA))
+    for i in range(1, MOR_COMPACT_DELETES + 4):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+        t.delete_keys([i], key_col="k")
+    assert len(t._snapshot().get("deletes")) <= MOR_COMPACT_DELETES
+    assert [r.k for r in t.read().collect()] == [0]
