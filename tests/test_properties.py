@@ -222,3 +222,95 @@ def test_valued_shard_stats_match_brute_force(entries, n_runs, expires, force_er
             if k == key
         )
         assert blocked_store == blocked_brute, (key, expires, force_errors)
+
+
+@given(
+    runs=st.lists(
+        st.tuples(
+            st.sampled_from(["k", "d"]),
+            st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=15),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_key_fold_matches_set_replay(runs):
+    """_fold_key_runs resolves any interleaving of add + tombstone runs to
+    exactly the set replay in generation order — delete-then-re-append is
+    a member, append-then-delete is not (the MOR sequence rule the seen
+    table's uncache depends on)."""
+    from sinew_spark.operators.bloom import _fold_key_runs
+
+    entries = [
+        (g + 1, kind, np.unique(np.array(keys, dtype=np.int64)))
+        for g, (kind, keys) in enumerate(runs)
+    ]
+    expect: set[int] = set()
+    for _g, kind, arr in entries:
+        if kind == "k":
+            expect |= set(arr.tolist())
+        else:
+            expect -= set(arr.tolist())
+    got = _fold_key_runs(entries)
+    assert got.tolist() == sorted(expect)
+    assert (np.diff(got) > 0).all()  # sorted unique (probe binary-search contract)
+
+
+@given(
+    runs=st.lists(
+        st.tuples(
+            st.sampled_from(["k", "d"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=20),      # key
+                    st.integers(min_value=200, max_value=599),   # status
+                    st.floats(min_value=0.0, max_value=1000.0),  # fetched_at
+                ),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_val_fold_matches_dict_replay(runs):
+    """_fold_val_runs: tombstones wipe a key's statistics entirely; a later
+    re-add rebuilds class maxima only from runs after the tombstone —
+    matching a dict replay of the raw (key, status, fetched_at) stream."""
+    from sinew_spark.operators.bloom import _NEG_INF, _fold_val_runs
+
+    entries = []
+    expect: dict[int, list[float]] = {}
+    replay = []
+    for g, (kind, items) in enumerate(runs):
+        if kind == "k":
+            keys = np.array([k for k, _s, _f in items], dtype=np.int64)
+            st_ = np.array([s for _k, s, _f in items])
+            fa = np.array([f for _k, _s, f in items])
+            ok = st_ < 400
+            uk, inv = np.unique(keys, return_inverse=True)
+            mok = np.full(len(uk), _NEG_INF)
+            merr = np.full(len(uk), _NEG_INF)
+            np.maximum.at(mok, inv[ok], fa[ok])
+            np.maximum.at(merr, inv[~ok], fa[~ok])
+            entries.append((g + 1, "k", (uk, mok, merr)))
+            replay.append(("k", items))
+        else:
+            dead = np.unique(np.array([k for k, _s, _f in items], dtype=np.int64))
+            entries.append((g + 1, "d", dead))
+            replay.append(("d", [k for k, _s, _f in items]))
+    for kind, items in replay:
+        if kind == "k":
+            for k, s, f in items:
+                cur = expect.setdefault(k, [_NEG_INF, _NEG_INF])
+                cur[0 if s < 400 else 1] = max(cur[0 if s < 400 else 1], f)
+        else:
+            for k in items:
+                expect.pop(k, None)
+    uk, mok, merr = _fold_val_runs(entries)
+    assert uk.tolist() == sorted(expect)
+    for i, k in enumerate(uk.tolist()):
+        assert (mok[i], merr[i]) == tuple(expect[k]), k
