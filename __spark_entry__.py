@@ -235,6 +235,79 @@ def q_contamination(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pii_redact(spark, sf_dir):
+    """Pipeline: PII redaction (operators/quality.py redact_pii — pure
+    Catalyst regexp chain, RE2-compatible patterns so DuckDB runs the
+    identical regexes). PII spans are synthesized deterministically from
+    doc_id (the corpus fixture has none) — emails, SSNs, phones, IPv4s —
+    then counted per category and replaced in pattern order."""
+    from sinew_spark.operators.quality import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com ssn "),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 89 + 10).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 199).cast("string"), F.lit("."),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    out = redact_pii(d.select("doc_id", pii_text.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_pii").cast("bigint").alias("n_pii"),
+        "text_redacted",
+    ).orderBy("doc_id")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Pipeline: corpus-wide paragraph-dedup report (operators/quality.py
+    duplicate_paragraph_stats — the C4/RefinedWeb line-dedup rule's
+    reporting half). Multi-paragraph docs are synthesized by appending a
+    shared pool paragraph (pool id = doc_id % 50), so every pool
+    paragraph genuinely recurs across ~1/50th of the corpus. One shuffle
+    by paragraph hash, one by doc id; oracle-facing hash = md5."""
+    from sinew_spark.operators.quality import duplicate_paragraph_stats
+
+    d = _t(spark, sf_dir, "documents")
+    pool = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    two = d.join(pool, d["doc_id"] % 50 == pool["pid"]).select(
+        "doc_id", F.concat_ws("\n\n", "text", "ptext").alias("text")
+    )
+    stats = duplicate_paragraph_stats(two, hash_expr=lambda c: F.md5(c))
+    return stats.select(
+        "doc_id",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        "dup_frac",
+    ).orderBy("doc_id")
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Pipeline: Gopher-style repetition filter (operators/quality.py
+    repetition_stats — per-row Catalyst array expressions, zero shuffle,
+    zero Python): top 2/3-gram fraction, duplicate 5-gram fraction, mean
+    word length, and the keep decision under the published thresholds."""
+    from sinew_spark.operators.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
 def q_per_host_cap(spark, sf_dir):
     """C7/C14: per-host politeness cap via row_number window (cap=5)."""
     from pyspark.sql.window import Window
@@ -1398,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_vals_semantic": q_seen_vals_semantic,
         "train_split": q_train_split,
         "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -1494,6 +1570,73 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS DOUBLE) / c.n_grams AS frac "
             "FROM corp c JOIN bench b USING (gram) "
             "GROUP BY c.doc_id, c.n_grams ORDER BY doc_id"
+        ),
+        # identical RE2 patterns + construction as q_pii_redact; counts on
+        # the original text, replacement applied in PII_PATTERNS order
+        "pii_redact": (
+            "WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') "
+            "|| '-' || lpad(CAST(doc_id % 89 + 10 AS VARCHAR), 2, '0') "
+            "|| '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') "
+            "|| ' phone 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') "
+            "|| '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') "
+            "|| ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.' || CAST(doc_id % 199 AS VARCHAR) "
+            "|| '.' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents) "
+            "SELECT doc_id, "
+            + "".join(
+                f"len(regexp_extract_all(text, '{pat}')) AS n_{name}, "
+                for name, pat, _tok in [
+                    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", None),
+                    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", None),
+                    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", None),
+                    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", None),
+                ]
+            )
+            + "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_pii, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text_redacted "
+            "FROM p ORDER BY doc_id"
+        ),
+        # paragraph sep is a literal blank line (real newlines embedded in
+        # this SQL string); counts group by paragraph text — identical to
+        # the engine's md5-hash grouping
+        "paragraph_dedup": (
+            "WITH two AS (SELECT d.doc_id AS doc_id, d.text || '\n\n' || p.text AS text "
+            "FROM documents d JOIN documents p ON d.doc_id % 50 = p.doc_id), "
+            "paras AS (SELECT doc_id, trim(unnest(str_split(text, '\n\n'))) AS para FROM two), "
+            "np AS (SELECT doc_id, para FROM paras WHERE para <> ''), "
+            "counts AS (SELECT para, count(*) AS n_occ FROM np GROUP BY para) "
+            "SELECT n.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
+            "CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+            "round(CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac "
+            "FROM np n JOIN counts c USING (para) GROUP BY n.doc_id ORDER BY doc_id"
+        ),
+        # n-gram construction shared with the contamination oracle; keep is
+        # computed over the ROUNDED stats, same as the Spark expressions
+        "gopher_repetition": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+            "g AS (SELECT doc_id, toks, "
+            "list_transform(range(1, greatest(len(toks) - 2, 0) + 2), i -> array_to_string(toks[i:i+1], ' ')) AS g2, "
+            "list_transform(range(1, greatest(len(toks) - 3, 0) + 2), i -> array_to_string(toks[i:i+2], ' ')) AS g3, "
+            "list_transform(range(1, greatest(len(toks) - 5, 0) + 2), i -> array_to_string(toks[i:i+4], ' ')) AS g5 "
+            "FROM t), "
+            "s AS (SELECT doc_id, "
+            "round(CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2), 6) AS top2_frac, "
+            "round(CAST(list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE) / len(g3), 6) AS top3_frac, "
+            "round(1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5), 6) AS dup5_frac, "
+            "round(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / len(toks), 6) AS mean_word_len "
+            "FROM g) "
+            "SELECT doc_id, top2_frac, top3_frac, dup5_frac, mean_word_len, "
+            "(top2_frac < 0.20 AND top3_frac < 0.18 AND dup5_frac < 0.15 "
+            "AND mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS keep "
+            "FROM s ORDER BY doc_id"
         ),
         "per_host_cap": (
             "WITH h AS (SELECT event_id, 'host' || CAST(user_id % 20 AS VARCHAR) AS host FROM events), "

@@ -1,0 +1,204 @@
+"""Corpus-quality operators: PII redaction, inter-document paragraph
+dedup, and Gopher-style repetition filtering.
+
+None of these exist in the reference (/root/reference is a single-node
+scraper); they are training-data-pipeline additions alongside
+operators/dedup.py and operators/pipeline.py (SURVEY.md §2 addendum),
+designed for the 100 TB regime:
+
+- ``redact_pii`` is a pure Catalyst projection — a fixed chain of
+  ``regexp_replace``/``regexp_extract_all`` expressions, zero shuffle,
+  zero Python, whole-stage codegen. Patterns are RE2-compatible so the
+  DuckDB oracle can run the identical regexes.
+- ``paragraph_occurrences`` / ``duplicate_paragraph_stats`` /
+  ``drop_duplicate_paragraphs`` implement the standard web-corpus
+  paragraph-level dedup (remove every later occurrence of a paragraph
+  seen anywhere in the corpus, cf. the C4/RefinedWeb line-dedup rule).
+  Scale shape: explode to (doc, idx, paragraph-hash) rows, ONE shuffle
+  by hash for the global occurrence count + first-owner argmin, ONE
+  shuffle back by doc id for reassembly — never all-pairs, never a
+  driver collect. AQE broadcasts the per-hash aggregate back onto the
+  occurrence rows (verified: 2 shuffle exchanges + 1 broadcast at test
+  SF); if the distinct-paragraph side outgrows broadcast, the SMJ keys
+  on the same phash so the aggregate's exchange is reused.
+- ``repetition_stats`` computes the Gopher repetition signals
+  (top n-gram fraction, duplicate n-gram fraction, mean word length)
+  as per-row Catalyst array expressions — embarrassingly parallel, no
+  shuffle. The per-row cost is O(tokens · distinct n-grams), fine for
+  web documents (10^2-10^4 tokens); for book-length inputs swap the
+  mode computation for a pandas UDF without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (category, RE2+Java-compatible pattern, replacement token). Order is
+# semantics: earlier categories are redacted first and counted on the
+# original text; the patterns are mutually non-overlapping on word
+# boundaries (SSN 3-2-4 vs phone 3-3-4 vs dotted IPv4 quads).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans and count them per category.
+
+    Adds ``n_<category>`` count columns (matches in the original text),
+    ``n_pii`` (their sum) and ``text_redacted``. Counting happens on the
+    untouched text, replacement is applied in PII_PATTERNS order — the
+    same order an oracle must use.
+    """
+    red = F.col(text_col)
+    out = df
+    total = F.lit(0)
+    for name, pat, tok in PII_PATTERNS:
+        cnt = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + cnt
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn("n_pii", total).withColumn("text_redacted", red)
+
+
+PARAGRAPH_SEP = "\n\n"
+
+
+def paragraph_occurrences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARAGRAPH_SEP,
+    hash_expr=None,
+) -> DataFrame:
+    """Explode documents into (id, idx, para, phash) rows, one per
+    non-empty trimmed paragraph. ``hash_expr(column) -> column`` defaults
+    to xxhash64 (engine identity); oracle-facing callers pass md5
+    (DuckDB lacks xxhash64, same convention as operators/pipeline.py).
+    """
+    hfn = hash_expr if hash_expr is not None else (lambda c: F.xxhash64(c))
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("idx", "para"),
+    ).withColumn("para", F.trim("para")).where(F.col("para") != "")
+    return paras.withColumn("phash", hfn(F.col("para")))
+
+
+def duplicate_paragraph_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARAGRAPH_SEP,
+    hash_expr=None,
+) -> DataFrame:
+    """Per-document paragraph-dedup report: (id, n_paras, n_dup,
+    dup_frac) where n_dup counts this document's paragraphs that occur
+    anywhere else in the corpus (global occurrence count > 1, including
+    repeats inside one document). One shuffle by phash, one by id."""
+    occ = paragraph_occurrences(docs, text_col, id_col, sep, hash_expr)
+    counts = occ.groupBy("phash").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        occ.join(counts, "phash")  # co-partitioned with the groupBy above
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_paras"), 6))
+    )
+
+
+def drop_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = PARAGRAPH_SEP,
+    hash_expr=None,
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: every paragraph keeps exactly its
+    first occurrence (global argmin of (id, idx) per hash — a total,
+    deterministic order, so re-runs keep the same copy) and documents are
+    reassembled in original paragraph order. Documents whose every
+    paragraph was a later duplicate disappear. Returns (id, text)."""
+    occ = paragraph_occurrences(docs, text_col, id_col, sep, hash_expr)
+    first = occ.groupBy("phash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))).alias("fst")
+    )
+    kept = occ.join(first, "phash").where(
+        (F.col(id_col) == F.col("fst.i")) & (F.col("idx") == F.col("fst.x"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "para"))).alias("ps"))
+        .select(
+            id_col,
+            F.array_join(F.transform("ps", lambda s: s["para"]), sep).alias(text_col),
+        )
+    )
+
+
+def _grams(text: Column, n: int) -> Column:
+    """All word n-grams in order (NOT distinct — repetition is the point)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def top_ngram_frac_expr(text: Column, n: int) -> Column:
+    """Fraction of the document's word n-grams occupied by its single most
+    frequent n-gram (Gopher repetition signal)."""
+    g = _grams(text, n)
+    mode_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+    )
+    return F.round(mode_cnt / F.size(g), 6)
+
+
+def dup_ngram_frac_expr(text: Column, n: int) -> Column:
+    """Fraction of n-gram positions that are repeats of an n-gram already
+    seen in the same document: 1 - distinct/total."""
+    g = _grams(text, n)
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6)
+
+
+def mean_word_len_expr(text: Column) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.size(toks), 6
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition report + keep decision. Thresholds follow
+    the published Gopher rules (top 2-gram < 0.20, top 3-gram < 0.18,
+    duplicate 5-gram fraction < 0.15, mean word length in [2, 10]).
+    Pure per-row Catalyst — no shuffle, no Python."""
+    top2 = top_ngram_frac_expr(F.col(text_col), 2)
+    top3 = top_ngram_frac_expr(F.col(text_col), 3)
+    dup5 = dup_ngram_frac_expr(F.col(text_col), 5)
+    mwl = mean_word_len_expr(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        top2.alias("top2_frac"),
+        top3.alias("top3_frac"),
+        dup5.alias("dup5_frac"),
+        mwl.alias("mean_word_len"),
+        (
+            (top2 < 0.20)
+            & (top3 < 0.18)
+            & (dup5 < 0.15)
+            & (mwl >= 2.0)
+            & (mwl <= 10.0)
+        ).alias("keep"),
+    )

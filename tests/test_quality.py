@@ -1,0 +1,140 @@
+"""Corpus-quality operator tests: PII redaction, paragraph dedup,
+Gopher repetition stats (sinew_spark/operators/quality.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.quality import (
+    drop_duplicate_paragraphs,
+    duplicate_paragraph_stats,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --- redact_pii -----------------------------------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a.b+c@ex-ample.co.uk ssn 123-45-6789 "
+                "ph 555-123-4567 ip 192.168.0.1 end",
+            )
+        ],
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4, r.n_pii) == (1, 1, 1, 1, 4)
+    assert r.text_redacted == "mail <EMAIL> ssn <SSN> ph <PHONE> ip <IP> end"
+
+
+def test_redact_pii_counts_on_original_text(spark):
+    # two emails, zero of everything else; counts reflect the raw text
+    df = _docs(spark, [(1, "x@y.com and z@w.org")])
+    r = redact_pii(df).collect()[0]
+    assert r.n_email == 2 and r.n_pii == 2
+    assert r.text_redacted == "<EMAIL> and <EMAIL>"
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    df = _docs(spark, [(1, "no pii here, just words 12-34")])
+    r = redact_pii(df).collect()[0]
+    assert r.n_pii == 0 and r.text_redacted == r.text
+
+
+def test_redact_pii_ssn_vs_phone_disjoint(spark):
+    # 3-2-4 is SSN, 3-3-4 is phone; neither pattern claims the other
+    df = _docs(spark, [(1, "a 111-22-3333 b 111-222-3333 c")])
+    r = redact_pii(df).collect()[0]
+    assert (r.n_ssn, r.n_phone) == (1, 1)
+    assert r.text_redacted == "a <SSN> b <PHONE> c"
+
+
+# --- paragraph dedup ------------------------------------------------------
+
+
+def test_drop_duplicate_paragraphs_keeps_first_occurrence(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\n\nshared"),
+            (2, "shared\n\nbeta"),
+            (3, "shared"),
+        ],
+    )
+    out = {r.doc_id: r.text for r in drop_duplicate_paragraphs(df).collect()}
+    # doc 1 owns "shared" (lowest (doc_id, idx)); doc 3 vanishes entirely
+    assert out == {1: "alpha\n\nshared", 2: "beta"}
+
+
+def test_drop_duplicate_paragraphs_preserves_order_and_intra_doc(spark):
+    # repeat inside one doc: only the first copy survives, order kept
+    df = _docs(spark, [(1, "p1\n\np2\n\np1\n\np3")])
+    out = drop_duplicate_paragraphs(df).collect()[0]
+    assert out.text == "p1\n\np2\n\np3"
+
+
+def test_duplicate_paragraph_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a\n\nb"),
+            (2, "b\n\nc"),
+            (3, "d"),
+        ],
+    )
+    rows = {r.doc_id: r for r in duplicate_paragraph_stats(df).collect()}
+    assert rows[1].n_paras == 2 and rows[1].n_dup == 1
+    assert rows[2].n_paras == 2 and rows[2].n_dup == 1
+    assert rows[3].n_paras == 1 and rows[3].n_dup == 0
+    assert rows[1].dup_frac == 0.5
+
+
+def test_paragraph_stats_empty_paragraphs_ignored(spark):
+    df = _docs(spark, [(1, "a\n\n\n\n  \n\nb")])
+    r = duplicate_paragraph_stats(df).collect()[0]
+    assert r.n_paras == 2 and r.n_dup == 0
+
+
+# --- repetition stats -----------------------------------------------------
+
+
+def test_repetition_stats_clean_doc_kept(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog today")])
+    r = repetition_stats(df).collect()[0]
+    assert r.keep is True
+    assert r.dup5_frac == 0.0
+
+
+def test_repetition_stats_repeated_doc_dropped(spark):
+    df = _docs(spark, [(1, "spam ham " * 40)])
+    r = repetition_stats(df).collect()[0]
+    # every 2-gram alternates between two values -> top2 ~ 0.5
+    assert r.top2_frac > 0.2 and r.keep is False
+
+
+def test_repetition_stats_mean_word_len_bounds(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),  # mwl = 1 < 2 -> drop
+            (2, "reasonable words appear here often enough truly and keep flowing onward nicely"),
+        ],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].mean_word_len == 1.0 and rows[1].keep is False
+    assert rows[2].keep is True
+
+
+def test_repetition_stats_exact_fractions(spark):
+    # "x x x y": 2-grams = [x x, x x, x y] -> top2 = 2/3; mwl = 1.0
+    df = _docs(spark, [(1, "x x x y")])
+    r = repetition_stats(df).collect()[0]
+    assert r.top2_frac == pytest.approx(2 / 3, abs=1e-6)
