@@ -297,6 +297,45 @@ def q_paragraph_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_paragraph_dedup_apply(spark, sf_dir):
+    """Pipeline: corpus-wide paragraph dedup APPLIED (operators/quality.py
+    drop_duplicate_paragraphs) — every paragraph keeps only its global
+    first occurrence (argmin of (doc_id, idx), a total deterministic
+    order) and documents reassemble in original paragraph order. Same
+    synthesized two-paragraph corpus as `paragraph_dedup`; md5 hash so the
+    oracle groups by the identical identity."""
+    from sinew_spark.operators.quality import drop_duplicate_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    pool = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    two = d.join(pool, d["doc_id"] % 50 == pool["pid"]).select(
+        "doc_id", F.concat_ws("\n\n", "text", "ptext").alias("text")
+    )
+    out = drop_duplicate_paragraphs(two, hash_expr=lambda c: F.md5(c))
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+def q_pack_shards(spark, sf_dir):
+    """Pipeline: training-shard assembly by contiguous token budget
+    (operators/pipeline.py pack_by_token_budget — two-phase prefix sum:
+    per-bucket window + bounded bucket-base window, no global
+    single-partition window). Budget 5000 tokens per shard; token counts
+    from functions/text.py token_count_expr (whitespace rule shared with
+    the token_count oracle)."""
+    from sinew_spark.functions.text import token_count_expr
+    from sinew_spark.operators.pipeline import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(d, budget=5000).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("token_offset").cast("bigint").alias("token_offset"),
+        F.col("shard").cast("bigint").alias("shard"),
+    ).orderBy("doc_id")
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Pipeline: Gopher-style repetition filter (operators/quality.py
     repetition_stats — per-row Catalyst array expressions, zero shuffle,
@@ -1473,7 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_dedup_apply": q_paragraph_dedup_apply,
         "gopher_repetition": q_gopher_repetition,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -1617,6 +1658,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
             "round(CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac "
             "FROM np n JOIN counts c USING (para) GROUP BY n.doc_id ORDER BY doc_id"
+        ),
+        # same corpus + paragraph split as paragraph_dedup; first owner =
+        # row_number over (doc_id, idx) per paragraph (the engine's argmin
+        # of the (id, idx) struct), reassembled in original idx order
+        "paragraph_dedup_apply": (
+            "WITH two AS (SELECT d.doc_id AS doc_id, d.text || '\n\n' || p.text AS text "
+            "FROM documents d JOIN documents p ON d.doc_id % 50 = p.doc_id), "
+            "paras AS (SELECT doc_id, unnest(str_split(text, '\n\n')) AS para, "
+            "unnest(range(len(str_split(text, '\n\n')))) AS idx FROM two), "
+            "np AS (SELECT doc_id, idx, trim(para) AS para FROM paras WHERE trim(para) <> ''), "
+            "k AS (SELECT doc_id, idx, para, "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM np) "
+            "SELECT doc_id, string_agg(para, '\n\n' ORDER BY idx) AS text "
+            "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # token rule shared with the token_count oracle; exclusive prefix
+        # sum over ascending doc_id, fixed-offset shard rule
+        "pack_shards": (
+            f"WITH t AS (SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, token_offset, "
+            "CAST(floor(token_offset / 5000) AS BIGINT) AS shard FROM s ORDER BY doc_id"
         ),
         # n-gram construction shared with the contamination oracle; keep is
         # computed over the ROUNDED stats, same as the Spark expressions

@@ -13,6 +13,12 @@ for the 100 TB regime:
   partial-aggregates corpus-side, so the only wide operation is the final
   per-document count combine — never an all-pairs or a corpus shuffle by
   n-gram.
+- ``pack_by_token_budget`` assembles training shards by contiguous token
+  offset WITHOUT a global single-partition window: a two-phase prefix sum
+  (per-bucket window + bounded bucket-offset window over ~`buckets` rows)
+  keeps every wide stage partitioned, so the plan survives 10^10 rows
+  where a naive ``Window.orderBy(id)`` (one partition holds the corpus)
+  would not.
 """
 
 from __future__ import annotations
@@ -58,6 +64,73 @@ def assign_split(
         chain = F.when(cond, nm) if chain is None else chain.when(cond, nm)
     split = chain.otherwise(names[-1]) if chain is not None else F.lit(names[-1])
     return df.withColumn("split", split)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Assign documents to training shards by contiguous token offset.
+
+    Documents are laid out in ascending ``id_col`` order (ids must be
+    numeric and unique — the doc key, so the layout is deterministic and
+    replayable); ``token_offset`` is the exclusive running sum of
+    ``n_tokens_col`` and ``shard = floor(token_offset / budget)``, i.e.
+    shard k owns token offsets [k*budget, (k+1)*budget). A document whose
+    tokens straddle a boundary belongs to the shard its FIRST token lands
+    in — the fixed-offset rule (not best-fit bin packing) precisely so the
+    assignment is order-free associative and SQL-replayable.
+
+    Scale shape (the point of this function): the global prefix sum is
+    computed in two phases — (1) a window partitioned by a monotone id
+    bucket (``floor((id-min)/width)``, ~``buckets`` cells) gives
+    within-bucket running sums in parallel; (2) bucket totals (one row per
+    bucket, bounded and tiny) take a single-partition window to become
+    bucket base offsets, broadcast-joined back. No stage ever holds the
+    corpus in one partition. The only driver-side value is the (min, max)
+    id pair from a 1-row aggregate.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    lo, hi = df.agg(
+        F.min(F.col(id_col).cast("double")), F.max(F.col(id_col).cast("double"))
+    ).first()
+    if lo is None:
+        return df.select(
+            F.col(id_col),
+            F.col(n_tokens_col),
+            F.lit(0).cast("bigint").alias("token_offset"),
+            F.lit(0).cast("bigint").alias("shard"),
+        )
+    width = max((hi - lo + 1.0) / float(buckets), 1.0)
+    from pyspark.sql.window import Window
+
+    b = F.floor((F.col(id_col).cast("double") - F.lit(lo)) / F.lit(width))
+    t = df.select(
+        F.col(id_col), F.col(n_tokens_col).cast("bigint").alias("_ntok"), b.alias("_b")
+    )
+    within = Window.partitionBy("_b").orderBy(id_col)
+    t = t.withColumn(
+        "_within_before",
+        F.coalesce(F.sum("_ntok").over(within), F.lit(0)) - F.col("_ntok"),
+    )
+    totals = t.groupBy("_b").agg(F.sum("_ntok").alias("_btot"))
+    base_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "_b", F.coalesce(F.sum("_btot").over(base_w), F.lit(0)).alias("_base")
+    )
+    out = t.join(F.broadcast(bases), "_b").select(
+        id_col,
+        F.col("_ntok").alias(n_tokens_col),
+        (F.col("_base") + F.col("_within_before")).alias("token_offset"),
+        F.floor((F.col("_base") + F.col("_within_before")) / F.lit(budget))
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return out
 
 
 def _word_ngrams(c: Column, n: int) -> Column:

