@@ -949,6 +949,73 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """Engine relational surface: distributed as-of join
+    (operators/temporal.py asof_join — union+window, one shuffle by key,
+    no inequality join). Quotes = every 10th event, pre-aggregated to be
+    unique per (user_id, ts) per the operator contract; every other
+    event picks up the latest quote at-or-before its timestamp. DuckDB
+    replays it with a native ASOF LEFT JOIN."""
+    from sinew_spark.operators.temporal import asof_join
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    quotes = (
+        e.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("quote"))
+    )
+    points = e.where(F.col("event_id") % 10 != 0).select("event_id", "user_id", "ts")
+    out = asof_join(points, quotes, ts_col="ts", by="user_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return out.select(
+        "event_id",
+        "user_id",
+        us("ts").alias("ts_us"),
+        us("ts_asof").alias("quote_ts_us"),
+        "quote",
+    ).orderBy("event_id")
+
+
+def q_interval_join(spark, sf_dir):
+    """Engine relational surface: interval containment join
+    (operators/temporal.py interval_join — intervals replicated per
+    overlapping time bucket, plain equi-join on the bucket, exact BETWEEN
+    filter after; never a nested-loop join). Every 20th event opens a
+    window of value minutes; report per-window point count + value sum.
+    floor() before the bigint cast on both sides (Spark casts truncate,
+    DuckDB casts round)."""
+    from sinew_spark.operators.temporal import interval_join
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    points = e.select("event_id", us.alias("ts_us"), "value")
+    start = us
+    intervals = e.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iid"),
+        start.alias("start_us"),
+        (start + F.floor(F.col("value") * 60 * 1_000_000)).alias("end_us"),
+    )
+    pairs = interval_join(
+        points,
+        intervals,
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=600e6,  # 10 min in µs, near the typical window length
+    )
+    return (
+        pairs.groupBy("iid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("iid")
+    )
+
+
 def q_join_star(spark, sf_dir):
     """Broadcast star join: customer -> nation -> region revenue rollup."""
     c = _t(spark, sf_dir, "customer")
@@ -1507,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "join_star": q_join_star,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "seen_vals_semantic": q_seen_vals_semantic,
         "train_split": q_train_split,
         "contamination": q_contamination,
@@ -2140,5 +2209,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name ORDER BY r_name"
+        ),
+        # native ASOF LEFT JOIN replays the union+window formulation;
+        # inclusive backward (p.ts >= q.ts), quote side unique per
+        # (user_id, ts) by construction
+        "asof_join": (
+            "WITH q AS (SELECT user_id, ts, max(value) AS quote FROM events "
+            "WHERE event_id % 10 = 0 GROUP BY user_id, ts), "
+            "p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0) "
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "epoch_us(p.ts) AS ts_us, epoch_us(q.ts) AS quote_ts_us, q.quote AS quote "
+            "FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts "
+            "ORDER BY event_id"
+        ),
+        # plain BETWEEN join (DuckDB IEJoin) replays the bucketed
+        # equi-join; floor() before the BIGINT cast matches Spark's
+        # truncating cast (DuckDB's rounds)
+        "interval_join": (
+            "WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events), "
+            "i AS (SELECT event_id AS iid, epoch_us(ts) AS start_us, "
+            "epoch_us(ts) + CAST(floor(value * 60 * 1000000) AS BIGINT) AS end_us "
+            "FROM events WHERE event_id % 20 = 0) "
+            "SELECT i.iid AS iid, count(*) AS n_points, "
+            "round(sum(p.value), 4) AS sum_value "
+            "FROM p JOIN i ON p.ts_us BETWEEN i.start_us AND i.end_us "
+            "GROUP BY i.iid ORDER BY iid"
         ),
     }
