@@ -766,6 +766,45 @@ def q_spans_interleaved(spark, sf_dir):
     )
 
 
+def q_interleave_linearize(spark, sf_dir):
+    """Interleaved payload: linearize span documents into training text
+    with media placeholder tokens + an exact character-offset manifest
+    (operators/interleave.py linearize_spans — one Catalyst aggregate
+    fold, zero shuffle, zero Python). Same synthetic span construction
+    as `spans_interleaved`; the oracle re-derives the linear string and
+    every manifest offset from first principles (string lengths), NOT
+    from the fold — independent derivations of the same contract."""
+    from sinew_spark.operators.interleave import linearize_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nul = F.lit(None).cast("string")
+    mk_text = lambda t, off: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), t.alias("text"), nul.alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    mk_media = lambda kind, scheme, idx, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), nul.alias("text"),
+        F.concat(F.lit(scheme), F.col("doc_id").cast("string"), F.lit(idx)).alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    spans = F.array(
+        mk_text(F.array_join(F.slice(toks, 1, 5), " "), 0),
+        mk_media("image", "img://", "/0", 1),
+        mk_text(F.array_join(F.slice(toks, 6, 5), " "), 2),
+        mk_media("audio", "aud://", "/1", 3),
+    )
+    out = linearize_spans(d.select("doc_id", spans.alias("spans")))
+    m = F.col("media_manifest")
+    return out.select(
+        "doc_id",
+        "text_linear",
+        F.size(m).cast("bigint").alias("n_media"),
+        F.array_join(F.transform(m, lambda x: x["pos"].cast("string")), ",").alias("media_pos"),
+        F.array_join(F.transform(m, lambda x: x["media_ref"]), "|").alias("media_refs"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     """Multimodal: binary media column -> image metadata via the engine's
     Arrow mapInPandas extractor (deterministic stub decoder; real plumbing).
@@ -1548,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_probe": q_cache_probe,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "spans_interleaved": q_spans_interleaved,
+        "interleave_linearize": q_interleave_linearize,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
         "crawl_rounds": q_crawl_rounds,
@@ -1978,6 +2018,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'text', 2 * count(*), "
             "count(CASE WHEN nt > 0 THEN 1 END) + count(CASE WHEN nt >= 6 THEN 1 END), "
             "CAST(0 AS BIGINT), 2 * count(*) FROM d ORDER BY kind"
+        ),
+        # independent re-derivation: the oracle builds the linear string
+        # by concatenation and the manifest offsets from string LENGTHS,
+        # never replaying the engine's fold. '<|image|>' is 9 chars, so
+        # pos_audio = len(t0)+1 (img pos) + 9+1 + len(t2)+1
+        "interleave_linearize": (
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, array_to_string(toks[1:5], ' ') AS t0, "
+            "array_to_string(toks[6:10], ' ') AS t2 FROM d) "
+            "SELECT doc_id, "
+            "t0 || ' <|image|> ' || t2 || ' <|audio|>' AS text_linear, "
+            "CAST(2 AS BIGINT) AS n_media, "
+            "CAST(len(t0) + 1 AS VARCHAR) || ',' || CAST(len(t0) + len(t2) + 12 AS VARCHAR) AS media_pos, "
+            "'img://' || CAST(doc_id AS VARCHAR) || '/0' || '|' || "
+            "'aud://' || CAST(doc_id AS VARCHAR) || '/1' AS media_refs "
+            "FROM p ORDER BY doc_id"
         ),
         "multimodal_image_meta": (
             "WITH m AS (SELECT md5('img://' || CAST(doc_id AS VARCHAR) || '/0') AS media_id, "

@@ -1,0 +1,113 @@
+"""Interleaved-document linearization: span arrays -> training text.
+
+The engine's document model is the interleaved span array from
+BASELINE.json's input_hint — (doc_id, spans:array<struct<kind, text,
+media_ref, offset>>) — produced by the parse stage
+(operators/parse.py). Training pipelines consume it linearized: one
+text string per document where media spans become placeholder tokens
+(the multimodal-LM convention, e.g. ``<|image|>``), plus a manifest
+mapping each placeholder's character offset back to its media_ref so
+the media column can be re-joined at batch-assembly time.
+
+Scale shape: the whole transform is ONE Catalyst projection — a typed
+``aggregate`` fold over the offset-sorted span array builds the text
+and the manifest in a single pass, per row, JVM-side. Zero shuffle,
+zero Python, embarrassingly parallel; the plan is a Project over the
+scan no matter the corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+        ]
+    )
+)
+
+
+def _token_for(kind: Column, tokens: Optional[Mapping[str, str]]) -> Column:
+    """Placeholder token for a media kind: explicit mapping first, then
+    the ``<|kind|>`` convention."""
+    default = F.concat(F.lit("<|"), kind, F.lit("|>"))
+    out = default
+    for k, tok in (tokens or {}).items():
+        out = F.when(kind == k, F.lit(tok)).otherwise(out)
+    return out
+
+
+def linearize_spans(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    sep: str = " ",
+    tokens: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    """Add ``text_linear`` + ``media_manifest`` columns.
+
+    Spans are laid out in ascending ``offset`` order, joined by ``sep``
+    (between every consecutive pair, even when a text span is empty —
+    the rule must be position-deterministic for the manifest to be
+    exact). ``kind == 'text'`` contributes its text (null -> empty);
+    any other kind contributes its placeholder token and appends
+    ``(pos, kind, media_ref)`` to ``media_manifest``, where ``pos`` is
+    the 0-based character offset of the token's first character in
+    ``text_linear``.
+
+    One fold, one projection: a single ``aggregate`` over the sorted
+    array carries (text-so-far, manifest, span-count) through each
+    span, so cost is O(total span text) per row with no shuffle and no
+    Python. ``text_linear`` of a document with no spans is ''.
+    """
+    spans = F.array_sort(
+        F.col(spans_col), lambda a, b: a["offset"] - b["offset"]
+    )
+    zero = F.struct(
+        F.lit("").alias("t"),
+        F.array().cast(MANIFEST_TYPE).alias("m"),
+        F.lit(0).alias("n"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        is_text = s["kind"] == "text"
+        piece = F.when(is_text, F.coalesce(s["text"], F.lit(""))).otherwise(
+            _token_for(s["kind"], tokens)
+        )
+        prefix = F.when(acc["n"] == 0, F.lit("")).otherwise(F.lit(sep))
+        pos = (F.length(acc["t"]) + F.length(prefix)).cast("int")
+        entry = F.struct(
+            pos.alias("pos"), s["kind"].alias("kind"), s["media_ref"].alias("media_ref")
+        )
+        return F.struct(
+            F.concat(acc["t"], prefix, piece).alias("t"),
+            F.when(is_text, acc["m"]).otherwise(F.concat(acc["m"], F.array(entry))).alias("m"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    agg = F.aggregate(spans, zero, step)
+    return docs.withColumn("text_linear", agg["t"]).withColumn(
+        "media_manifest", agg["m"]
+    )
+
+
+def strip_media(
+    docs: DataFrame, spans_col: str = "spans", sep: str = " "
+) -> DataFrame:
+    """Text-only projection: ``text_only`` = the text spans joined by
+    ``sep`` in offset order, media spans skipped entirely (no
+    placeholder, no double separator) — the shape text-only training
+    runs consume. Same zero-shuffle single-fold plan."""
+    spans = F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
+    texts = F.transform(
+        F.filter(spans, lambda s: s["kind"] == "text"),
+        lambda s: F.coalesce(s["text"], F.lit("")),
+    )
+    return docs.withColumn("text_only", F.array_join(texts, sep))
