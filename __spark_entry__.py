@@ -336,6 +336,41 @@ def q_pack_shards(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Pipeline: deterministic per-language corpus rebalancing
+    (operators/pipeline.py sample_stratified — pure Catalyst hash filter,
+    pushed-down predicate, nested across rates). Downsample English hard,
+    keep low-resource languages whole; md5-derived bucket so DuckDB
+    replays the identical membership."""
+    from sinew_spark.operators.pipeline import sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    out = sample_stratified(
+        d,
+        {"en": 0.3, "de": 0.6, "zh": 1.0},
+        "lang",
+        default_rate=0.1,
+        buckets=1000,
+        hash_expr=hv,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Pipeline: corpus vocabulary top-k (operators/pipeline.py
+    vocab_topk — map-side partial agg + TakeOrderedAndProject, no global
+    sort). Deterministic tie-break by token."""
+    from sinew_spark.operators.pipeline import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, k=50).select(
+        "token", F.col("n").cast("bigint").alias("n")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Pipeline: Gopher-style repetition filter (operators/quality.py
     repetition_stats — per-row Catalyst array expressions, zero shuffle,
@@ -1624,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_apply": q_paragraph_dedup_apply,
         "gopher_repetition": q_gopher_repetition,
         "pack_shards": q_pack_shards,
+        "sample_stratified": q_sample_stratified,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1792,6 +1829,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM t) "
             "SELECT doc_id, n_tokens, token_offset, "
             "CAST(floor(token_offset / 5000) AS BIGINT) AS shard FROM s ORDER BY doc_id"
+        ),
+        # same md5 bucket as train_split's oracle; per-stratum thresholds
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < "
+            "CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 WHEN 'zh' THEN 1000 ELSE 100 END "
+            "ORDER BY doc_id"
+        ),
+        # token rule shared with token_count; tie-break by token ascending
+        "vocab_topk": (
+            "WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token "
+            "FROM documents) "
+            "SELECT token, count(*) AS n FROM t WHERE token <> '' "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
         # n-gram construction shared with the contamination oracle; keep is
         # computed over the ROUNDED stats, same as the Spark expressions

@@ -13,6 +13,13 @@ for the 100 TB regime:
   partial-aggregates corpus-side, so the only wide operation is the final
   per-document count combine — never an all-pairs or a corpus shuffle by
   n-gram.
+- ``sample_stratified`` rebalances a corpus with a per-stratum
+  deterministic hash filter — a pushed-down predicate, zero shuffle,
+  nested across rates (the r% sample contains the r'% sample for
+  r' < r).
+- ``vocab_topk`` builds the corpus vocabulary with map-side partial
+  aggregation + TakeOrderedAndProject — the shuffle carries one row per
+  (partition, distinct token), never per occurrence, and no global sort.
 - ``pack_by_token_budget`` assembles training shards by contiguous token
   offset WITHOUT a global single-partition window: a two-phase prefix sum
   (per-bucket window + bounded bucket-offset window over ~`buckets` rows)
@@ -64,6 +71,81 @@ def assign_split(
         chain = F.when(cond, nm) if chain is None else chain.when(cond, nm)
     split = chain.otherwise(names[-1]) if chain is not None else F.lit(names[-1])
     return df.withColumn("split", split)
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 0.0,
+    buckets: int = 1_000_000,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus rebalancing: keep
+    10% of English, all of low-resource languages, ...).
+
+    A row survives iff ``pmod(hash(key, salt), buckets) <
+    rate[stratum] * buckets`` — a pure function of the key, so re-runs,
+    resumes, and repartitionings keep exactly the same rows, and the
+    kept set at rate r is a SUBSET of the kept set at r' > r (nested
+    samples, the property audits need). Strata missing from ``rates``
+    sample at ``default_rate`` (0 = drop). ``hash_expr`` as in
+    ``assign_split`` (default xxhash64; oracle-facing callers pass an
+    md5-derived bucket). Use a salt distinct from assign_split's so
+    sampling doesn't correlate with split assignment.
+
+    Pure Catalyst filter — no shuffle, no UDF; at 100 TB this is a
+    pushed-down predicate over the scan.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(key_col), F.lit(salt))
+    bucket = F.pmod(h, F.lit(buckets))
+    thr = None
+    for s, r in rates.items():
+        t = F.lit(int(round(r * buckets)))
+        thr = F.when(F.col(strata_col) == s, t) if thr is None else thr.when(
+            F.col(strata_col) == s, t
+        )
+    dflt = F.lit(int(round(default_rate * buckets)))
+    thr = dflt if thr is None else thr.otherwise(dflt)
+    return df.where(bucket < thr)
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n) for the k most frequent
+    whitespace tokens (same token rule as functions/text.py
+    token_count_expr), ties broken by token ascending so the result is
+    total-order deterministic.
+
+    Scale shape: explode -> hash aggregate with map-side partial
+    aggregation (the shuffle moves one row per distinct token per
+    partition, not one per token occurrence) -> TakeOrderedAndProject
+    (each partition keeps k rows, the driver merges P*k — never a
+    global sort of the vocabulary).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.split(F.trim(txt), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
 
 
 def pack_by_token_budget(

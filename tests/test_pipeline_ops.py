@@ -9,6 +9,8 @@ from sinew_spark.operators.pipeline import (
     assign_split,
     contamination_report,
     pack_by_token_budget,
+    sample_stratified,
+    vocab_topk,
 )
 
 
@@ -75,6 +77,75 @@ def test_contamination_planted_overlap(spark):
 
     frac = {r.doc_id: r.frac for r in rep.collect()}
     assert frac[0] == 1.0 and frac[1] == 0.75
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "fr")
+        .otherwise("de").alias("lang"),
+    )
+    out = sample_stratified(df, {"en": 0.5, "fr": 0.1}, "lang", salt=3)
+    n = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert abs(n["en"] / (20_000 / 3) - 0.5) < 0.05
+    assert abs(n["fr"] / (20_000 / 3) - 0.1) < 0.03
+    assert "de" not in n  # default_rate=0 drops unknown strata
+
+    # pure function of the key: identical kept set under repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_stratified(
+            df.repartition(17, "lang"), {"en": 0.5, "fr": 0.1}, "lang", salt=3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_sample_stratified_nested_and_guards(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    lo = {r.doc_id for r in sample_stratified(df, {"en": 0.2}, "lang").collect()}
+    hi = {r.doc_id for r in sample_stratified(df, {"en": 0.6}, "lang").collect()}
+    assert lo <= hi  # nested samples
+    kept = sample_stratified(df, {}, "lang", default_rate=1.0).count()
+    assert kept == 5_000
+    with pytest.raises(ValueError):
+        sample_stratified(df, {"en": 1.5}, "lang")
+
+
+def test_sample_stratified_no_shuffle(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    plan = (
+        sample_stratified(df, {"en": 0.5}, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a b b c C",), ("  b a  ",), ("",)], "text string"
+    )
+    rows = vocab_topk(df, k=2).collect()
+    assert [(r.token, r.n) for r in rows] == [("b", 3), ("a", 2)]
+    # ties break by token ascending: a(2) before c(2)
+    rows = vocab_topk(df, k=4).collect()
+    assert [(r.token, r.n) for r in rows] == [("b", 3), ("a", 2), ("c", 2)]
+    with pytest.raises(ValueError):
+        vocab_topk(df, k=0)
+
+
+def test_vocab_topk_plan_partial_agg_and_takeordered(spark):
+    df = spark.range(1000).select(
+        F.concat(F.lit("w"), (F.col("id") % 50).cast("string"), F.lit(" x")).alias("text")
+    )
+    plan = vocab_topk(df, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
 
 
 def test_pack_by_token_budget_matches_brute_force(spark):
