@@ -44,8 +44,9 @@ def _mk(spark, seed=7, n_points=400, n_quotes=150, n_keys=12):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
-def test_asof_join_matches_brute_force(spark, direction):
-    points, quotes, pdf, qdf = _mk(spark, seed=11 if direction == "backward" else 13)
+@pytest.mark.parametrize("seed", [11, 13, 97])
+def test_asof_join_matches_brute_force(spark, direction, seed):
+    points, quotes, pdf, qdf = _mk(spark, seed=seed)
     got = {
         r.pid: (r.ts_asof, r.val)
         for r in asof_join(pdf, qdf, ts_col="ts", by="key", direction=direction).collect()
@@ -53,6 +54,22 @@ def test_asof_join_matches_brute_force(spark, direction):
     want = _brute_asof(points, quotes, direction)
     assert got == want
     assert len(got) == len(points)  # every left row survives (left join)
+
+
+def test_asof_join_composite_key(spark):
+    pdf = spark.createDataFrame(
+        [(1, "a", 10, 0), (1, "b", 10, 1), (2, "a", 10, 2)],
+        "k1 long, k2 string, ts long, pid long",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "a", 5, 1.0), (1, "b", 7, 2.0), (2, "b", 1, 3.0)],
+        "k1 long, k2 string, ts long, val double",
+    )
+    got = {
+        r.pid: r.val
+        for r in asof_join(pdf, qdf, ts_col="ts", by=["k1", "k2"]).collect()
+    }
+    assert got == {0: 1.0, 1: 2.0, 2: None}  # (2,'a') never matches (2,'b')
 
 
 def test_asof_join_tolerance_and_equal_ts_inclusive(spark):
@@ -117,6 +134,21 @@ def test_interval_join_matches_brute_force(spark):
         for r in interval_join(pdf, idf, ts_col="ts", bucket_width=7.0).collect()
     }
     assert got2 == want
+
+
+def test_interval_join_negative_timestamps(spark):
+    """floor() bucketing must stay consistent for negative domains (e.g.
+    offsets relative to an epoch midpoint)."""
+    pts = [(t, i) for i, t in enumerate(range(-50, 50, 3))]
+    ivs = [(-30, -10, 0), (-5, 20, 1), (-100, 100, 2)]
+    pdf = spark.createDataFrame(pts, "ts long, pid long")
+    idf = spark.createDataFrame(ivs, "start long, end long, iid long")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pdf, idf, ts_col="ts", bucket_width=7).collect()
+    }
+    want = {(pid, iid) for t, pid in pts for s, e, iid in ivs if s <= t <= e}
+    assert got == want
 
 
 def test_interval_join_by_key_and_guards(spark):
