@@ -1172,6 +1172,42 @@ def q_uncache(spark, sf_dir):
     )
 
 
+def q_snapshot_time_travel(spark, sf_dir):
+    """Snapshot layer end-to-end under the oracle: two appends + a
+    merge-on-read equality delete (sinew_spark/plans/snapshots.py), then
+    time-travel reads of all three snapshots. The oracle re-derives each
+    snapshot's contents from the source table alone — if lineage, delta
+    layout, or delete application drifted, the counts/sums would not."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="sinew_tt_"), schema)
+    s1 = t.append(d.where(F.col("doc_id") % 2 == 0), {"op": "evens"})
+    s2 = t.append(d.where(F.col("doc_id") % 2 == 1), {"op": "odds"})
+    # bounded driver list by design: point deletes are an O(deleted) op
+    dels = [r.doc_id for r in d.where(F.col("doc_id") % 10 == 0).collect()]
+    s3 = t.delete_keys(dels, key_col="doc_id", meta={"op": "edelete"})
+    parts = []
+    for ordinal, sid in ((1, s1), (2, s2), (3, s3)):
+        parts.append(
+            t.read(sid).agg(
+                F.lit(ordinal).cast("bigint").alias("snap"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_id"),
+                F.count_distinct("lang").alias("n_langs"),
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("snap")
+
+
 def q_emit_seq(spark, sf_dir):
     """A5: deterministic total emit order — seq = row_number over
     (priority, arrival). The engine assigns seq per round (round base +
@@ -1661,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "sample_stratified": q_sample_stratified,
         "vocab_topk": q_vocab_topk,
+        "snapshot_time_travel": q_snapshot_time_travel,
     }
 
 
@@ -2130,6 +2167,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_cached, min(event_id) AS first_key "
             "FROM events WHERE event_id % 10 <> 0 "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        # each snapshot's contents re-derived from the source table only:
+        # snap1 = evens, snap2 = evens+odds (all), snap3 = all minus
+        # doc_id % 10 == 0 (the merge-on-read equality delete)
+        "snapshot_time_travel": (
+            "WITH d AS (SELECT doc_id, lang FROM documents), "
+            "s1 AS (SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_id, count(DISTINCT lang) AS n_langs "
+            "FROM d WHERE doc_id % 2 = 0), "
+            "s2 AS (SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT), "
+            "count(DISTINCT lang) FROM d), "
+            "s3 AS (SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT), "
+            "count(DISTINCT lang) FROM d WHERE doc_id % 10 <> 0) "
+            "SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3 "
+            "ORDER BY snap"
         ),
         "emit_seq": (
             "WITH r AS (SELECT event_id, user_id % 5 AS priority, "
