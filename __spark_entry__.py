@@ -766,6 +766,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup: pair graph -> connected components -> cluster ids +
+    kept representative (operators/graph.py — iterative min-label
+    propagation, one shuffle join + one groupBy per round, lineage
+    truncated by localCheckpoint). Synthetic graph: 5-chains over
+    doc_id<100 plus two cross edges merging chains; the oracle computes
+    the same closure with a recursive CTE."""
+    from sinew_spark.operators.graph import cluster_representatives
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+    i = F.col("doc_id")
+    e1 = d.where((i % 5 != 4) & (i < 99)).select(i.alias("a"), (i + 1).alias("b"))
+    e2 = d.where((i % 25 == 0) & (i < 50)).select(i.alias("a"), (i + 50).alias("b"))
+    out = cluster_representatives(d, e1.unionByName(e2))
+    return out.select(
+        "doc_id", F.col("cluster").cast("bigint").alias("cluster"), "is_representative"
+    ).orderBy("doc_id")
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1659,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "spans_interleaved": q_spans_interleaved,
         "interleave_linearize": q_interleave_linearize,
+        "dedup_clusters": q_dedup_clusters,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
         "crawl_rounds": q_crawl_rounds,
@@ -2096,6 +2116,22 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_concat(da.ng, db.ng))) ELSE 0.0 END, 6) AS jaccard "
             "FROM pairs JOIN docs da ON da.doc_id = pairs.a JOIN docs db ON db.doc_id = pairs.b "
             "ORDER BY pairs.a"
+        ),
+        # transitive closure by recursive CTE: reach(v, r) holds every
+        # component-mate label r for v; min(r) == the engine's min-label
+        # fixpoint, (min == v) == the representative rule
+        "dedup_clusters": (
+            "WITH RECURSIVE "
+            "verts AS (SELECT doc_id AS v FROM documents WHERE doc_id < 100), "
+            "e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+            "WHERE doc_id < 99 AND doc_id % 5 <> 4 "
+            "UNION ALL SELECT doc_id, doc_id + 50 FROM documents "
+            "WHERE doc_id < 50 AND doc_id % 25 = 0), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "reach(v, r) AS (SELECT v, v FROM verts "
+            "UNION SELECT s.b, reach.r FROM sym s JOIN reach ON s.a = reach.v) "
+            "SELECT v AS doc_id, min(r) AS cluster, min(r) = v AS is_representative "
+            "FROM reach GROUP BY v ORDER BY doc_id"
         ),
         "spans_interleaved": (
             "WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -1,0 +1,110 @@
+"""Dedup-cluster formation: distributed connected components.
+
+Near-dup detection (operators/dedup.py MinHash/SimHash/embedding LSH)
+emits verified PAIRS; a training pipeline needs CLUSTERS — one
+representative kept per group of mutually-similar documents, where
+similarity is transitive through chains (A~B, B~C puts A and C in one
+cluster even if A!~C). That closure is connected components over the
+pair graph.
+
+Algorithm: iterative min-label propagation. Every vertex starts
+labelled with itself; each round every vertex takes the min of its own
+label and its neighbors' labels; fixpoint = every vertex labelled with
+the smallest vertex id in its component (so the cluster id doubles as
+the canonical representative — deterministic, replayable). Rounds
+needed = graph diameter, and near-dup graphs are dense clumps with
+tiny diameters (2-4); for adversarial long-path graphs swap in the
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — same per-round plan
+shape, O(log n) rounds.
+
+Scale shape per round: ONE shuffle join (labels onto the symmetrized
+edge list, keyed by neighbor) + one groupBy(v) min — both hash-keyed
+on vertex id, so AQE coalesces and skew only costs a hot reduce key.
+`localCheckpoint` truncates the lineage each round so the plan stays
+O(1) deep instead of O(rounds); the convergence probe is a
+`limit(1).count()` (early-exits on the first changed row), never a
+full-table collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    minimum vertex id in its connected component.
+
+    Returns (v, cluster) with one row per distinct endpoint; vertex ids
+    must be orderable (numeric or string). Raises if the graph hasn't
+    converged after ``max_iters`` rounds — for near-dup graphs the
+    fixpoint lands in a handful of rounds; hitting the cap means the
+    graph has a path of that length and wants the star-contraction
+    variant instead.
+    """
+    if max_iters <= 0:
+        raise ValueError("max_iters must be positive")
+    sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("w")).union(
+        edges.select(F.col(dst).alias("v"), F.col(src).alias("w"))
+    )
+    labels = sym.select("v").distinct().select("v", F.col("v").alias("cluster"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(
+                labels.select(F.col("v").alias("w"), F.col("cluster").alias("wc")), "w"
+            )
+            .groupBy("v")
+            .agg(F.min("wc").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(long-path graph — use a star-contraction variant)"
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Apply near-dup clustering to a corpus: every document gains a
+    ``cluster`` column (its component's min id; singletons cluster with
+    themselves) and a ``is_representative`` flag (true on the one kept
+    copy per cluster — the min id, the same deterministic argmin rule
+    as drop_duplicate_paragraphs). Filter on the flag to dedup."""
+    comp = connected_components(edges, src=src, dst=dst, max_iters=max_iters)
+    out = docs.join(
+        comp.select(F.col("v").alias(id_col), "cluster"), id_col, "left"
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    return out.withColumn("is_representative", F.col("cluster") == F.col(id_col))

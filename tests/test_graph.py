@@ -1,0 +1,70 @@
+"""Connected components / dedup clusters (operators/graph.py):
+brute-force union-find equivalence, convergence behavior, and the
+representative rule."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.graph import cluster_representatives, connected_components
+
+
+def _uf_components(n_edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(5)
+    edges = list({(rng.randrange(200), rng.randrange(200)) for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    got = {r.v: r.cluster for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_chain_and_ring(spark):
+    # a 10-chain, a 6-ring, and an isolated pair — all collapse to min id
+    chain = [(i, i + 1) for i in range(10)]
+    ring = [(100 + i, 100 + (i + 1) % 6) for i in range(6)]
+    pair = [(500, 501)]
+    df = spark.createDataFrame(chain + ring + pair, "src long, dst long")
+    got = {r.v: r.cluster for r in connected_components(df).collect()}
+    assert all(got[v] == 0 for v in range(11))
+    assert all(got[100 + i] == 100 for i in range(6))
+    assert got[500] == got[501] == 500
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iters=2)
+    with pytest.raises(ValueError):
+        connected_components(df, max_iters=0)
+
+
+def test_cluster_representatives(spark):
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], "a long, b long")
+    out = {
+        r.doc_id: (r.cluster, r.is_representative)
+        for r in cluster_representatives(docs, edges).collect()
+    }
+    assert out[1] == (1, True) and out[3] == (1, False) and out[5] == (1, False)
+    assert out[7] == (7, True) and out[8] == (7, False)
+    # singletons are their own representative
+    assert out[0] == (0, True) and out[9] == (9, True)
+    kept = [d for d, (_, rep) in out.items() if rep]
+    assert sorted(kept) == [0, 1, 2, 4, 6, 7, 9]
