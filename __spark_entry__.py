@@ -1573,6 +1573,50 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Structured Streaming: watermark-bounded exactly-once dedup
+    (streaming/dedup.py dropDuplicatesWithinWatermark — state is O(keys
+    per horizon), not O(all keys ever)). Input plants 3 identical copies
+    of every key; the checkpointed availableNow run must emit each key
+    once, so the post-state equals exact SQL dedup and the oracle checks
+    values, not just rows."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.streaming.dedup import run_dedup_available_now
+
+    workdir = tempfile.mkdtemp(prefix="sinew_q_sdedup_")
+    try:
+        _utc(spark)
+        e = _t(spark, sf_dir, "events").where(F.col("event_id") < 600)
+        key = F.col("event_id") % 200
+        src = e.select(
+            key.alias("key"),
+            F.concat(F.lit("k"), (key % 7).cast("string")).alias("kind"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + key).alias("event_time"),
+        )
+        src.write.mode("overwrite").parquet(f"{workdir}/src")
+        run_dedup_available_now(
+            spark,
+            f"{workdir}/src",
+            "key bigint, kind string, event_time timestamp",
+            ["key"],
+            f"{workdir}/out",
+            f"{workdir}/ckpt",
+            watermark="1 hour",
+        )
+        out = spark.read.parquet(f"{workdir}/out")
+        res = (
+            out.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_unique"), F.sum("key").alias("sum_key"))
+            .orderBy("kind")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, "kind string, n_unique long, sum_key long")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_streaming_rollup(spark, sf_dir):
     """Structured Streaming: checkpointed availableNow incremental rollup —
     run a crawl round, stream its fetched commit through the watermarked
@@ -1700,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "local_supplier_volume": q_local_supplier_volume,
         "streaming_rollup": q_streaming_rollup,
+        "streaming_dedup": q_streaming_dedup,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
@@ -2374,6 +2419,14 @@ def oracle_sql() -> dict[str, str]:
             "1 AS n_attempts FROM range(60) t(i)) "
             "SELECT host, count(*) AS fetches, CAST(sum(n_attempts) AS BIGINT) AS attempts "
             "FROM seeds GROUP BY host ORDER BY host"
+        ),
+        # post-state oracle: duplicates are exact copies within the
+        # watermark, so the streaming result must equal exact dedup
+        "streaming_dedup": (
+            "WITH keys AS (SELECT DISTINCT event_id % 200 AS key FROM events WHERE event_id < 600) "
+            "SELECT 'k' || CAST(key % 7 AS VARCHAR) AS kind, count(*) AS n_unique, "
+            "CAST(sum(key) AS BIGINT) AS sum_key "
+            "FROM keys GROUP BY kind ORDER BY kind"
         ),
         "top_orders_per_customer": (
             "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "

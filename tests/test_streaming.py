@@ -147,3 +147,33 @@ def test_sessionize_events_vs_duckdb(spark, sf_dir):
     assert (
         pd.to_datetime(got["session_start"]).values == oracle["session_start"].values
     ).all()
+
+
+def test_streaming_dedup_emits_once_and_resumes_idempotently(spark, tmpdir_path):
+    """dropDuplicatesWithinWatermark keeps one row per planted duplicate
+    key; a second availableNow run over the same checkpoint sees no new
+    files and emits nothing."""
+    from pyspark.sql import functions as F
+
+    from sinew_spark.streaming.dedup import run_dedup_available_now
+
+    src = spark.range(0, 300).select(
+        (F.col("id") % 100).alias("key"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 100).alias("event_time"),
+    )
+    src.write.mode("overwrite").parquet(f"{tmpdir_path}/src")
+    args = (
+        spark,
+        f"{tmpdir_path}/src",
+        "key bigint, event_time timestamp",
+        ["key"],
+        f"{tmpdir_path}/out",
+        f"{tmpdir_path}/ckpt",
+    )
+    run_dedup_available_now(*args, watermark="1 hour")
+    out = spark.read.parquet(f"{tmpdir_path}/out")
+    assert out.count() == 100
+    assert out.select("key").distinct().count() == 100
+
+    run_dedup_available_now(*args, watermark="1 hour")  # resume: no new files
+    assert spark.read.parquet(f"{tmpdir_path}/out").count() == 100
