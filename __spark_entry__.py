@@ -371,6 +371,39 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Pipeline: per-language corpus profile with EXACT percentiles —
+    Spark's `percentile` aggregate uses the same linear interpolation as
+    DuckDB quantile_cont (verified numerically), so the oracle is
+    value-strict. One partial-agg shuffle on lang; exact percentile cost
+    is per-group sort of the group's values, bounded by the largest
+    stratum (swap to percentile_approx at 10^10 rows per group)."""
+    from sinew_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", token_count_expr(F.col("text")).alias("ntok"), "n_chars"
+    )
+    pct = F.percentile("ntok", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            pct.alias("_p"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.col("_p")[0].alias("p50_tokens"),
+            F.col("_p")[1].alias("p95_tokens"),
+            "mean_chars",
+        )
+        .orderBy("lang")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Pipeline: Gopher-style repetition filter (operators/quality.py
     repetition_stats — per-row Catalyst array expressions, zero shuffle,
@@ -1763,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "vocab_topk": q_vocab_topk,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1938,6 +1972,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < "
             "CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 WHEN 'zh' THEN 1000 ELSE 100 END "
             "ORDER BY doc_id"
+        ),
+        # quantile_cont == Spark percentile (both linear interpolation)
+        "corpus_stats": (
+            f"WITH t AS (SELECT lang, {n_tok} AS ntok, n_chars FROM documents) "
+            "SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens, "
+            "quantile_cont(ntok, 0.5) AS p50_tokens, "
+            "quantile_cont(ntok, 0.95) AS p95_tokens, "
+            "round(avg(n_chars), 4) AS mean_chars "
+            "FROM t GROUP BY lang ORDER BY lang"
         ),
         # token rule shared with token_count; tie-break by token ascending
         "vocab_topk": (
