@@ -371,6 +371,35 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_pipeline_end_to_end(spark, sf_dir):
+    """Pipeline composition under ONE oracle: stratified sample (md5
+    hash filter) -> exact dedup (keep min doc_id per text) -> token
+    count -> token-budget shard packing. Each stage is the same operator
+    its dedicated query checks; this query pins that they COMPOSE —
+    column contracts, determinism, and ordering survive chaining."""
+    from sinew_spark.functions.text import token_count_expr
+    from sinew_spark.operators.dedup import exact_dedup
+    from sinew_spark.operators.pipeline import pack_by_token_budget, sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    sampled = sample_stratified(
+        d, {"en": 0.5, "zh": 1.0}, "lang", default_rate=0.2, buckets=1000, hash_expr=hv
+    )
+    kept = exact_dedup(sampled).select("doc_id")
+    toks = kept.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(toks, budget=2000).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("token_offset").cast("bigint").alias("token_offset"),
+        F.col("shard").cast("bigint").alias("shard"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_stats(spark, sf_dir):
     """Pipeline: per-language corpus profile with EXACT percentiles —
     Spark's `percentile` aggregate uses the same linear interpolation as
@@ -1797,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "snapshot_time_travel": q_snapshot_time_travel,
         "corpus_stats": q_corpus_stats,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
     }
 
 
@@ -1972,6 +2002,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < "
             "CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 WHEN 'zh' THEN 1000 ELSE 100 END "
             "ORDER BY doc_id"
+        ),
+        # stage-by-stage SQL replay of the composed pipeline: the sample
+        # filter is train_split's md5 bucket, dedup is min(doc_id) per
+        # text, packing is pack_shards' exclusive prefix sum
+        "pipeline_end_to_end": (
+            "WITH s AS (SELECT doc_id, text FROM documents "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < "
+            "CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 200 END), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY md5(text)), "
+            f"t AS (SELECT d.doc_id AS doc_id, CAST({n_tok} AS BIGINT) AS n_tokens "
+            "FROM documents d JOIN k USING (doc_id)), "
+            "p AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, token_offset, "
+            "CAST(floor(token_offset / 2000) AS BIGINT) AS shard FROM p ORDER BY doc_id"
         ),
         # quantile_cont == Spark percentile (both linear interpolation)
         "corpus_stats": (
