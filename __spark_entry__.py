@@ -847,6 +847,40 @@ def q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pagerank(spark, sf_dir):
+    """Frontier prioritization by link importance: fixed-iteration
+    PageRank in EXACT integer fixed-point arithmetic
+    (operators/graph.py pagerank_fixedpoint — one rank->edges hash join
+    + one groupBy-sum per iteration, lineage truncated per round).
+    Integer sums are order-independent, so ranks are bit-identical
+    across partitionings/cluster sizes AND exactly replayable by the
+    SQL oracle (no float shuffle-order drift). Link graph: each doc_id
+    emits 3 out-links to md5('pr|'||doc_id||'|'||j) % N — deterministic
+    both sides; doc_id is contiguous 0..N-1 so the modulo lands on real
+    vertices."""
+    from sinew_spark.operators.graph import pagerank_fixedpoint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = d.crossJoin(spark.range(3).select(F.col("id").alias("j"))).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("pr"), F.col("doc_id"), F.col("j"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    r = pagerank_fixedpoint(e, iters=5)
+    return r.select(F.col("v").alias("doc_id"), "rank").orderBy("doc_id")
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1785,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_interleaved": q_spans_interleaved,
         "interleave_linearize": q_interleave_linearize,
         "dedup_clusters": q_dedup_clusters,
+        "pagerank": q_pagerank,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
         "crawl_rounds": q_crawl_rounds,
@@ -1864,6 +1899,34 @@ def oracle_sql() -> dict[str, str]:
         f"greatest(0.0, 1.0 - ({punct}) * 4) * 0.2 + "
         f"least(CAST({hits['en']} AS DOUBLE) / greatest({n_tok}, 1) * 5, 1.0) * 0.2, 6)"
     )
+
+    # pagerank: q_pagerank's integer fixed-point update, 5 iterations
+    # unrolled (r0..r5) since SQL forbids GROUP BY in a recursive term
+    pr_iters, pr_num, pr_den, pr_scale = 5, 85, 100, 10**12
+    pr = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('pr|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1), (2)) j(j)), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        f"p AS (SELECT ({pr_scale} // n) AS unit, "
+        f"((({pr_den} - {pr_num}) * ({pr_scale} // n)) // {pr_den}) AS base FROM n), "
+        "r0 AS (SELECT v, (SELECT unit FROM p) AS rank FROM verts)"
+    ]
+    for i in range(1, pr_iters + 1):
+        pr.append(
+            f", r{i} AS (SELECT verts.v, (SELECT base FROM p) + "
+            f"({pr_num} * COALESCE(c.s, 0)) // {pr_den} AS rank FROM verts "
+            f"LEFT JOIN (SELECT e.dst AS v, CAST(SUM(r.rank // deg.deg) AS BIGINT) AS s "
+            f"FROM e JOIN r{i - 1} r ON r.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) c ON c.v = verts.v)"
+        )
+    pr.append(
+        f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
+    )
+    pr_sql = "".join(pr)
 
     return {
         "canonicalize_urls": (
@@ -2268,6 +2331,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v AS doc_id, min(r) AS cluster, min(r) = v AS is_representative "
             "FROM reach GROUP BY v ORDER BY doc_id"
         ),
+        # exact integer fixed-point PageRank, 5 iterations unrolled as
+        # chained CTEs (aggregation is illegal in a recursive term);
+        # BIGINT // and % replay Spark's div/% exactly on non-negative
+        # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
+        "pagerank": pr_sql,
         "spans_interleaved": (
             "WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt FROM documents) "

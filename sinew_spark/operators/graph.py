@@ -90,6 +90,96 @@ def connected_components(
     )
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed multigraph, computed in
+    EXACT integer fixed-point arithmetic — frontier prioritization by
+    link importance (the classic crawl-ordering signal; reference scope:
+    sinew orders its frontier FIFO per recipe, lib/sinew/base.rb `get`
+    sequencing — this is the scale-path upgrade).
+
+    Why integers: float PageRank is shuffle-order-dependent (FP addition
+    isn't associative), so two runs of the same job on different
+    partitionings disagree in the low bits — unacceptable under the
+    replay-identity rule this engine targets. Here every quantity is a
+    BIGINT: total mass ``scale`` (default 10^12) is split evenly
+    (``scale DIV n``), each vertex ships ``rank DIV out_degree`` along
+    every out-edge, and the damped update is
+
+        rank'(v) = ((den-num) * (scale DIV n)) DIV den
+                 + (num * sum_in(contrib)) DIV den
+
+    Integer sums are exactly associative/commutative, so the result is
+    bit-identical across any partitioning, AQE re-plan, or cluster size
+    — and an independent SQL engine replays it exactly (the
+    ``pagerank`` oracle query does). Rounding loss from the DIVs only
+    leaks mass (ranks are a deterministic lower bound of the rational
+    fixpoint); ordering fidelity at 10^12 scale is far below any
+    real-world tie.
+
+    Scale shape per iteration: one hash join of ranks onto the edge
+    list keyed by ``src`` (both sides partitioned by the same key after
+    round 1, so the exchange on the edge side is reused from the
+    persisted symmetrized list) + one groupBy(``dst``) SUM with
+    map-side partial aggregation. ``localCheckpoint`` truncates lineage
+    so the plan stays O(1) deep over any iteration count. Dangling
+    vertices (no out-edges) leak their damped mass — the standard
+    simplification; redistribute by adding a virtual uniform edge set
+    if the crawl graph has heavy sinks.
+
+    Returns (v, rank: long) with one row per distinct endpoint.
+    """
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select("v", F.lit(0).cast("long").alias("rank"))
+    unit = scale // n
+    base = ((damping_den - damping_num) * unit) // damping_den
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-edges annotated with out-degree, persisted once: every
+    # iteration's join re-reads this exchange instead of re-shuffling.
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = verts.select("v", F.lit(unit).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.select(F.col("v").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(contrib.select(F.col("dst").alias("v"), "s"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def cluster_representatives(
     docs: DataFrame,
     edges: DataFrame,

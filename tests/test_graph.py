@@ -7,7 +7,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from sinew_spark.operators.graph import cluster_representatives, connected_components
+from sinew_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+    pagerank_fixedpoint,
+)
 
 
 def _uf_components(n_edges):
@@ -53,6 +57,64 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(df, max_iters=2)
     with pytest.raises(ValueError):
         connected_components(df, max_iters=0)
+
+
+def _pagerank_bruteforce(edges, iters, num=85, den=100, scale=10**12):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    unit = scale // n
+    base = ((den - num) * unit) // den
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    # Spark's `div` truncates toward zero; Python // floors. Ranks stay
+    # non-negative here so the two agree, but keep the guard explicit.
+    ranks = {v: unit for v in verts}
+    for _ in range(iters):
+        s = {v: 0 for v in verts}
+        for a, b in edges:
+            assert ranks[a] >= 0
+            s[b] += ranks[a] // deg[a]
+        ranks = {v: base + (num * s[v]) // den for v in verts}
+    return ranks
+
+
+def test_pagerank_matches_bruteforce_exactly(spark):
+    rng = random.Random(11)
+    # multigraph with self-loops and dangling vertices (in-only nodes)
+    edges = [(rng.randrange(60), rng.randrange(80)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = {r.v: r.rank for r in pagerank_fixedpoint(df, iters=4).collect()}
+    assert got == _pagerank_bruteforce(edges, 4)
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    b = spark.createDataFrame(list(reversed(edges)), "src long, dst long").repartition(17)
+    ra = sorted((r.v, r.rank) for r in pagerank_fixedpoint(a, iters=5).collect())
+    rb = sorted((r.v, r.rank) for r in pagerank_fixedpoint(b, iters=5).collect())
+    assert ra == rb
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: every spoke points at vertex 0 -> 0 collects all damped mass
+    edges = [(i, 0) for i in range(1, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.v: r.rank for r in pagerank_fixedpoint(df, iters=3).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 10 * ranks[1]
+    # mass never exceeds the scale budget (DIVs only leak downward)
+    assert sum(ranks.values()) <= 10**12
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixedpoint(df, iters=0)
+    with pytest.raises(ValueError):
+        pagerank_fixedpoint(df, damping_num=100, damping_den=100)
 
 
 def test_cluster_representatives(spark):
