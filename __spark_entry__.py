@@ -108,6 +108,52 @@ def q_request_identity(spark, sf_dir):
     )
 
 
+def q_surt_index(spark, sf_dir):
+    """Crawl-index ordering: SURT keys (functions/urls.py surt_key_expr —
+    host labels reversed, scheme dropped) make one registrable domain
+    CONTIGUOUS in sort order, so a sorted/bucketed URL index serves
+    domain-prefix lookups as range scans with parquet min/max pruning
+    (CDX-style). URLs synthesized with rotating subdomains so the
+    contiguity property is exercised; the oracle re-derives the key from
+    the construction. Pure Catalyst — no Python, no shuffle beyond the
+    final sort."""
+    from sinew_spark.functions.urls import surt_key_expr
+
+    e = _par(_t(spark, sf_dir, "events"))
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("news"), F.lit("img")),
+        ((F.col("event_id") % 3) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("http://user:pw@"),
+        sub,
+        F.lit(".host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".test:8080/p/"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("?q="),
+        (F.col("event_id") % 5).cast("string"),
+    )
+    return e.select("event_id", surt_key_expr(url).alias("surt")).orderBy("event_id")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Corpus filtering: fastText-style hashed bag-of-words linear scorer
+    (functions/text.py hashed_linear_score_expr) — md5-derived feature
+    buckets and integer weights, score = sum of token-bucket weights.
+    Integer-exact (bit-identical across partitionings) and zero-shuffle
+    zero-Python per row: TRANSFORM + AGGREGATE inside whole-stage
+    codegen, no explode and no join against the weight table."""
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", hashed_linear_score_expr(F.col("text")).alias("score"))
+        .withColumn("keep", F.col("score") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_seen_antijoin(spark, sf_dir):
     """C4: exactly-once — left-anti join of frontier vs seen on identity."""
     from sinew_spark.functions.urls import make_canonicalize_udf
@@ -1820,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_linearize": q_interleave_linearize,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "surt_index": q_surt_index,
+        "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
         "crawl_rounds": q_crawl_rounds,
@@ -2336,6 +2384,30 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        # SURT re-derived from the URL construction (hosts here always
+        # have exactly the 3 labels sub.hostNN.test; port/userinfo drop)
+        "surt_index": (
+            "WITH u AS (SELECT event_id, "
+            "CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'www' "
+            "WHEN 1 THEN 'news' ELSE 'img' END AS sub, "
+            "CAST(user_id % 50 AS VARCHAR) AS hn, "
+            "CAST(event_id % 7 AS VARCHAR) AS p, "
+            "CAST(event_id % 5 AS VARCHAR) AS q FROM events) "
+            "SELECT event_id, 'test,host' || hn || ',' || sub || ')/p/' || p "
+            "|| '?q=' || q AS surt FROM u ORDER BY event_id"
+        ),
+        # hashed-linear scorer replayed token-for-token: same md5 bucket
+        # and weight derivation; CAST defuses DuckDB's HUGEINT list sum
+        "quality_classifier": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(list_aggregate(list_transform("
+            "regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "tk -> CAST(('0x' || substr(md5('qlc|' || CAST("
+            "CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) % 4096 AS VARCHAR)"
+            "), 1, 15)) AS BIGINT) % 2001 - 1000), 'sum') AS BIGINT) END AS score "
+            "FROM documents) "
+            "SELECT doc_id, score, score > 0 AS keep FROM t ORDER BY doc_id"
+        ),
         "spans_interleaved": (
             "WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt FROM documents) "

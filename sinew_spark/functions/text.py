@@ -93,3 +93,43 @@ def robust_fingerprint_expr(text: Column) -> Column:
     """Word-order-independent fingerprint: md5 of the sorted distinct token
     set — catches shuffled/duplicated-word copies."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_expr(text))), " "))
+
+
+def _md5_int_expr(s: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the oracle-facing
+    hash (DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hashed_linear_score_expr(
+    text: Column, buckets: int = 4096, seed: str = "qlc"
+) -> Column:
+    """fastText-style hashed bag-of-words linear scorer, integer-exact.
+
+    Each token hashes into one of ``buckets`` feature ids; each bucket
+    carries an integer weight in [-1000, 1000] derived from
+    md5(seed|bucket). The document score is the sum of its tokens'
+    weights (multi-count) — the dot product w.x over a term-count
+    vector, i.e. the linear quality-classifier shape used to filter
+    web corpora at scale. In production the weight vector is a trained
+    model broadcast as a map-lookup; the md5 derivation stands in here
+    so the scorer is exactly replayable by an independent SQL engine.
+    Integer sums are order-independent -> scores are bit-identical
+    across partitionings.
+
+    Scale shape: zero shuffle, zero Python — tokens -> TRANSFORM to
+    weights -> AGGREGATE sum, all whole-stage codegen (no explode, no
+    join against a weight table).
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+    weights = F.transform(
+        tokens_expr(text),
+        lambda t: _md5_int_expr(
+            F.concat_ws("|", F.lit(seed), (_md5_int_expr(t) % buckets).cast("string"))
+        )
+        % 2001
+        - 1000,
+    )
+    total = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(total)

@@ -154,6 +154,29 @@ def path_expr(url: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def surt_key_expr(url: Column) -> Column:
+    """CDX/SURT-style index key for a canonical URL — pure Catalyst.
+
+    Sort-friendly crawl-index ordering (the CommonCrawl CDXJ layout):
+    reverse the host labels and drop the scheme, so every URL of a
+    registrable domain is CONTIGUOUS in sorted order —
+    ``http://news.example.com/a?x=1`` -> ``com,example,news)/a?x=1``.
+    Sorting/bucketing a crawl index by this key turns host- and
+    domain-prefix lookups into partition-prunable range scans (parquet
+    min/max column stats line up with the prefix), where raw-URL order
+    scatters one domain across the keyspace by subdomain. Port and
+    userinfo are dropped (index identity, not fetch identity — the
+    request key keeps them via the canonical URL)."""
+    rev = F.array_join(F.reverse(F.split(host_expr(url), r"\.")), ",")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path_expr(url),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
 def request_key_expr(method: Column, canonical_url: Column, body: Column) -> Column:
     """Request identity hash: xxhash64(method, canonical_url, body).
 

@@ -78,3 +78,72 @@ def test_fingerprints(spark):
     assert out[2][0] != out[3][0]  # order matters for exact fp
     assert out[2][1] == out[3][1]  # order-independent robust fp
     assert out[2][1] != out[4][1]
+
+
+def _score_bruteforce(text, buckets=4096, seed="qlc"):
+    import hashlib
+
+    md5i = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    t = text.strip()
+    if t == "":
+        return 0
+    return sum(
+        md5i(f"{seed}|{md5i(tok) % buckets}") % 2001 - 1000
+        for tok in __import__("re").split(r"\s+", t.lower())
+    )
+
+
+def test_hashed_linear_score_matches_bruteforce(spark):
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  Mixed   CASE   and   runs  of   spaces ",
+        "",
+        "   ",
+        "one-token",
+        "repeated repeated repeated words count each time",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {
+        r.id: r.s
+        for r in df.select(
+            "id", hashed_linear_score_expr(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _score_bruteforce(t), t
+    # multi-count: a repeated token shifts the score vs its distinct set
+    once = _score_bruteforce("repeated words count each time")
+    assert got[5] != once
+
+
+def test_hashed_linear_score_partition_invariant(spark):
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i * 7 % 13} shared words") for i in range(50)],
+        ["id", "text"],
+    )
+    a = sorted(
+        (r.id, r.s)
+        for r in df.repartition(2)
+        .select("id", hashed_linear_score_expr(F.col("text")).alias("s"))
+        .collect()
+    )
+    b = sorted(
+        (r.id, r.s)
+        for r in df.repartition(13)
+        .select("id", hashed_linear_score_expr(F.col("text")).alias("s"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_hashed_linear_score_rejects_bad_buckets(spark):
+    import pytest as _pytest
+
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    with _pytest.raises(ValueError):
+        hashed_linear_score_expr(F.lit("x"), buckets=0)

@@ -88,3 +88,46 @@ def test_canonicalize_udf(spark):
     )
     got = [r[0] for r in df.select(udf("url")).collect()]
     assert got == ["http://x.com/p?a=1", None]
+
+
+def test_surt_key_expr(spark):
+    from sinew_spark.functions.urls import surt_key_expr
+
+    df = spark.createDataFrame(
+        [
+            ("http://news.example.com/a/b?x=1&y=2",),
+            ("https://user:pw@News.Example.COM:8443/a/b",),
+            ("http://localhost/",),
+            ("http://example.org",),
+            ("http://a.b.c.example.net/p?q=#frag",),
+        ],
+        ["url"],
+    )
+    got = [r[0] for r in df.select(surt_key_expr(F.col("url"))).collect()]
+    assert got[0] == "com,example,news)/a/b?x=1&y=2"
+    # port + userinfo dropped, host case-folded, no query -> no '?'
+    assert got[1] == "com,example,news)/a/b"
+    assert got[2] == "localhost)/"
+    assert got[3] == "org,example)/"
+    # fragment excluded; the (empty-valued) query param is kept
+    assert got[4] == "net,example,c,b,a)/p?q="
+
+
+def test_surt_key_domain_contiguity(spark):
+    from sinew_spark.functions.urls import surt_key_expr
+
+    urls = [
+        "http://www.alpha.test/x",
+        "http://img.alpha.test/y",
+        "http://www.beta.test/x",
+        "http://alpha.test/z",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    keys = sorted(r[0] for r in df.select(surt_key_expr(F.col("url"))).collect())
+    # all alpha.test URLs (any subdomain) sort contiguously before beta.test
+    assert [k.split(")")[0] for k in keys] == [
+        "test,alpha",
+        "test,alpha,img",
+        "test,alpha,www",
+        "test,beta,www",
+    ]
