@@ -927,6 +927,35 @@ def q_pagerank(spark, sf_dir):
     return r.select(F.col("v").alias("doc_id"), "rank").orderBy("doc_id")
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (operators/scheduler.py
+    recrawl_priority — Cho & Garcia-Molina greedy revisit score): LAG
+    window + per-key aggregate sharing ONE hash shuffle estimate each
+    URL's fingerprint change rate from its fetch history; priority =
+    change_rate x staleness. History synthesized per doc over 8 rounds
+    (observed iff round 0 or md5 coin; 3-state pseudo-content) so the
+    oracle re-derives it exactly."""
+    from sinew_spark.operators.scheduler import recrawl_priority
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = d.crossJoin(spark.range(8).select(F.col("id").alias("round")))
+    m = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    obs = m(F.concat_ws("|", F.lit("obs"), F.col("doc_id"), F.col("round"))) % 3
+    state = m(F.concat_ws("|", F.lit("fp"), F.col("doc_id"), F.col("round"))) % 3
+    hist = h.where((F.col("round") == 0) | (obs != 0)).select(
+        F.col("doc_id").alias("key"), "round", state.cast("string").alias("fingerprint")
+    )
+    out = recrawl_priority(hist, current_round=10)
+    return out.select(
+        F.col("key").alias("doc_id"),
+        "obs",
+        "changes",
+        "change_rate",
+        "staleness",
+        "priority",
+    ).orderBy("doc_id")
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1867,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "surt_index": q_surt_index,
+        "recrawl_priority": q_recrawl_priority,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2384,6 +2414,26 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        # same LAG-flip estimator over the re-derived synthetic history;
+        # DuckDB '/' on BIGINTs is float division (matches Spark's);
+        # COUNT/SUM casts keep obs/changes BIGINT
+        "recrawl_priority": (
+            "WITH h AS (SELECT d.doc_id AS key, r.r AS round, "
+            "CAST(CAST(('0x' || substr(md5('fp|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+            "CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS VARCHAR) AS fingerprint "
+            "FROM documents d, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) r(r) "
+            "WHERE r.r = 0 OR CAST(('0x' || substr(md5('obs|' || CAST(d.doc_id AS VARCHAR) "
+            "|| '|' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 <> 0), "
+            "f AS (SELECT key, round, CAST(fingerprint <> LAG(fingerprint) OVER "
+            "(PARTITION BY key ORDER BY round) AS INTEGER) AS flip FROM h), "
+            "a AS (SELECT key, COUNT(*) AS obs, CAST(COALESCE(SUM(flip), 0) AS BIGINT) "
+            "AS changes, MAX(round) AS last_round FROM f GROUP BY key) "
+            "SELECT key AS doc_id, obs, changes, "
+            "round(changes / greatest(obs - 1, 1), 6) AS change_rate, "
+            "CAST(10 - last_round AS BIGINT) AS staleness, "
+            "round(round(changes / greatest(obs - 1, 1), 6) * (10 - last_round), 6) "
+            "AS priority FROM a ORDER BY doc_id"
+        ),
         # SURT re-derived from the URL construction (hosts here always
         # have exactly the 3 labels sub.hostNN.test; port/userinfo drop)
         "surt_index": (
