@@ -199,6 +199,10 @@ def headline_queries(spark) -> dict:
         "paragraph_dedup_apply",
         "dedup_clusters",
         "snapshot_time_travel",
+        "pagerank",
+        "surt_index",
+        "quality_classifier",
+        "recrawl_priority",
     ]
     out = {}
     for name in names:
