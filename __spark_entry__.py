@@ -956,6 +956,65 @@ def q_recrawl_priority(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal on the interleaved span model
+    (operators/interleave.py main_content_spans — jusText-family block
+    classification: title/long-prose base blocks + neighbor smoothing
+    for images, short text, and inline links; one-word nav chrome never
+    survives). Array-native: ONE projection, zero shuffle, zero Python.
+    Synthetic page per doc (title, nav link, figure image, real prose,
+    read-more link / short note swapped by parity, privacy link) so
+    every rule branch fires and the oracle re-derives rows + LAG/LEAD
+    windows exactly."""
+    from sinew_spark.operators.interleave import main_content_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nul = F.lit(None).cast("string")
+
+    def sp(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    did = F.col("doc_id").cast("string")
+    readmore = lambda off: sp(  # noqa: E731
+        "link", F.lit("read the full report here"), F.lit("http://x.test/r"), off
+    )
+    shortnote = lambda off: sp(  # noqa: E731
+        "text", F.lit("short trailing note"), nul, off
+    )
+    even = F.col("doc_id") % 2 == 0
+    docs = d.select(
+        "doc_id",
+        F.array(
+            sp("title", F.concat(F.lit("Doc "), did, F.lit(" overview")), nul, 0),
+            sp("link", F.lit("home"), F.lit("http://nav.test/"), 1),
+            sp("image", nul, F.concat(F.lit("img://"), did), 2),
+            sp("text", F.col("text"), nul, 3),
+            F.when(even, shortnote(4)).otherwise(readmore(4)),
+            F.when(even, readmore(5)).otherwise(shortnote(5)),
+            sp("link", F.lit("privacy terms"), F.lit("http://nav.test/p"), 6),
+        ).alias("spans"),
+    )
+    ex = main_content_spans(docs).select(
+        "doc_id", F.explode("content_spans").alias("s")
+    )
+    t = F.col("s.text")
+    toks = (
+        F.when(t.isNull() | (F.trim(t) == ""), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+    return ex.select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        toks.alias("n_tokens"),
+    ).orderBy("doc_id", "offset")
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1897,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "surt_index": q_surt_index,
         "recrawl_priority": q_recrawl_priority,
+        "main_content": q_main_content,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2414,6 +2474,32 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        # synthetic page rows re-derived by CASE on (offset, parity);
+        # base/neighbor classification replayed with LAG/LEAD windows
+        "main_content": (
+            "WITH s AS (SELECT d.doc_id, o.o AS offset, "
+            "CASE o.o WHEN 0 THEN 'title' WHEN 1 THEN 'link' WHEN 2 THEN 'image' "
+            "WHEN 3 THEN 'text' WHEN 6 THEN 'link' "
+            "WHEN 4 THEN CASE WHEN d.doc_id % 2 = 0 THEN 'text' ELSE 'link' END "
+            "ELSE CASE WHEN d.doc_id % 2 = 0 THEN 'link' ELSE 'text' END END AS kind, "
+            "CASE o.o WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' overview' "
+            "WHEN 1 THEN 'home' WHEN 2 THEN NULL WHEN 3 THEN d.text "
+            "WHEN 6 THEN 'privacy terms' "
+            "WHEN 4 THEN CASE WHEN d.doc_id % 2 = 0 THEN 'short trailing note' "
+            "ELSE 'read the full report here' END "
+            "ELSE CASE WHEN d.doc_id % 2 = 0 THEN 'read the full report here' "
+            "ELSE 'short trailing note' END END AS text "
+            "FROM documents d, (VALUES (0), (1), (2), (3), (4), (5), (6)) o(o)), "
+            't AS (SELECT doc_id, "offset", kind, CASE WHEN text IS NULL OR trim(text) = \'\' '
+            "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks FROM s), "
+            "b AS (SELECT *, (kind = 'title' OR (kind = 'text' AND toks >= 10)) AS base FROM t), "
+            "k AS (SELECT *, COALESCE(LAG(base) OVER w, false) AS pb, "
+            "COALESCE(LEAD(base) OVER w, false) AS nb FROM b "
+            'WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")) '
+            'SELECT doc_id, "offset", kind, CAST(toks AS INTEGER) AS n_tokens FROM k '
+            "WHERE base OR ((pb OR nb) AND (kind = 'text' OR kind = 'image' OR "
+            '(kind = \'link\' AND toks >= 3))) ORDER BY doc_id, "offset"'
+        ),
         # same LAG-flip estimator over the re-derived synthetic history;
         # DuckDB '/' on BIGINTs is float division (matches Spark's);
         # COUNT/SUM casts keep obs/changes BIGINT

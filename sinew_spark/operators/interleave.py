@@ -98,6 +98,66 @@ def linearize_spans(
     )
 
 
+def _span_tokens(s: Column) -> Column:
+    t = s["text"]
+    return (
+        F.when(t.isNull() | (F.trim(t) == ""), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    )
+
+
+def main_content_spans(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    min_tokens: int = 10,
+    link_min_tokens: int = 3,
+    out_col: str = "content_spans",
+) -> DataFrame:
+    """Boilerplate removal over the interleaved span sequence — the
+    jusText/Readability block-classification family (Pomikalek 2011)
+    re-expressed on the engine's span model, where each span is a block.
+
+    Two-phase rule, deterministic and order-local:
+
+    1. BASE blocks: every ``title`` span, and every ``text`` span with
+       >= ``min_tokens`` whitespace tokens (long prose is content).
+    2. Neighbor smoothing: a non-base span is kept iff a base block
+       sits immediately adjacent in document order AND the span is
+       plausibly part of the article flow — any ``text`` span, any
+       ``image`` span (figures ride with their prose), or a ``link``
+       span with >= ``link_min_tokens`` tokens (inline references;
+       one-word nav chrome like 'home'/'privacy' never survives).
+
+    Scale shape: ONE Catalyst projection — offset-sort + index-aware
+    ``filter`` over the array, neighbors read via ``element_at`` under
+    lazy ``when`` guards. Zero shuffle, zero Python, per-row cost
+    O(spans); the plan is a Project over the scan at any corpus size.
+    """
+    if min_tokens <= 0 or link_min_tokens <= 0:
+        raise ValueError("token thresholds must be positive")
+    arr = F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
+    n = F.size(arr)
+
+    def base(s: Column) -> Column:
+        return (s["kind"] == "title") | (
+            (s["kind"] == "text") & (_span_tokens(s) >= min_tokens)
+        )
+
+    def keep(s: Column, i: Column) -> Column:
+        prev_base = F.when(i > 0, base(F.element_at(arr, i))).otherwise(F.lit(False))
+        next_base = F.when(i < n - 1, base(F.element_at(arr, i + 2))).otherwise(
+            F.lit(False)
+        )
+        rides_along = (
+            (s["kind"] == "text")
+            | (s["kind"] == "image")
+            | ((s["kind"] == "link") & (_span_tokens(s) >= link_min_tokens))
+        )
+        return base(s) | ((prev_base | next_base) & rides_along)
+
+    return docs.withColumn(out_col, F.filter(arr, keep))
+
+
 def strip_media(
     docs: DataFrame, spans_col: str = "spans", sep: str = " "
 ) -> DataFrame:

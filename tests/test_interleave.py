@@ -98,3 +98,94 @@ def test_linearize_plan_zero_shuffle_zero_python(spark):
     for out in (linearize_spans(df), strip_media(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def _brute_main_content(spans, min_tokens=10, link_min_tokens=3):
+    import re
+
+    spans = sorted(spans, key=lambda s: s[3])
+    toks = lambda t: 0 if not t or not t.strip() else len(re.split(r"\s+", t.strip()))  # noqa: E731
+    base = [
+        k == "title" or (k == "text" and toks(t) >= min_tokens)
+        for k, t, _m, _o in spans
+    ]
+    kept = []
+    for i, (k, t, m, o) in enumerate(spans):
+        adj = (i > 0 and base[i - 1]) or (i < len(spans) - 1 and base[i + 1])
+        rides = k in ("text", "image") or (k == "link" and toks(t) >= link_min_tokens)
+        if base[i] or (adj and rides):
+            kept.append((k, t, m, o))
+    return kept
+
+
+def test_main_content_matches_bruteforce(spark):
+    from sinew_spark.operators.interleave import main_content_spans
+
+    spans = [
+        ("title", "Doc heading words", None, 0),
+        ("link", "home", "http://nav.test/", 1),
+        ("image", None, "img://d/0", 2),
+        ("text", "a long paragraph of real prose with twelve whole tokens here ok", None, 3),
+        ("link", "read the full report here", "http://x.test/r", 4),
+        ("text", "short trailing note", None, 5),
+        ("link", "privacy terms", "http://nav.test/p", 6),
+    ]
+    got = [
+        (s.kind, s.text, s.media_ref, s.offset)
+        for s in main_content_spans(_doc(spark, spans)).collect()[0].content_spans
+    ]
+    want = _brute_main_content(spans)
+    assert got == want
+    kinds_kept = [k for k, *_ in got]
+    # title + image (rides with title) + prose + inline link survive;
+    # one-word nav chrome and the orphan short text do not
+    assert kinds_kept == ["title", "image", "text", "link"]
+
+
+def test_main_content_unsorted_input_and_edge_spans(spark):
+    from sinew_spark.operators.interleave import main_content_spans
+
+    spans = [
+        ("link", "read all about it today", "http://x/1", 1),
+        ("text", "one two three four five six seven eight nine ten eleven", None, 0),
+        ("text", "", None, 2),
+        ("image", None, "img://tail", 3),
+    ]
+    got = [
+        (s.kind, s.offset)
+        for s in main_content_spans(_doc(spark, spans)).collect()[0].content_spans
+    ]
+    want = [(k, o) for k, _t, _m, o in _brute_main_content(spans)]
+    assert got == want
+    # the long prose block survives as base content
+    assert got[0] == ("text", 0)
+
+
+def test_main_content_all_boilerplate_and_empty(spark):
+    from sinew_spark.operators.interleave import main_content_spans
+
+    nav = [("link", "home", "h", 0), ("link", "about", "a", 1)]
+    assert main_content_spans(_doc(spark, nav)).collect()[0].content_spans == []
+    assert main_content_spans(_doc(spark, [])).collect()[0].content_spans == []
+
+
+def test_main_content_zero_shuffle_plan(spark):
+    from sinew_spark.operators.interleave import main_content_spans
+
+    df = _doc(spark, [("title", "t", None, 0)])
+    plan = (
+        main_content_spans(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_main_content_rejects_bad_thresholds(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.interleave import main_content_spans
+
+    with _pytest.raises(ValueError):
+        main_content_spans(_doc(spark, []), min_tokens=0)
