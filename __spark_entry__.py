@@ -1015,6 +1015,94 @@ def q_main_content(spark, sf_dir):
     ).orderBy("doc_id", "offset")
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py): URL-template explosion
+    (digit runs collapsed), path depth, and repeated-segment cycles —
+    ONE groupBy(host, template) shuffle with per-URL metrics computed in
+    Catalyst array ops before it. URL mix synthesized from events:
+    per-host articles (benign), a calendar trap (1 URL per event), a
+    path cycle, and a deep chain; the oracle re-derives construction,
+    template, and all three signals."""
+    from sinew_spark.operators.traps import detect_crawl_traps
+
+    e = _par(_t(spark, sf_dir, "events"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    url = (
+        F.when(
+            eid % 10 == 0,
+            F.concat(
+                F.lit("http://trap.test/cal/"),
+                (2000 + eid % 5).cast("string"),
+                F.lit("/"),
+                (eid % 12).cast("string"),
+                F.lit("/"),
+                (eid % 28).cast("string"),
+            ),
+        )
+        .when(eid % 97 == 0, F.lit("http://loop.test/x/y/x/y/x/y"))
+        .when(
+            eid % 89 == 0,
+            F.concat(
+                F.lit("http://deep.test/a/b/c/d/e/f/g/h/i/j/"), (eid % 3).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"),
+                (uid % 20).cast("string"),
+                F.lit(".test/article/"),
+                (eid % 50).cast("string"),
+            )
+        )
+    )
+    out = detect_crawl_traps(
+        e.select(url.alias("url")),
+        max_urls_per_template=600,
+        max_depth=8,
+        max_repeated_segments=3,
+    )
+    return out.orderBy("host", "template")
+
+
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text aggregation (operators/graph.py
+    aggregate_anchor_text): per link target, in-link count, distinct
+    phrases, and the dominant phrase (count desc, text asc — fully
+    deterministic). Partial-agg on (dst, anchor) collapses repeats
+    map-side; the rollup reuses the window's dst partitioning. Link
+    graph + phrases derived from md5 as in `pagerank` so the oracle
+    replays edge-for-edge."""
+    from sinew_spark.operators.graph import aggregate_anchor_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    m = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    j = spark.range(3).select(F.col("id").alias("j"))
+    phrases = F.array(
+        F.lit("click here"),
+        F.lit("read more"),
+        F.lit("official site"),
+        F.lit("homepage"),
+    )
+    e = d.crossJoin(j).select(
+        F.col("doc_id").alias("src"),
+        (m(F.concat_ws("|", F.lit("pr"), F.col("doc_id"), F.col("j"))) % n).alias("dst"),
+        F.element_at(
+            phrases,
+            (m(F.concat_ws("|", F.lit("a"), F.col("doc_id"), F.col("j"))) % 4 + 1).cast(
+                "int"
+            ),
+        ).alias("anchor"),
+    )
+    return aggregate_anchor_text(e).select(
+        F.col("dst").alias("doc_id"),
+        "n_inlinks",
+        "n_anchors",
+        "top_anchor",
+        "top_count",
+    ).orderBy("doc_id")
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1957,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": q_surt_index,
         "recrawl_priority": q_recrawl_priority,
         "main_content": q_main_content,
+        "crawl_traps": q_crawl_traps,
+        "anchor_text": q_anchor_text,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2474,6 +2564,50 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        # URL mix re-derived by CASE; template/depth/repeats via
+        # regexp_replace + list ops; INTEGER casts defuse BIGINT len()
+        "crawl_traps": (
+            "WITH u AS (SELECT CASE "
+            "WHEN event_id % 10 = 0 THEN 'http://trap.test/cal/' || "
+            "CAST(2000 + event_id % 5 AS VARCHAR) || '/' || CAST(event_id % 12 AS VARCHAR) "
+            "|| '/' || CAST(event_id % 28 AS VARCHAR) "
+            "WHEN event_id % 97 = 0 THEN 'http://loop.test/x/y/x/y/x/y' "
+            "WHEN event_id % 89 = 0 THEN 'http://deep.test/a/b/c/d/e/f/g/h/i/j/' || "
+            "CAST(event_id % 3 AS VARCHAR) "
+            "ELSE 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/article/' || "
+            "CAST(event_id % 50 AS VARCHAR) END AS url FROM events), "
+            "p AS (SELECT lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host, "
+            "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path "
+            "FROM u), "
+            "m AS (SELECT host, host || '|' || regexp_replace(path, '[0-9]+', 'N', 'g') "
+            "AS template, list_filter(string_split(path, '/'), x -> x <> '') AS segs FROM p), "
+            "a AS (SELECT host, template, COUNT(*) AS n_urls, "
+            "CAST(MAX(len(segs)) AS INTEGER) AS max_depth, "
+            "CAST(MAX(len(segs) - len(list_distinct(segs))) AS INTEGER) AS max_repeats "
+            "FROM m GROUP BY host, template) "
+            "SELECT host, template, n_urls, max_depth, max_repeats, "
+            "(n_urls > 600 OR max_depth > 8 OR max_repeats >= 3) AS is_trap "
+            "FROM a ORDER BY host, template"
+        ),
+        # edge list + phrase table replayed from md5; dominant phrase by
+        # (count desc, text asc) via ROW_NUMBER, rollup over the ranked set
+        "anchor_text": (
+            "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+            "e AS (SELECT CAST(('0x' || substr(md5('pr|' || CAST(d.doc_id AS VARCHAR) "
+            "|| '|' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst, "
+            "['click here', 'read more', 'official site', 'homepage']"
+            "[CAST(('0x' || substr(md5('a|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+            "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % 4 + 1] AS anchor "
+            "FROM documents d, (VALUES (0), (1), (2)) j(j)), "
+            "per AS (SELECT dst, anchor, COUNT(*) AS cnt FROM e GROUP BY dst, anchor), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) "
+            "AS rk FROM per) "
+            "SELECT dst AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_inlinks, "
+            "COUNT(*) AS n_anchors, MAX(CASE WHEN rk = 1 THEN anchor END) AS top_anchor, "
+            "CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_count "
+            "FROM r GROUP BY dst ORDER BY doc_id"
+        ),
         # synthetic page rows re-derived by CASE on (offset, parity);
         # base/neighbor classification replayed with LAG/LEAD windows
         "main_content": (

@@ -180,6 +180,46 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def aggregate_anchor_text(
+    edges: DataFrame,
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text aggregation: the classic query-independent
+    document signal (how the web describes a page). For every link
+    target, compute in-link count, distinct anchor phrases, and the
+    dominant phrase with its frequency.
+
+    Ties on frequency break by ascending phrase text, so the result is
+    deterministic and replayable. Scale shape: partial-agg groupBy on
+    (dst, anchor) collapses duplicate phrases map-side (anchor text is
+    heavily repeated — 'click here' etc.), then a window rank over the
+    collapsed per-phrase counts keyed by dst; the groupBy-(dst) rollup
+    reuses the window's dst partitioning. No collect, no explode of raw
+    in-links past the first partial agg.
+
+    Returns (dst, n_inlinks, n_anchors, top_anchor, top_count).
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        edges.select(F.col(dst).alias("dst"), F.col(anchor).alias("anchor"))
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("dst")
+        .agg(
+            F.sum("cnt").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.max(F.when(F.col("rk") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
+        )
+    )
+
+
 def cluster_representatives(
     docs: DataFrame,
     edges: DataFrame,
