@@ -203,6 +203,9 @@ def headline_queries(spark) -> dict:
         "surt_index",
         "quality_classifier",
         "recrawl_priority",
+        "main_content",
+        "crawl_traps",
+        "anchor_text",
     ]
     out = {}
     for name in names:
