@@ -1103,6 +1103,24 @@ def q_anchor_text(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_kmeans(spark, sf_dir):
+    """Corpus clustering: distributed Lloyd k-means in EXACT integer
+    arithmetic (operators/cluster.py kmeans_fixedpoint — embeddings
+    quantized to BIGINT, deterministic lowest-id init, truncating
+    integer centroid means, ties to the lowest centroid). One
+    groupBy(cluster) shuffle per iteration carrying (count, d
+    elementwise sums) with map-side partials; assignment is a pure
+    projection against centroid literals. Bit-identical across
+    partitionings; the oracle unrolls the same 3 iterations in SQL."""
+    from sinew_spark.operators.cluster import kmeans_fixedpoint
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_fixedpoint(emb, k=4, iters=3)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist").orderBy(
+        "vec_id"
+    )
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -2047,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "crawl_traps": q_crawl_traps,
         "anchor_text": q_anchor_text,
+        "kmeans": q_kmeans,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2155,6 +2174,43 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
     )
     pr_sql = "".join(pr)
+
+    # kmeans: q_kmeans's integer Lloyd rounds unrolled (assign a{t} with
+    # centroids c{t-1}, update to c{t}; final assignment a4 reads c3).
+    # DuckDB '//' truncates toward zero, matching the engine's update;
+    # empty clusters COALESCE back to their previous centroid.
+    km_iters, km_k, km_dim = 3, 4, 64
+    km_dist = (
+        "list_sum(list_transform(range(1, {d1}), i -> "
+        "(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])))".format(d1=km_dim + 1)
+    )
+    km = [
+        "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q "
+        f"FROM embeddings), "
+        f"c0 AS (SELECT vec_id AS k, q AS c FROM qv WHERE vec_id < {km_k})"
+    ]
+    for t in range(1, km_iters + 2):
+        km.append(
+            f", a{t} AS (SELECT v.vec_id, v.q, c.k AS cluster, {km_dist} AS dist "
+            f"FROM qv v CROSS JOIN c{t - 1} c "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY dist, c.k) = 1)"
+        )
+        if t <= km_iters:
+            km.append(
+                f", s{t} AS (SELECT cluster, i.i AS pos, CAST(SUM(q[i.i]) AS BIGINT) "
+                f"AS s, COUNT(*) AS n FROM a{t}, range(1, {km_dim + 1}) i(i) "
+                "GROUP BY cluster, i.i)"
+                f", n{t} AS (SELECT cluster AS k, list(s // n ORDER BY pos) AS c "
+                f"FROM s{t} GROUP BY cluster)"
+                f", c{t} AS (SELECT c{t - 1}.k, COALESCE(n{t}.c, c{t - 1}.c) AS c "
+                f"FROM c{t - 1} LEFT JOIN n{t} ON n{t}.k = c{t - 1}.k)"
+            )
+    km.append(
+        f" SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
+        f"CAST(dist AS BIGINT) AS dist FROM a{km_iters + 1} ORDER BY vec_id"
+    )
+    km_sql = "".join(km)
 
     return {
         "canonicalize_urls": (
@@ -2564,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via
         # regexp_replace + list ops; INTEGER casts defuse BIGINT len()
         "crawl_traps": (

@@ -206,6 +206,7 @@ def headline_queries(spark) -> dict:
         "main_content",
         "crawl_traps",
         "anchor_text",
+        "kmeans",
     ]
     out = {}
     for name in names:
