@@ -173,12 +173,17 @@ class Crawler:
         fetcher: Fetcher,
         options: CrawlOptions | None = None,
         robots: DataFrame | None = None,
+        crawl_delays: DataFrame | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
         self.fetcher = fetcher
         self.opts = options or CrawlOptions()
         self.robots = robots
+        # robots Crawl-delay table (host, crawl_delay) — see
+        # functions/robots.py robots_crawl_delays; overrides rate_limit
+        # upward per host inside the fetch stage
+        self.crawl_delays = crawl_delays
         self.canonicalize = make_canonicalize_udf(
             url_prefix=self.opts.url_prefix,
             default_params=self.opts.params,
@@ -412,6 +417,7 @@ class Crawler:
             retries=self.opts.retries,
             proxies=list(self.opts.proxies),
             parse=True,
+            host_delays=self.crawl_delays,
         )
 
         # 6. commit fetched + seen (including one entry per redirect hop,

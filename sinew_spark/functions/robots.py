@@ -30,22 +30,14 @@ RULES_SCHEMA = T.StructType(
 )
 
 
-def parse_robots_txt(body: str, agent: str = "*") -> list[str]:
-    """Return the Disallow prefixes applying to `agent`. An empty Disallow
-    line means allow-all (ignored). Allow lines longer than a Disallow
-    prefix re-permit that subtree: we emit the disallow only if no Allow
-    line exactly covers it (prefix-for-prefix); finer-grained overlap is
-    resolved at gate time by longest-match, which apply_robots approximates
-    conservatively (any matching disallow blocks)."""
-    if not body:
-        return []
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[str], list[str]]] = []  # (agents, disallows, allows)
-    cur_agents: list[str] = []
-    cur_dis: list[str] = []
-    cur_allow: list[str] = []
+def _parse_groups(body: str) -> list[dict]:
+    """Tokenize robots.txt into user-agent groups: each a dict with
+    ``agents`` / ``disallows`` / ``allows`` / ``crawl_delay`` (float
+    seconds or None; unparseable values ignored per Google's REP)."""
+    groups: list[dict] = []
+    cur: dict | None = None
     last_was_agent = False
-    for raw in body.splitlines():
+    for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -53,43 +45,68 @@ def parse_robots_txt(body: str, agent: str = "*") -> list[str]:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if not last_was_agent and cur_agents:
-                groups.append((cur_agents, cur_dis, cur_allow))
-                cur_agents, cur_dis, cur_allow = [], [], []
-            cur_agents.append(value.lower())
+            if not last_was_agent and cur is not None:
+                groups.append(cur)
+                cur = None
+            if cur is None:
+                cur = {"agents": [], "disallows": [], "allows": [], "crawl_delay": None}
+            cur["agents"].append(value.lower())
             last_was_agent = True
-        elif field in ("disallow", "allow"):
-            last_was_agent = False
-            if not cur_agents:
-                continue  # rules before any user-agent line are ignored
-            if field == "disallow" and value:
-                cur_dis.append(value)
-            elif field == "allow" and value:
-                cur_allow.append(value)
-        else:
-            last_was_agent = False
-    if cur_agents:
-        groups.append((cur_agents, cur_dis, cur_allow))
+            continue
+        last_was_agent = False
+        if cur is None:
+            continue  # rules before any user-agent line are ignored
+        if field == "disallow" and value:
+            cur["disallows"].append(value)
+        elif field == "allow" and value:
+            cur["allows"].append(value)
+        elif field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay >= 0:
+                cur["crawl_delay"] = delay
+    if cur is not None:
+        groups.append(cur)
+    return groups
 
-    def pick(want: str) -> tuple[list[str], list[str]] | None:
-        for agents, dis, allow in groups:
-            if any(a == want or (a != "*" and want.startswith(a)) for a in agents):
-                return dis, allow
-        return None
 
-    chosen = pick(agent) if agent != "*" else None
-    if chosen is None:
-        for agents, dis, allow in groups:
-            if "*" in agents:
-                chosen = (dis, allow)
-                break
+def _pick_group(groups: list[dict], agent: str) -> dict | None:
+    """Most-specific group for ``agent``: exact/prefix agent match first,
+    then the '*' fallback group."""
+    agent = agent.lower()
+    if agent != "*":
+        for g in groups:
+            if any(a == agent or (a != "*" and agent.startswith(a)) for a in g["agents"]):
+                return g
+    for g in groups:
+        if "*" in g["agents"]:
+            return g
+    return None
+
+
+def parse_robots_txt(body: str, agent: str = "*") -> list[str]:
+    """Return the Disallow prefixes applying to `agent`. An empty Disallow
+    line means allow-all (ignored). Allow lines longer than a Disallow
+    prefix re-permit that subtree: we emit the disallow only if no Allow
+    line exactly covers it (prefix-for-prefix); finer-grained overlap is
+    resolved at gate time by longest-match, which apply_robots approximates
+    conservatively (any matching disallow blocks)."""
+    chosen = _pick_group(_parse_groups(body), agent)
     if chosen is None:
         return []
-    dis, allow = chosen
     # conservative: an Allow cancels only an identical Disallow; a longer
     # Allow under a disallowed prefix stays blocked (we never fetch more
     # than the site permits)
-    return [d for d in dis if d not in allow]
+    return [d for d in chosen["disallows"] if d not in chosen["allows"]]
+
+
+def parse_robots_crawl_delay(body: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds applying to ``agent`` (group-scoped, same
+    agent-resolution rule as the Disallow path), or None when unset."""
+    chosen = _pick_group(_parse_groups(body), agent)
+    return None if chosen is None else chosen["crawl_delay"]
 
 
 def robots_rules(fetched: DataFrame, agent: str = "*") -> DataFrame:
@@ -108,6 +125,36 @@ def robots_rules(fetched: DataFrame, agent: str = "*") -> DataFrame:
             yield pd.DataFrame({"host": hosts, "disallow_prefix": prefixes})
 
     return fetched.select("host", "status", "resp_body").mapInPandas(parse, RULES_SCHEMA)
+
+
+DELAYS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+
+def robots_crawl_delays(fetched: DataFrame, agent: str = "*") -> DataFrame:
+    """fetched rows for /robots.txt URLs -> (host, crawl_delay) for hosts
+    that declare one. Output is at most one row per host — broadcast it
+    into the fetch stage (``fetch_rows(host_delays=...)``), where it
+    overrides the global rate_limit upward (politeness never decreases)."""
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, delays = [], []
+            for row in pdf.itertuples(index=False):
+                ok = row.status is not None and 200 <= row.status < 300
+                d = parse_robots_crawl_delay(row.resp_body, agent) if ok else None
+                if d is not None:
+                    hosts.append(row.host)
+                    delays.append(d)
+            yield pd.DataFrame({"host": hosts, "crawl_delay": delays})
+
+    return fetched.select("host", "status", "resp_body").mapInPandas(
+        parse, DELAYS_SCHEMA
+    )
 
 
 def bootstrap_robots(crawler, hosts: DataFrame, agent: str = "*", scheme: str = "http") -> DataFrame:

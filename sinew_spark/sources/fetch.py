@@ -268,6 +268,13 @@ def make_fetch_fn(
             from sinew_spark.functions.htmlparse import extract_spans_and_links
 
         pdf = pdf.sort_values(["priority", "seq"]).reset_index(drop=True)
+        # robots Crawl-delay override: joined per host upstream; politeness
+        # only ever tightens (max of the global limit and the host's ask)
+        effective = rate_limit
+        if "host_delay" in pdf.columns and len(pdf):
+            hd = pdf["host_delay"].iloc[0]
+            if hd is not None and not pd.isna(hd):
+                effective = max(rate_limit, float(hd))
         # C11: the host group's cookie jar, seeded from host_state (all rows
         # of a group share a host, so the first row's value is the group's)
         jar = {}
@@ -283,13 +290,13 @@ def make_fetch_fn(
             out["links"] = []
         first = True
         for row in pdf.itertuples(index=False):
-            if not first and rate_limit > 0:
-                time.sleep(rate_limit)  # politeness window within the host
+            if not first and effective > 0:
+                time.sleep(effective)  # politeness window within the host
             first = False
             # deterministic proxy rotation (replayable, unlike reference's rand)
             proxy = proxies[row.key % len(proxies)] if proxies else None
             status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
-                fetcher, row.url, row.method or "GET", row.body or "", retries, rate_limit,
+                fetcher, row.url, row.method or "GET", row.body or "", retries, effective,
                 cookies=jar,
             )
             out["status"].append(status)
@@ -318,7 +325,9 @@ def make_fetch_fn(
                 else:
                     out["spans"].append([])
                     out["links"].append([])
-        pdf = pdf.drop(columns=[c for c in ("host_cookies",) if c in pdf.columns])
+        pdf = pdf.drop(
+            columns=[c for c in ("host_cookies", "host_delay") if c in pdf.columns]
+        )
         for c, v in out.items():
             pdf[c] = v
         return pdf
@@ -437,6 +446,7 @@ def fetch_rows(
     retries: int = 2,
     proxies: list[str] | None = None,
     parse: bool = False,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Run the fetch stage.
 
@@ -450,11 +460,26 @@ def fetch_rows(
     fast path (the reference likewise zeroes the limiter under SINEW_TEST,
     base.rb:21).
 
+    host_delays: optional (host, crawl_delay) table from robots
+    ``Crawl-delay`` directives (functions/robots.py robots_crawl_delays).
+    Broadcast-joined onto the frontier; each host group paces at
+    max(rate_limit, its crawl_delay), so politeness only tightens. Forces
+    the grouped path (delayed hosts need in-task serialization even when
+    the global limit is 0).
+
     Input columns: key, url, canonical_url, method, body, priority, depth,
     seq, attempt, host. Output: FETCHED_SCHEMA.
     """
     schema = FETCH_PARSED_SCHEMA if parse else FETCHED_SCHEMA
-    if rate_limit > 0:
+    if host_delays is not None:
+        frontier = frontier.join(
+            F.broadcast(
+                host_delays.select("host", F.col("crawl_delay").alias("host_delay"))
+            ),
+            "host",
+            "left",
+        )
+    if rate_limit > 0 or host_delays is not None:
         fn = make_fetch_fn(fetcher, rate_limit, retries, proxies, parse=parse)
         return frontier.groupBy("host").applyInPandas(fn, schema)
 

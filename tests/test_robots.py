@@ -113,3 +113,80 @@ def test_bootstrap_robots_end_to_end(spark, tmpdir_path):
     )
     kept = sorted(r.canonical_url for r in apply_robots(frontier, rules).collect())
     assert kept == ["http://a.test/public/y", "http://b.test/private/z"]
+
+
+DELAYED = """
+User-agent: fastbot
+Crawl-delay: 0.05
+
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /x/
+
+User-agent: brokenbot
+Crawl-delay: soon
+"""
+
+
+def test_parse_crawl_delay_groups():
+    from sinew_spark.functions.robots import parse_robots_crawl_delay
+
+    assert parse_robots_crawl_delay(DELAYED, "fastbot") == 0.05
+    assert parse_robots_crawl_delay(DELAYED, "*") == 2.5
+    assert parse_robots_crawl_delay(DELAYED, "somebot") == 2.5  # '*' fallback
+    # unparseable value ignored -> group has no delay
+    assert parse_robots_crawl_delay(DELAYED, "brokenbot") is None
+    assert parse_robots_crawl_delay("", "*") is None
+    # case-insensitive field name, negative rejected
+    assert parse_robots_crawl_delay("User-Agent: *\nCRAWL-DELAY: 1", "*") == 1.0
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: -3", "*") is None
+
+
+def test_crawl_delay_does_not_disturb_disallow():
+    from sinew_spark.functions.robots import parse_robots_txt
+
+    assert parse_robots_txt(DELAYED, "*") == ["/x/"]
+
+
+def test_robots_crawl_delays_df(spark):
+    from sinew_spark.functions.robots import robots_crawl_delays
+
+    fetched = spark.createDataFrame(
+        [
+            ("slow.test", 200, "User-agent: *\nCrawl-delay: 1.5"),
+            ("fast.test", 200, "User-agent: *\nDisallow: /x/"),
+            ("err.test", 503, "User-agent: *\nCrawl-delay: 9"),
+        ],
+        "host string, status int, resp_body string",
+    )
+    got = {r.host: r.crawl_delay for r in robots_crawl_delays(fetched).collect()}
+    # only hosts that declare a delay appear; error responses contribute none
+    assert got == {"slow.test": 1.5}
+
+
+def test_crawl_delay_paces_fetch_end_to_end(spark, tmpdir_path):
+    import time
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    delays = spark.createDataFrame(
+        [("slow.test", 0.15)], "host string, crawl_delay double"
+    )
+
+    def run(host):
+        c = Crawler(
+            spark,
+            tmpdir_path + "/cd_" + host,
+            FixtureFetcher(seed=42),
+            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=1),
+            crawl_delays=delays,
+        )
+        c.seed([f"http://{host}/p{i}" for i in range(3)])
+        t0 = time.time()
+        c.run()
+        return time.time() - t0
+
+    # 3 URLs on the delayed host, 0.15s between -> >= 0.3s wall even with
+    # a zero global rate_limit; the undelayed host has no pacing floor
+    assert run("slow.test") >= 0.3
