@@ -1121,6 +1121,32 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_frontier_value(spark, sf_dir):
+    """Composed crawl-value scheduling: importance x freshness — the
+    two scheduling signals (pagerank link importance, recrawl_priority
+    change-rate x staleness) joined into one frontier ordering score,
+    value = rank * priority. Pins that the operators COMPOSE (shared
+    key space, one broadcast-size join at this granularity; at scale
+    both sides are already partitioned by the same key). Oracle =
+    the two operator oracles as CTEs joined the same way."""
+    pr = q_pagerank(spark, sf_dir)
+    rc = q_recrawl_priority(spark, sf_dir).select("doc_id", "priority")
+    return (
+        pr.join(rc, "doc_id")
+        .select(
+            "doc_id",
+            "rank",
+            "priority",
+            # raw IEEE product, NOT rounded: both engines compute the
+            # identical double (rank is an exact long, priority an already-
+            # rounded double); round(x, 6) at ~1e9 magnitude is beyond
+            # double precision and diverges by 1 ulp between engines
+            (F.col("rank") * F.col("priority")).alias("value"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_spans_interleaved(spark, sf_dir):
     """input_hint shape: interleaved text+media span documents
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — build,
@@ -1561,6 +1587,43 @@ def q_snapshot_time_travel(spark, sf_dir):
         )
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return out.orderBy("snap")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental snapshot consumption: SnapshotTable.diff tags the
+    row-level changes between two table versions (added / removed,
+    merge-on-read deletes surfaced) — the feed a downstream corpus
+    refresh applies instead of re-reading the table. Same 3-snapshot
+    fixture as `snapshot_time_travel` (evens append, odds append,
+    %10 equality-delete); the oracle re-derives both diffs from the
+    source table alone."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="sinew_diff_"), schema)
+    s1 = t.append(d.where(F.col("doc_id") % 2 == 0), {"op": "evens"})
+    s2 = t.append(d.where(F.col("doc_id") % 2 == 1), {"op": "odds"})
+    dels = [r.doc_id for r in d.where(F.col("doc_id") % 10 == 0).collect()]
+    s3 = t.delete_keys(dels, key_col="doc_id", meta={"op": "edelete"})
+    d12 = t.diff(s1, s2, key_col="doc_id").select(
+        F.lit(12).alias("pair"), "change", "doc_id"
+    )
+    d23 = t.diff(s2, s3, key_col="doc_id").select(
+        F.lit(23).alias("pair"), "change", "doc_id"
+    )
+    return (
+        d12.unionByName(d23)
+        .groupBy("pair", "change")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("doc_id").alias("sum_id"))
+        .orderBy("pair", "change")
+    )
 
 
 def q_emit_seq(spark, sf_dir):
@@ -2066,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": q_crawl_traps,
         "anchor_text": q_anchor_text,
         "kmeans": q_kmeans,
+        "frontier_value": q_frontier_value,
+        "snapshot_diff": q_snapshot_diff,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2174,6 +2239,25 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
     )
     pr_sql = "".join(pr)
+
+    # recrawl_priority (also composed into frontier_value below)
+    rc_sql = (
+        "WITH h AS (SELECT d.doc_id AS key, r.r AS round, "
+        "CAST(CAST(('0x' || substr(md5('fp|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS VARCHAR) AS fingerprint "
+        "FROM documents d, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) r(r) "
+        "WHERE r.r = 0 OR CAST(('0x' || substr(md5('obs|' || CAST(d.doc_id AS VARCHAR) "
+        "|| '|' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 <> 0), "
+        "f AS (SELECT key, round, CAST(fingerprint <> LAG(fingerprint) OVER "
+        "(PARTITION BY key ORDER BY round) AS INTEGER) AS flip FROM h), "
+        "a AS (SELECT key, COUNT(*) AS obs, CAST(COALESCE(SUM(flip), 0) AS BIGINT) "
+        "AS changes, MAX(round) AS last_round FROM f GROUP BY key) "
+        "SELECT key AS doc_id, obs, changes, "
+        "round(changes / greatest(obs - 1, 1), 6) AS change_rate, "
+        "CAST(10 - last_round AS BIGINT) AS staleness, "
+        "round(round(changes / greatest(obs - 1, 1), 6) * (10 - last_round), 6) "
+        "AS priority FROM a ORDER BY doc_id"
+    )
 
     # kmeans: q_kmeans's integer Lloyd rounds unrolled (assign a{t} with
     # centroids c{t-1}, update to c{t}; final assignment a4 reads c3).
@@ -2694,22 +2778,24 @@ def oracle_sql() -> dict[str, str]:
         # same LAG-flip estimator over the re-derived synthetic history;
         # DuckDB '/' on BIGINTs is float division (matches Spark's);
         # COUNT/SUM casts keep obs/changes BIGINT
-        "recrawl_priority": (
-            "WITH h AS (SELECT d.doc_id AS key, r.r AS round, "
-            "CAST(CAST(('0x' || substr(md5('fp|' || CAST(d.doc_id AS VARCHAR) || '|' || "
-            "CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS VARCHAR) AS fingerprint "
-            "FROM documents d, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) r(r) "
-            "WHERE r.r = 0 OR CAST(('0x' || substr(md5('obs|' || CAST(d.doc_id AS VARCHAR) "
-            "|| '|' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 3 <> 0), "
-            "f AS (SELECT key, round, CAST(fingerprint <> LAG(fingerprint) OVER "
-            "(PARTITION BY key ORDER BY round) AS INTEGER) AS flip FROM h), "
-            "a AS (SELECT key, COUNT(*) AS obs, CAST(COALESCE(SUM(flip), 0) AS BIGINT) "
-            "AS changes, MAX(round) AS last_round FROM f GROUP BY key) "
-            "SELECT key AS doc_id, obs, changes, "
-            "round(changes / greatest(obs - 1, 1), 6) AS change_rate, "
-            "CAST(10 - last_round AS BIGINT) AS staleness, "
-            "round(round(changes / greatest(obs - 1, 1), 6) * (10 - last_round), 6) "
-            "AS priority FROM a ORDER BY doc_id"
+        "recrawl_priority": rc_sql,
+        # the two scheduling oracles composed as CTEs, joined on doc_id —
+        # exactly the engine-side composition
+        "frontier_value": (
+            f"WITH pr AS ({pr_sql}), rc AS ({rc_sql}) "
+            "SELECT pr.doc_id, pr.rank, rc.priority, "
+            "pr.rank * rc.priority AS value "
+            "FROM pr JOIN rc ON pr.doc_id = rc.doc_id ORDER BY pr.doc_id"
+        ),
+        # both diffs re-derived from the source table: 1->2 adds the odd
+        # rows; 2->3 removes the %10 equality-deleted keys
+        "snapshot_diff": (
+            "SELECT 12 AS pair, 'added' AS change, COUNT(*) AS n_rows, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 2 = 1 "
+            "UNION ALL "
+            "SELECT 23 AS pair, 'removed' AS change, COUNT(*) AS n_rows, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM documents WHERE doc_id % 10 = 0 "
+            "ORDER BY pair, change"
         ),
         # SURT re-derived from the URL construction (hosts here always
         # have exactly the 3 labels sub.hostNN.test; port/userinfo drop)

@@ -207,6 +207,8 @@ def headline_queries(spark) -> dict:
         "crawl_traps",
         "anchor_text",
         "kmeans",
+        "frontier_value",
+        "snapshot_diff",
     ]
     out = {}
     for name in names:

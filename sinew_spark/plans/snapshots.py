@@ -330,6 +330,36 @@ class SnapshotTable:
         schema = T.StructType([field])
         return self.spark.read.schema(schema).parquet(*[dl["dir"] for dl in mine])
 
+    def diff(
+        self,
+        from_snapshot: int | None,
+        to_snapshot: int | None = None,
+        key_col: str = "key",
+    ) -> DataFrame:
+        """Row-level diff between two snapshots, keyed by ``key_col``:
+        the incremental feed a downstream consumer (training-data
+        refresh, index rebuild, replication) applies to move from one
+        table version to another. Returns ``to``-side rows tagged
+        ``change='added'`` plus ``from``-side rows tagged ``'removed'``.
+        ``from_snapshot=None`` diffs against the empty table (full
+        bootstrap). ``to_snapshot=None`` means current.
+
+        Scale shape: two key-partitioned anti-joins (broadcast when one
+        side is small under AQE). For APPEND-only deltas prefer
+        ``read_delta`` — O(new files), no join at all; diff() is the
+        general path that also surfaces merge-on-read deletes."""
+        new = self.read(to_snapshot)
+        if from_snapshot is None:
+            return new.withColumn("change", F.lit("added"))
+        old = self.read(from_snapshot)
+        added = new.join(old.select(key_col), key_col, "left_anti").withColumn(
+            "change", F.lit("added")
+        )
+        removed = old.join(new.select(key_col), key_col, "left_anti").withColumn(
+            "change", F.lit("removed")
+        )
+        return added.unionByName(removed)
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Parquet scans get
         full Catalyst pushdown/pruning. Equality deletes are resolved

@@ -113,3 +113,36 @@ def test_delete_keys_auto_compacts(spark, tmpdir_path):
         t.delete_keys([i], key_col="k")
     assert len(t._snapshot().get("deletes")) <= MOR_COMPACT_DELETES
     assert [r.k for r in t.read().collect()] == [0]
+
+
+def test_diff_between_snapshots(spark, tmpdir_path):
+    import pyspark.sql.types as T
+
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = SnapshotTable(spark, tmpdir_path + "/difftab", schema)
+    s1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    s2 = t.append(spark.createDataFrame([(3, "c")], schema))
+    s3 = t.delete_keys([2], key_col="key")
+
+    # bootstrap: everything is 'added'
+    boot = {(r.key, r.change) for r in t.diff(None, s1).collect()}
+    assert boot == {(1, "added"), (2, "added")}
+
+    d12 = {(r.key, r.change) for r in t.diff(s1, s2).collect()}
+    assert d12 == {(3, "added")}
+
+    # merge-on-read delete surfaces as 'removed'
+    d23 = {(r.key, r.change) for r in t.diff(s2, s3).collect()}
+    assert d23 == {(2, "removed")}
+
+    # spanning diff composes both
+    d13 = {(r.key, r.change) for r in t.diff(s1, s3).collect()}
+    assert d13 == {(3, "added"), (2, "removed")}
+
+    # identity diff is empty; to_snapshot=None means current
+    assert t.diff(s3).count() == 0
+    assert {(r.key, r.change) for r in t.diff(s2).collect()} == {(2, "removed")}
