@@ -151,6 +151,12 @@ class CrawlOptions:
     max_rounds: int = 20
     max_depth: int | None = None
     follow_links: bool = False
+    # crawl-trap guard over discovered links (operators/traps.py):
+    # None = off; N = prune templates minting > N URLs in one round,
+    # plus depth/cycle signals below
+    trap_max_urls: int | None = None
+    trap_max_depth: int = 8
+    trap_max_repeats: int = 3
     bloom_capacity: int = 1_000_000
     bloom_shards: int = 8
     # exactly-once filter strategy: True = shard-local exact key probe
@@ -580,6 +586,29 @@ class Crawler:
                 F.lit(0).alias("attempt"),
             )
             new_frontier_rows = prepare_frontier(links, self.canonicalize)
+            if self.opts.trap_max_urls is not None:
+                # crawl-trap guard (operators/traps.py): template-explosion /
+                # depth / cycle detection over THIS round's discovered links,
+                # flagged templates pruned by broadcast anti-join before they
+                # ever enter the frontier. Per-round detection is the
+                # practical guard — explosions show up within one round's
+                # fan-out (a calendar mints hundreds of same-template links
+                # per page batch); anything slower leaks at most one round.
+                from sinew_spark.operators.traps import (
+                    detect_crawl_traps,
+                    prune_traps,
+                )
+
+                traps = detect_crawl_traps(
+                    new_frontier_rows,
+                    url_col="canonical_url",
+                    max_urls_per_template=self.opts.trap_max_urls,
+                    max_depth=self.opts.trap_max_depth,
+                    max_repeated_segments=self.opts.trap_max_repeats,
+                )
+                new_frontier_rows = prune_traps(
+                    new_frontier_rows, traps, url_col="canonical_url"
+                )
             n_new_links = new_frontier_rows.count()
             next_frontier = leftover.unionByName(new_frontier_rows)
         else:

@@ -107,3 +107,27 @@ def test_aggregate_anchor_text_single_wide_shuffle(spark):
     # (dst, anchor) partial agg, then the window's dst exchange; the final
     # rollup reuses the window partitioning -> exactly two exchanges
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_trap_guard_in_crawl_loop(spark, tmpdir_path):
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    def run(trap):
+        c = Crawler(
+            spark,
+            tmpdir_path + f"/trap_{trap}",
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=4, synthetic_hosts=5),
+            CrawlOptions(
+                retries=0, max_rounds=2, follow_links=True, trap_max_urls=trap
+            ),
+        )
+        c.seed([f"http://h{i % 5}.synth.test/p/{i}" for i in range(10)])
+        c.run()
+        return c.seen_t.read().count()
+
+    full = run(None)
+    guarded = run(2)
+    # every synthetic link shares the /p/N template, so a per-round
+    # fan-out cap of 2 prunes the round-1 explosion; seeds still fetch
+    assert 10 <= guarded < full
