@@ -137,6 +137,46 @@ def q_surt_index(spark, sf_dir):
     return e.select("event_id", surt_key_expr(url).alias("surt")).orderBy("event_id")
 
 
+def q_robots_longest_match(spark, sf_dir):
+    """Full REP rule precedence (RFC 9309 §2.2.2: longest matching rule
+    wins, tie goes to Allow, no match = allowed) —
+    operators/frontier.py apply_robots_longest_match. Zero shuffle on
+    the frontier: per-host rule sets broadcast once, longest-match as
+    two array folds per row in codegen. Five path shapes exercise
+    every precedence branch (no-match, plain disallow, longer Allow
+    re-permitting a subtree, Allow NOT matching without its trailing
+    slash, short disallow); the oracle replays the precedence with a
+    rule join + MAX-length aggregation."""
+    from sinew_spark.operators.frontier import apply_robots_longest_match
+
+    e = _par(_t(spark, sf_dir, "events"))
+    host = F.concat(F.lit("rh"), (F.col("user_id") % 10).cast("string"), F.lit(".test"))
+    path = F.element_at(
+        F.array(
+            F.lit("/public/a"),
+            F.lit("/private/a"),
+            F.lit("/private/open/a"),
+            F.lit("/private/openx"),
+            F.lit("/tmp/page"),
+        ),
+        ((F.col("event_id") % 5) + 1).cast("int"),
+    )
+    fr = e.select(
+        "event_id",
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("canonical_url"),
+        path.alias("path"),
+    )
+    rules = fr.select("host").distinct().crossJoin(
+        spark.createDataFrame(
+            [("/private/", False), ("/private/open/", True), ("/tmp", False)],
+            "prefix string, is_allow boolean",
+        )
+    )
+    kept = apply_robots_longest_match(fr, rules)
+    return kept.select("event_id", "path").orderBy("event_id")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Corpus filtering: fastText-style hashed bag-of-words linear scorer
     (functions/text.py hashed_linear_score_expr) — md5-derived feature
@@ -2131,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "frontier_value": q_frontier_value,
         "snapshot_diff": q_snapshot_diff,
+        "robots_longest_match": q_robots_longest_match,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2786,6 +2827,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pr.doc_id, pr.rank, rc.priority, "
             "pr.rank * rc.priority AS value "
             "FROM pr JOIN rc ON pr.doc_id = rc.doc_id ORDER BY pr.doc_id"
+        ),
+        # REP precedence replayed generically: rule join + MAX matched-
+        # prefix length per type; allowed = best_allow >= best_disallow
+        "robots_longest_match": (
+            "WITH u AS (SELECT event_id, CASE CAST(event_id % 5 AS INTEGER) "
+            "WHEN 0 THEN '/public/a' WHEN 1 THEN '/private/a' "
+            "WHEN 2 THEN '/private/open/a' WHEN 3 THEN '/private/openx' "
+            "ELSE '/tmp/page' END AS path FROM events), "
+            "r AS (SELECT * FROM (VALUES ('/private/', false), "
+            "('/private/open/', true), ('/tmp', false)) r(prefix, is_allow)), "
+            "m AS (SELECT u.event_id, u.path, "
+            "COALESCE(MAX(CASE WHEN r.is_allow THEN len(r.prefix) END), 0) AS ba, "
+            "COALESCE(MAX(CASE WHEN NOT r.is_allow THEN len(r.prefix) END), 0) AS bd "
+            "FROM u LEFT JOIN r ON starts_with(u.path, r.prefix) "
+            "GROUP BY u.event_id, u.path) "
+            "SELECT event_id, path FROM m WHERE ba >= bd ORDER BY event_id"
         ),
         # both diffs re-derived from the source table: 1->2 adds the odd
         # rows; 2->3 removes the %10 equality-deleted keys

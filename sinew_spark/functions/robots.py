@@ -127,6 +127,43 @@ def robots_rules(fetched: DataFrame, agent: str = "*") -> DataFrame:
     return fetched.select("host", "status", "resp_body").mapInPandas(parse, RULES_SCHEMA)
 
 
+RULES_FULL_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("prefix", T.StringType()),
+        T.StructField("is_allow", T.BooleanType()),
+    ]
+)
+
+
+def robots_rules_full(fetched: DataFrame, agent: str = "*") -> DataFrame:
+    """fetched /robots.txt rows -> (host, prefix, is_allow) with BOTH
+    Allow and Disallow prefixes of the agent's group — the input for
+    full REP longest-match precedence
+    (operators/frontier.py apply_robots_longest_match). The simpler
+    (host, disallow_prefix) table from ``robots_rules`` remains the
+    conservative gate (never over-fetches; may under-fetch where a long
+    Allow re-permits a disallowed subtree)."""
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, prefixes, allows = [], [], []
+            for row in pdf.itertuples(index=False):
+                ok = row.status is not None and 200 <= row.status < 300
+                g = _pick_group(_parse_groups(row.resp_body if ok else ""), agent)
+                if g is None:
+                    continue
+                for p in g["disallows"]:
+                    hosts.append(row.host), prefixes.append(p), allows.append(False)
+                for p in g["allows"]:
+                    hosts.append(row.host), prefixes.append(p), allows.append(True)
+            yield pd.DataFrame({"host": hosts, "prefix": prefixes, "is_allow": allows})
+
+    return fetched.select("host", "status", "resp_body").mapInPandas(
+        parse, RULES_FULL_SCHEMA
+    )
+
+
 DELAYS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),

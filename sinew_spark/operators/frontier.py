@@ -139,6 +139,46 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.where(F.col("r_host").isNull()).drop("r_host", "disallow_prefix")
 
 
+def apply_robots_longest_match(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Full REP rule precedence (RFC 9309 §2.2.2 / Google REP): among
+    all rules whose prefix matches the URL path, the LONGEST wins; a
+    length tie goes to Allow; no matching rule means allowed. ``rules``
+    is (host, prefix, is_allow) from functions/robots.py
+    robots_rules_full. The conservative gate (``apply_robots``) blocks
+    on ANY disallow match — safe but under-fetches where a longer Allow
+    re-permits a subtree; this gate fetches exactly what the standard
+    permits.
+
+    Scale shape: zero shuffle on the frontier — the per-host rule sets
+    (tiny by nature) are collect_list'd and broadcast once; the
+    longest-match scan is two array folds per row inside codegen, no
+    row multiplication (unlike the rule-join approach, one output row
+    per input row regardless of how many rules match)."""
+    per_host = F.broadcast(
+        rules.groupBy("host").agg(
+            F.collect_list(F.struct(F.col("prefix"), F.col("is_allow"))).alias(
+                "__rules"
+            )
+        )
+    )
+    j = frontier.join(per_host, "host", "left")
+    path = path_expr(F.col("canonical_url"))
+    matching = F.filter(F.col("__rules"), lambda r: path.startswith(r["prefix"]))
+
+    def longest(pred):
+        return F.aggregate(
+            F.filter(matching, pred),
+            F.lit(0),
+            lambda a, r: F.greatest(a, F.length(r["prefix"])),
+        )
+
+    best_allow = longest(lambda r: r["is_allow"])
+    best_dis = longest(lambda r: ~r["is_allow"])
+    return j.where(F.col("__rules").isNull() | (best_allow >= best_dis)).drop(
+        "__rules"
+    )
+
+
 # above this budget the single-partition merge behind TakeOrderedAndProject
 # becomes the bottleneck (budget x ~150 B frontier rows through ONE task —
 # 15 GB at the design point's 10^8-URL rounds) and the distributed

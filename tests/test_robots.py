@@ -190,3 +190,62 @@ def test_crawl_delay_paces_fetch_end_to_end(spark, tmpdir_path):
     # 3 URLs on the delayed host, 0.15s between -> >= 0.3s wall even with
     # a zero global rate_limit; the undelayed host has no pacing floor
     assert run("slow.test") >= 0.3
+
+
+def test_robots_rules_full_emits_both_kinds(spark):
+    from sinew_spark.functions.robots import robots_rules_full
+
+    fetched = spark.createDataFrame(
+        [
+            ("a.test", 200, "User-agent: *\nDisallow: /x/\nAllow: /x/ok/"),
+            ("b.test", 404, "User-agent: *\nDisallow: /all/"),
+        ],
+        "host string, status int, resp_body string",
+    )
+    got = {(r.host, r.prefix, r.is_allow) for r in robots_rules_full(fetched).collect()}
+    assert got == {("a.test", "/x/", False), ("a.test", "/x/ok/", True)}
+
+
+def test_apply_robots_longest_match_precedence(spark):
+    from sinew_spark.operators.frontier import apply_robots_longest_match
+
+    cases = [
+        ("/public/a", True),           # no rule matches
+        ("/private/a", False),         # plain disallow
+        ("/private/open/a", True),     # longer Allow re-permits
+        ("/private/openx", False),     # Allow needs its trailing slash
+        ("/same/", True),              # equal lengths tie -> allow
+    ]
+    fr = spark.createDataFrame(
+        [(i, "h.test", f"http://h.test{p}") for i, (p, _) in enumerate(cases)],
+        "event_id long, host string, canonical_url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h.test", "/private/", False),
+            ("h.test", "/private/open/", True),
+            ("h.test", "/same/", True),
+            ("h.test", "/same/", False),
+        ],
+        "host string, prefix string, is_allow boolean",
+    )
+    kept = {r.event_id for r in apply_robots_longest_match(fr, rules).collect()}
+    assert kept == {i for i, (_, ok) in enumerate(cases) if ok}
+
+
+def test_apply_robots_longest_match_no_rules_host_and_plan(spark):
+    from sinew_spark.operators.frontier import apply_robots_longest_match
+
+    fr = spark.createDataFrame(
+        [(0, "free.test", "http://free.test/anything")],
+        "event_id long, host string, canonical_url string",
+    )
+    rules = spark.createDataFrame(
+        [("other.test", "/x/", False)], "host string, prefix string, is_allow boolean"
+    )
+    out = apply_robots_longest_match(fr, rules)
+    assert out.count() == 1  # hosts without rules pass untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no exchange on the frontier side beyond the broadcast
+    assert plan.count("Exchange hashpartitioning") <= 1  # rules-side groupBy only
