@@ -177,6 +177,27 @@ def q_robots_longest_match(spark, sf_dir):
     return kept.select("event_id", "path").orderBy("event_id")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Frontier cardinality without counting keys: HyperLogLog register
+    table (operators/sketch.py — oracle-facing md5 hash, top-8-bit
+    register routing, leading-zero ranks via the bin()-string trick
+    that renders identically in Spark and DuckDB). The shuffle carries
+    at most 2^p rows per partition (map-side partial MAX), never keys;
+    registers merge by elementwise max across days/partitions. The
+    oracle reproduces every register bit-for-bit; estimate accuracy is
+    pytest-gated (test_sketch.py)."""
+    from sinew_spark.operators.sketch import hll_registers
+
+    e = _par(_t(spark, sf_dir, "events"))
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".test/p/"),
+        (F.col("event_id") % 997).cast("string"),
+    )
+    return hll_registers(e.select(url.alias("url")), "url").orderBy("register")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Corpus filtering: fastText-style hashed bag-of-words linear scorer
     (functions/text.py hashed_linear_score_expr) — md5-derived feature
@@ -2172,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_value": q_frontier_value,
         "snapshot_diff": q_snapshot_diff,
         "robots_longest_match": q_robots_longest_match,
+        "hll_distinct": q_hll_distinct,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2827,6 +2849,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pr.doc_id, pr.rank, rc.priority, "
             "pr.rank * rc.priority AS value "
             "FROM pr JOIN rc ON pr.doc_id = rc.doc_id ORDER BY pr.doc_id"
+        ),
+        # every register replayed bit-for-bit: same md5 hash, same top-8
+        # routing, same bin()-length leading-zero rank
+        "hll_distinct": (
+            "WITH u AS (SELECT 'http://h' || CAST(user_id % 50 AS VARCHAR) || "
+            "'.test/p/' || CAST(event_id % 997 AS VARCHAR) AS url FROM events), "
+            "h AS (SELECT CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h FROM u), "
+            "r AS (SELECT h >> 52 AS register, h & 4503599627370495 AS w FROM h), "
+            "s AS (SELECT register, CASE WHEN w = 0 THEN 53 "
+            "ELSE 52 - len(bin(w)) + 1 END AS rho FROM r) "
+            "SELECT register, CAST(MAX(rho) AS INTEGER) AS max_rho FROM s "
+            "GROUP BY register ORDER BY register"
         ),
         # REP precedence replayed generically: rule join + MAX matched-
         # prefix length per type; allowed = best_allow >= best_disallow

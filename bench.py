@@ -209,6 +209,8 @@ def headline_queries(spark) -> dict:
         "kmeans",
         "frontier_value",
         "snapshot_diff",
+        "robots_longest_match",
+        "hll_distinct",
     ]
     out = {}
     for name in names:

@@ -1,0 +1,87 @@
+"""Mergeable cardinality sketches: HyperLogLog registers in pure Catalyst.
+
+A 10^10-URL frontier needs distinct counts everywhere — URLs seen per
+host, per template, per round — and exact countDistinct shuffles every
+key. HyperLogLog (Flajolet et al. 2007) answers with a fixed 2^p-cell
+register table: hash each key, route it to a register by its top p
+bits, keep the max leading-zero run of the remaining bits. Registers
+are tiny, MERGEABLE (elementwise max — union of sketches = sketch of
+union, so per-partition partial aggregation is exact), and here fully
+deterministic: the hash is the engine's oracle-facing 60-bit md5, so
+an independent SQL engine reproduces every register bit-for-bit.
+
+Scale shape: one narrow projection + one groupBy(register) MAX whose
+input collapses map-side to at most 2^p rows per partition — the
+shuffle carries registers, never keys. Estimation happens on the
+driver over 2^p rows (``hll_estimate``), the standard bias-corrected
+formula with the linear-counting small-range regime.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars of md5 — matches the oracle-facing md5 int
+
+
+def _md5_int60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Register table (register, max_rho) of the HLL sketch of column
+    ``col`` over the (multi)set of rows — duplicates cannot change a
+    max, so no pre-distinct is needed. ``p`` bits of the hash pick the
+    register (2^p registers); rho = leading-zero count of the remaining
+    ``60-p`` bits + 1 (an all-zero word scores 60-p+1). Registers never
+    hit by any key are absent (rho 0 by convention — ``hll_estimate``
+    fills them in)."""
+    if not (4 <= p <= 16):
+        raise ValueError("p must be in [4, 16]")
+    w_bits = HASH_BITS - p
+    h = _md5_int60(F.col(col))
+    reg = F.shiftright(h, w_bits).alias("register")
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    # bin() renders without leading zeros in both Spark and DuckDB, so
+    # length(bin(w)) is the bit length; rho = w_bits - bitlen + 1
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        df.select(reg, rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of sketches = elementwise max of registers: exact, order-
+    independent, the property that makes per-partition/per-day sketches
+    composable without re-reading keys."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    u = register_tables[0]
+    for t in register_tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 8) -> float:
+    """Bias-corrected HLL estimate from a collected register table
+    (2^p rows max — driver-side by design). Standard constants
+    (Flajolet et al. 2007); linear counting below 2.5m when empty
+    registers remain."""
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    got = dict(registers)
+    s = sum(2.0 ** -got.get(r, 0) for r in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(got)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

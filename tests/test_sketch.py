@@ -1,0 +1,80 @@
+"""HyperLogLog sketch (operators/sketch.py): register brute-force
+equivalence, merge law, estimate accuracy, and plan shape."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.operators.sketch import hll_estimate, hll_merge, hll_registers
+
+
+def _brute_registers(values, p=8):
+    w_bits = 60 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        reg, w = h >> w_bits, h & ((1 << w_bits) - 1)
+        rho = (w_bits + 1) if w == 0 else (w_bits - w.bit_length() + 1)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_registers_match_bruteforce(spark):
+    vals = [f"http://h{i % 7}.test/p/{i % 113}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["url"]).repartition(6)
+    got = {r.register: r.max_rho for r in hll_registers(df, "url").collect()}
+    assert got == _brute_registers(vals)
+
+
+def test_duplicates_do_not_change_registers(spark):
+    once = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["k"])
+    thrice = spark.createDataFrame([(f"k{i % 200}",) for i in range(600)], ["k"])
+    a = sorted((r.register, r.max_rho) for r in hll_registers(once, "k").collect())
+    b = sorted((r.register, r.max_rho) for r in hll_registers(thrice, "k").collect())
+    assert a == b
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["k"])
+    merged = sorted(
+        (r.register, r.max_rho)
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    )
+    union = sorted(
+        (r.register, r.max_rho)
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    )
+    assert merged == union
+
+
+def test_estimate_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"url{i}",) for i in range(n)], ["k"])
+    regs = [(r.register, r.max_rho) for r in hll_registers(df, "k").collect()]
+    est = hll_estimate(regs, p=8)
+    # standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.20
+    # small-range regime: linear counting keeps tiny counts tight
+    small = spark.createDataFrame([(f"s{i}",) for i in range(20)], ["k"])
+    sregs = [(r.register, r.max_rho) for r in hll_registers(small, "k").collect()]
+    assert abs(hll_estimate(sregs, p=8) - 20) <= 3
+
+
+def test_shuffle_carries_registers_not_keys(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], ["k"])
+    plan = hll_registers(df, "k")._jdf.queryExecution().executedPlan().toString()
+    # partial aggregation before the single register exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_bad_p_rejected(spark):
+    df = spark.createDataFrame([("x",)], ["k"])
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=2)
+    with pytest.raises(ValueError):
+        hll_merge()
