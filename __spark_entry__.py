@@ -198,6 +198,27 @@ def q_hll_distinct(spark, sf_dir):
     return hll_registers(e.select(url.alias("url")), "url").orderBy("register")
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter tracking under fixed memory: count-min sketch
+    (operators/sketch.py cms_table) over a skewed URL-template multiset
+    (20% of events hit one calendar template). depth x width = 4 x 1024
+    cells; the groupBy(depth, bucket) SUM collapses map-side so the
+    shuffle carries the sketch, never keys; merge = elementwise sum.
+    Point estimates are one-sided (never under true count) —
+    pytest-gated; the oracle reproduces every cell exactly."""
+    from sinew_spark.operators.sketch import cms_table
+
+    e = _par(_t(spark, sf_dir, "events"))
+    t = F.when(
+        F.col("event_id") % 5 == 0, F.lit("trap.test|/cal/N/N/N")
+    ).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test/article/N")
+        )
+    )
+    return cms_table(e.select(t.alias("t")), "t").orderBy("depth", "bucket")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Corpus filtering: fastText-style hashed bag-of-words linear scorer
     (functions/text.py hashed_linear_score_expr) — md5-derived feature
@@ -2194,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "robots_longest_match": q_robots_longest_match,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2861,6 +2883,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 52 - len(bin(w)) + 1 END AS rho FROM r) "
             "SELECT register, CAST(MAX(rho) AS INTEGER) AS max_rho FROM s "
             "GROUP BY register ORDER BY register"
+        ),
+        # every count-min cell replayed exactly: same per-row md5 hash
+        # family, same bucket modulus
+        "cms_heavy_hitters": (
+            "WITH u AS (SELECT CASE WHEN event_id % 5 = 0 THEN 'trap.test|/cal/N/N/N' "
+            "ELSE 'h' || CAST(user_id % 20 AS VARCHAR) || '.test/article/N' END AS t "
+            "FROM events), "
+            "c AS (SELECT j.j AS depth, CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) "
+            "|| '|' || t), 1, 15)) AS BIGINT) % 1024 AS bucket "
+            "FROM u, (VALUES (0), (1), (2), (3)) j(j)) "
+            "SELECT CAST(depth AS INTEGER) AS depth, bucket, COUNT(*) AS cnt "
+            "FROM c GROUP BY depth, bucket ORDER BY depth, bucket"
         ),
         # REP precedence replayed generically: rule join + MAX matched-
         # prefix length per type; allowed = best_allow >= best_disallow

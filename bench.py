@@ -211,6 +211,7 @@ def headline_queries(spark) -> dict:
         "snapshot_diff",
         "robots_longest_match",
         "hll_distinct",
+        "cms_heavy_hitters",
     ]
     out = {}
     for name in names:

@@ -71,6 +71,65 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     return u.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
 
 
+def cms_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the multiset
+    in ``col``: a (depth, bucket, cnt) table where row ``j`` hashes
+    every value into ``width`` buckets with an independent md5-derived
+    hash. Point frequency = min over rows of the landed bucket's count
+    (``cms_estimate``) — never under, over only by collisions, so heavy
+    hitters (hot hosts, exploding URL templates) surface from O(depth x
+    width) integers instead of a per-key count at 10^10 keys.
+
+    Scale shape: one generator projection (``depth`` struct rows per
+    input via explode of a literal-range transform) + one
+    groupBy(depth, bucket) SUM whose partial aggregation collapses each
+    partition to at most depth*width rows before the exchange — the
+    shuffle carries the sketch, never keys. Sketches MERGE by
+    elementwise sum (``cms_merge``)."""
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    rows = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("depth"),
+            (
+                _md5_int60(F.concat_ws("|", j.cast("string"), F.col(col))) % width
+            ).alias("bucket"),
+        ),
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.depth").alias("depth"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Union of sketches = elementwise sum of cells."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(cells: dict[tuple[int, int], int], value: str, depth: int = 4, width: int = 1024) -> int:
+    """Point-frequency upper estimate from a collected sketch:
+    min over rows of the landed cell. One-sided — never below the true
+    count."""
+    import hashlib
+
+    best = None
+    for j in range(depth):
+        h = int(hashlib.md5(f"{j}|{value}".encode()).hexdigest()[:15], 16)
+        c = cells.get((j, h % width), 0)
+        best = c if best is None else min(best, c)
+    return best or 0
+
+
 def hll_estimate(registers: list[tuple[int, int]], p: int = 8) -> float:
     """Bias-corrected HLL estimate from a collected register table
     (2^p rows max — driver-side by design). Standard constants

@@ -78,3 +78,66 @@ def test_bad_p_rejected(spark):
         hll_registers(df, "k", p=2)
     with pytest.raises(ValueError):
         hll_merge()
+
+
+def _brute_cms(values, depth=4, width=1024):
+    import hashlib
+
+    cells = {}
+    for v in values:
+        for j in range(depth):
+            h = int(hashlib.md5(f"{j}|{v}".encode()).hexdigest()[:15], 16)
+            k = (j, h % width)
+            cells[k] = cells.get(k, 0) + 1
+    return cells
+
+
+def test_cms_matches_bruteforce(spark):
+    from sinew_spark.operators.sketch import cms_table
+
+    vals = [f"t{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(5)
+    got = {(r.depth, r.bucket): r.cnt for r in cms_table(df, "k").collect()}
+    assert got == _brute_cms(vals)
+
+
+def test_cms_estimate_one_sided_and_heavy_hitter(spark):
+    from sinew_spark.operators.sketch import cms_estimate, cms_table
+
+    vals = ["hot"] * 400 + [f"cold{i}" for i in range(600)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    cells = {(r.depth, r.bucket): r.cnt for r in cms_table(df, "k").collect()}
+    est_hot = cms_estimate(cells, "hot")
+    assert est_hot >= 400  # never under
+    assert est_hot <= 400 + 10  # 600 colds over 1024 buckets: tiny collision mass
+    for i in range(0, 600, 97):
+        assert cms_estimate(cells, f"cold{i}") >= 1
+    assert cms_estimate(cells, "never-seen") <= 3
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    from sinew_spark.operators.sketch import cms_merge, cms_table
+
+    a = spark.createDataFrame([(f"a{i % 9}",) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(100)], ["k"])
+    merged = sorted(
+        (r.depth, r.bucket, r.cnt)
+        for r in cms_merge(cms_table(a, "k"), cms_table(b, "k")).collect()
+    )
+    union = sorted(
+        (r.depth, r.bucket, r.cnt)
+        for r in cms_table(a.unionByName(b), "k").collect()
+    )
+    assert merged == union
+
+
+def test_cms_bad_params(spark):
+    from sinew_spark.operators.sketch import cms_merge, cms_table
+
+    df = spark.createDataFrame([("x",)], ["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_table(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        cms_merge()
