@@ -487,6 +487,29 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted curriculum sampling (operators/pipeline.py
+    sample_weighted): each document's acceptance probability IS its
+    quality score — membership = pure function of (key, weight), so
+    reruns keep identical rows and raising a weight can only add rows.
+    Pure Catalyst filter, zero shuffle; md5-derived bucket so DuckDB
+    replays the membership and the score exactly."""
+    from sinew_spark.functions.text import quality_score_expr
+    from sinew_spark.operators.pipeline import sample_weighted
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.withColumn("w", quality_score_expr(F.col("text")))
+    kept = sample_weighted(scored, "w", hash_expr=hv)
+    return kept.select("doc_id", "lang", F.col("w").alias("weight")).orderBy("doc_id")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Pipeline: corpus vocabulary top-k (operators/pipeline.py
     vocab_topk — map-side partial agg + TakeOrderedAndProject, no global
@@ -2216,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_longest_match": q_robots_longest_match,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2883,6 +2907,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 52 - len(bin(w)) + 1 END AS rho FROM r) "
             "SELECT register, CAST(MAX(rho) AS INTEGER) AS max_rho FROM s "
             "GROUP BY register ORDER BY register"
+        ),
+        # membership + score replayed: same quality formula (the shared
+        # `quality` SQL), same md5 bucket, same floor threshold
+        "weighted_sample": (
+            f"SELECT doc_id, lang, {quality} AS weight FROM documents "
+            "WHERE CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % 1000000 "
+            f"< CAST(floor(least(greatest({quality}, 0.0), 1.0) * 1000000) AS BIGINT) "
+            "ORDER BY doc_id"
         ),
         # every count-min cell replayed exactly: same per-row md5 hash
         # family, same bucket modulus

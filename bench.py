@@ -212,6 +212,7 @@ def headline_queries(spark) -> dict:
         "robots_longest_match",
         "hll_distinct",
         "cms_heavy_hitters",
+        "weighted_sample",
     ]
     out = {}
     for name in names:

@@ -117,6 +117,37 @@ def sample_stratified(
     return df.where(bucket < thr)
 
 
+def sample_weighted(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    buckets: int = 1_000_000,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Per-ROW acceptance-probability sampling: a row survives iff
+    ``pmod(hash(key, salt), buckets) < floor(clamp(weight, 0, 1) *
+    buckets)`` — the quality-curriculum generalization of
+    ``sample_stratified`` (which draws the rate from a stratum table;
+    here every row carries its own rate, e.g. its quality score, so
+    high-quality documents are kept proportionally more often).
+
+    Same determinism contract: membership is a pure function of the
+    key, so reruns/resumes/repartitionings keep identical rows, and
+    the kept set is NESTED in the weight (raising a row's weight can
+    only add it, never evict others). Pure Catalyst filter — no
+    shuffle, no UDF; a pushed-down predicate at scale when the weight
+    is a stored column.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(key_col), F.lit(salt))
+    bucket = F.pmod(h, F.lit(buckets))
+    thr = F.floor(F.greatest(F.lit(0.0), F.least(w, F.lit(1.0))) * buckets).cast(
+        "long"
+    )
+    return df.where(bucket < thr)
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 1000,

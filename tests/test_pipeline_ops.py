@@ -226,3 +226,38 @@ def test_contamination_benchmark_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sample_weighted_deterministic_and_nested(spark):
+    from pyspark.sql import functions as F
+
+    from sinew_spark.operators.pipeline import sample_weighted
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("w")
+    )
+    a = {r.doc_id for r in sample_weighted(df.repartition(3), "w").collect()}
+    b = {r.doc_id for r in sample_weighted(df.repartition(17), "w").collect()}
+    assert a == b  # membership is a pure function of (key, weight)
+    # nesting: doubling every weight only ADDS rows
+    df2 = df.withColumn("w", F.least(F.col("w") * 2, F.lit(1.0)))
+    bigger = {r.doc_id for r in sample_weighted(df2, "w").collect()}
+    assert a <= bigger
+    # acceptance tracks the weight: w=0 never kept, w=1 always kept
+    zero = sample_weighted(df.withColumn("w", F.lit(0.0)), "w").count()
+    one = sample_weighted(df.withColumn("w", F.lit(1.0)), "w").count()
+    assert zero == 0 and one == 2000
+    # out-of-range weights clamp instead of exploding
+    wild = df.withColumn("w", F.when(F.col("doc_id") % 2 == 0, 7.0).otherwise(-3.0))
+    kept = {r.doc_id for r in sample_weighted(wild, "w").collect()}
+    assert kept == {i for i in range(2000) if i % 2 == 0}
+
+
+def test_sample_weighted_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from sinew_spark.operators.pipeline import sample_weighted
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit(0.5).alias("w"))
+    plan = sample_weighted(df, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
