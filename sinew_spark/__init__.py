@@ -15,6 +15,12 @@ distributed URL-frontier + fetch scheduler over snapshot-versioned tables:
 - byte-exact CSV emit pipeline matching sinew's normalize
   (/root/reference/lib/sinew/csv.rb:57-87)
 - resumable from snapshot checkpoints with per-round lineage + metrics
+- a training-data analytics suite over the crawled corpus: dedup
+  (exact/MinHash/SimHash/embedding + connected-component clusters),
+  ANN, exact-integer PageRank and k-means, recrawl scheduling, trap
+  detection, boilerplate removal, quality scoring/classification,
+  sampling/packing/splits, HLL + count-min sketches — every operator
+  backed by an independent DuckDB SQL oracle (see __spark_entry__.py)
 
 Architecture is Spark-first: declarative DataFrame plans optimized by
 Catalyst; Python appears only inside Arrow-batched UDFs.
