@@ -2162,6 +2162,43 @@ def q_streaming_rollup(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Structured Streaming cardinality: two crawl rounds, each followed
+    by an availableNow HLL pass that drains only the new seen-table
+    files into checkpointed register state
+    (sinew_spark/streaming/sketch.py). Registers are deterministic and
+    batch==streaming-equivalent (bounded MAX state, idempotent merge),
+    so unlike the windowed rollup this STREAMING query gets a value-
+    exact SQL oracle: the crawled URLs are a pure construction the
+    oracle re-hashes register-for-register."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+    from sinew_spark.streaming.sketch import run_hll_available_now
+
+    workdir = tempfile.mkdtemp(prefix="sinew_q_shll_")
+    try:
+        c = Crawler(
+            spark,
+            f"{workdir}/crawl",
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=0, synthetic_hosts=10),
+            CrawlOptions(rate_limit=0.0, retries=0, max_rounds=2),
+        )
+        out, ckpt = f"{workdir}/out", f"{workdir}/ckpt"
+        c.seed([f"http://h{i % 10}.synth.test/p/{i}" for i in range(40)])
+        c.run_round()
+        run_hll_available_now(spark, f"{workdir}/crawl/seen", out, ckpt)
+        c.seed([f"http://h{i % 10}.synth.test/p/{i}" for i in range(40, 60)])
+        c.run_round()
+        run_hll_available_now(spark, f"{workdir}/crawl/seen", out, ckpt)
+        rows = spark.read.parquet(out).orderBy("register").collect()
+        return spark.createDataFrame(rows, "register long, max_rho int")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: document quality/dedup/language pipeline — the
     post-crawl analytics a training-data pipeline runs on parsed documents."""
@@ -2240,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
+        "streaming_hll": q_streaming_hll,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2916,6 +2954,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 1000000 "
             f"< CAST(floor(least(greatest({quality}, 0.0), 1.0) * 1000000) AS BIGINT) "
             "ORDER BY doc_id"
+        ),
+        # a value-exact oracle for a STREAMING query: the two rounds'
+        # URLs are a pure construction (doc_id < 60 supplies 0..59);
+        # registers re-hashed exactly as in hll_distinct
+        "streaming_hll": (
+            "WITH u AS (SELECT 'http://h' || CAST(doc_id % 10 AS VARCHAR) || "
+            "'.synth.test/p/' || CAST(doc_id AS VARCHAR) AS url "
+            "FROM documents WHERE doc_id < 60), "
+            "h AS (SELECT CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h FROM u), "
+            "r AS (SELECT h >> 52 AS register, h & 4503599627370495 AS w FROM h), "
+            "s AS (SELECT register, CASE WHEN w = 0 THEN 53 "
+            "ELSE 52 - len(bin(w)) + 1 END AS rho FROM r) "
+            "SELECT register, CAST(MAX(rho) AS INTEGER) AS max_rho FROM s "
+            "GROUP BY register ORDER BY register"
         ),
         # every count-min cell replayed exactly: same per-row md5 hash
         # family, same bucket modulus

@@ -213,6 +213,7 @@ def headline_queries(spark) -> dict:
         "hll_distinct",
         "cms_heavy_hitters",
         "weighted_sample",
+        "streaming_hll",
     ]
     out = {}
     for name in names:

@@ -177,3 +177,49 @@ def test_streaming_dedup_emits_once_and_resumes_idempotently(spark, tmpdir_path)
 
     run_dedup_available_now(*args, watermark="1 hour")  # resume: no new files
     assert spark.read.parquet(f"{tmpdir_path}/out").count() == 100
+
+
+def test_streaming_hll_equals_batch_and_is_idempotent(spark, tmpdir_path):
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.operators.sketch import hll_registers
+    from sinew_spark.sources.fetch import FixtureFetcher
+    from sinew_spark.streaming.sketch import run_hll_available_now
+
+    c = Crawler(
+        spark,
+        tmpdir_path + "/shll",
+        FixtureFetcher(seed=42, synthetic=True, synthetic_links=0, synthetic_hosts=4),
+        CrawlOptions(rate_limit=0.0, retries=0, max_rounds=2),
+    )
+    out, ckpt = tmpdir_path + "/out", tmpdir_path + "/ckpt"
+    seen_path = tmpdir_path + "/shll/seen"
+
+    c.seed([f"http://h{i % 4}.synth.test/p/{i}" for i in range(25)])
+    c.run_round()
+    run_hll_available_now(spark, seen_path, out, ckpt)
+    first = sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(out).collect()
+    )
+
+    # incremental second round folds into the SAME checkpointed state
+    c.seed([f"http://h{i % 4}.synth.test/p/{i}" for i in range(25, 40)])
+    c.run_round()
+    run_hll_available_now(spark, seen_path, out, ckpt)
+    streamed = sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(out).collect()
+    )
+
+    # batch sketch over the full seen table must match exactly
+    batch = sorted(
+        (r.register, r.max_rho)
+        for r in hll_registers(c.seen_t.read().select("url"), "url").collect()
+    )
+    assert streamed == batch
+    assert first != streamed  # the second pass actually added state
+
+    # idempotence: a pass with no new files rewrites the same registers
+    run_hll_available_now(spark, seen_path, out, ckpt)
+    again = sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(out).collect()
+    )
+    assert again == streamed
