@@ -510,6 +510,26 @@ def q_weighted_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", F.col("w").alias("weight")).orderBy("doc_id")
 
 
+def q_sample_k(spark, sf_dir):
+    """Fixed-size uniform eval-set extraction (operators/pipeline.py
+    sample_k): exactly k rows by smallest salted key hash —
+    TakeOrderedAndProject (per-partition heaps + k-row merge, no global
+    sort). md5-derived hash so DuckDB replays the pick set with
+    ORDER BY hash LIMIT k."""
+    from sinew_spark.operators.pipeline import sample_k
+
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sk|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    picked = sample_k(d, 25, hash_expr=hv)
+    return picked.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Pipeline: corpus vocabulary top-k (operators/pipeline.py
     vocab_topk — map-side partial agg + TakeOrderedAndProject, no global
@@ -2278,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "streaming_hll": q_streaming_hll,
+        "sample_k": q_sample_k,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
         "css_extract_links": q_css_extract_links,
@@ -2945,6 +2966,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 52 - len(bin(w)) + 1 END AS rho FROM r) "
             "SELECT register, CAST(MAX(rho) AS INTEGER) AS max_rho FROM s "
             "GROUP BY register ORDER BY register"
+        ),
+        # pick set replayed: ORDER BY the same md5 hash, LIMIT k
+        "sample_k": (
+            "WITH p AS (SELECT doc_id, lang FROM documents "
+            "ORDER BY CAST(('0x' || substr(md5('sk|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) LIMIT 25) "
+            "SELECT doc_id, lang FROM p ORDER BY doc_id"
         ),
         # membership + score replayed: same quality formula (the shared
         # `quality` SQL), same md5 bucket, same floor threshold

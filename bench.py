@@ -214,6 +214,7 @@ def headline_queries(spark) -> dict:
         "cms_heavy_hitters",
         "weighted_sample",
         "streaming_hll",
+        "sample_k",
     ]
     out = {}
     for name in names:

@@ -148,6 +148,36 @@ def sample_weighted(
     return df.where(bucket < thr)
 
 
+def sample_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sk",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Fixed-SIZE uniform sample without replacement: the k rows whose
+    salted key hash is smallest — the eval-set/holdout extraction rate-
+    based samplers can't give you (Bernoulli sampling yields a random
+    COUNT; audits want exactly k). Deterministic (pure function of the
+    keys), order-free, and stable under growth in the useful sense:
+    adding new rows can only displace old picks by hashing lower, never
+    reshuffle the survivors' relative order.
+
+    Scale shape: TakeOrderedAndProject — per-partition top-k heaps then
+    a k-row merge, never a global sort; 0 wide exchanges. Returns the
+    original columns plus nothing; ordering of the result is by the
+    hash (stable tie-break by key is inherent — the hash IS of the
+    key)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = (
+        hash_expr
+        if hash_expr is not None
+        else F.xxhash64(F.lit(salt), F.col(key_col))
+    )
+    return df.orderBy(h.asc()).limit(k)
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 1000,

@@ -261,3 +261,23 @@ def test_sample_weighted_zero_shuffle(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit(0.5).alias("w"))
     plan = sample_weighted(df, "w")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sample_k_exact_size_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from sinew_spark.operators.pipeline import sample_k
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = sorted(r.doc_id for r in sample_k(df.repartition(4), 50).collect())
+    b = sorted(r.doc_id for r in sample_k(df.repartition(13), 50).collect())
+    assert len(a) == 50 and a == b
+    # k >= n returns everything; k <= 0 rejected
+    assert sample_k(df, 5000).count() == 1000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_k(df, 0)
+    # plan: top-k, never a global sort of the corpus
+    plan = sample_k(df, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
