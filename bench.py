@@ -213,8 +213,10 @@ def headline_queries(spark) -> dict:
         "hll_distinct",
         "cms_heavy_hitters",
         "weighted_sample",
-        "streaming_hll",
         "sample_k",
+        # streaming queries (streaming_rollup/dedup/hll) are exercised by
+        # pytest + the oracle gate, not the headline suite — their cost is
+        # checkpoint machinery, not operator throughput
     ]
     out = {}
     for name in names:
