@@ -196,6 +196,34 @@ class SnapshotTable:
         )
         return self.current_snapshot()
 
+    def compact(self, target_files: int = 1, meta: dict | None = None) -> int:
+        """Data-file compaction: rewrite the table's current LOGICAL
+        state — pending equality deletes applied — into
+        ``target_files`` consolidated files as a new snapshot with the
+        delete list resolved to []. Same rows, fresh layout: the
+        small-file antidote for append-per-round tables (a 10^5-round
+        crawl otherwise accumulates 10^5 directories whose listing and
+        open cost dominate scans) and the amortized resolution point
+        for accumulated MOR delete files.
+
+        Incremental consumers are unaffected by design: a compact
+        snapshot adds NO logical rows, so ``read_delta`` of it is empty
+        and ``diff`` across it is empty (both test-pinned). Sidecar
+        shard stores can't express a rewrite incrementally and rebuild
+        on their next sync — schedule compactions accordingly (they
+        are rare, amortized maintenance)."""
+        if target_files <= 0:
+            raise ValueError("target_files must be positive")
+        df = self.read().coalesce(target_files)
+        d = self._write_data(df.select([f.name for f in self.schema.fields]))
+        self._new_snapshot(
+            [d],
+            "compact",
+            {**(meta or {}), "files": self._file_stats([d])},
+            deletes=[],
+        )
+        return self.current_snapshot()
+
     def delete_where(self, condition, meta: dict | None = None) -> int:
         """Row-level delete via copy-on-write rewrite — for arbitrary
         predicates. Point deletes by key should use ``delete_keys`` (O(delta)
@@ -292,7 +320,9 @@ class SnapshotTable:
             prev = s
         if target is None:
             raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
-        if target["op"] == "edelete":  # adds no data files
+        if target["op"] in ("edelete", "compact"):
+            # edelete adds no data files; compact adds no logical ROWS
+            # (it only rewrites layout) — both are empty deltas
             return self.spark.createDataFrame([], self.schema)
         prev_dirs = set(prev["dirs"]) if prev and target["op"] == "append" else set()
         new_dirs = [d for d in target["dirs"] if d not in prev_dirs]
@@ -410,10 +440,6 @@ class SnapshotTable:
             raise KeyError(f"snapshot {snapshot_id} not found")
         m["current"] = snapshot_id
         self._commit(m)
-
-    def compact(self) -> int:
-        """Rewrite all live data as one snapshot (maintenance)."""
-        return self.overwrite(self.read(), {"compaction": True})
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -146,3 +146,46 @@ def test_diff_between_snapshots(spark, tmpdir_path):
     # identity diff is empty; to_snapshot=None means current
     assert t.diff(s3).count() == 0
     assert {(r.key, r.change) for r in t.diff(s2).collect()} == {(2, "removed")}
+
+
+def test_compact_preserves_rows_resolves_deletes(spark, tmpdir_path):
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = SnapshotTable(spark, tmpdir_path + "/comptab", schema)
+    for i in range(4):  # 4 small append dirs
+        t.append(spark.createDataFrame([(i * 10 + j, f"r{i}{j}") for j in range(5)], schema))
+    t.delete_keys([0, 11, 22], key_col="key")
+    before = sorted((r.key, r.v) for r in t.read().collect())
+    s_pre = t.current_snapshot()
+
+    s_c = t.compact()
+    after = sorted((r.key, r.v) for r in t.read().collect())
+    assert after == before  # identical logical state
+    # deletes resolved: the compact snapshot carries none
+    assert t._snapshot(s_c).get("deletes") == []
+    # layout consolidated: one data dir now backs the table
+    assert len(t._dirs()) == 1
+    # no logical delta for incremental consumers
+    assert t.read_delta(s_c).count() == 0
+    assert t.diff(s_pre, s_c, key_col="key").count() == 0
+
+    # life goes on: append + MOR delete after compaction behave normally
+    t.append(spark.createDataFrame([(99, "new")], schema))
+    t.delete_keys([10], key_col="key")
+    final = {r.key for r in t.read().collect()}
+    assert 99 in final and 10 not in final and 0 not in final
+
+    # time travel to pre-compact snapshots still works
+    assert sorted((r.key, r.v) for r in t.read(s_pre).collect()) == before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.compact(target_files=0)
