@@ -157,6 +157,10 @@ class CrawlOptions:
     trap_max_urls: int | None = None
     trap_max_depth: int = 8
     trap_max_repeats: int = 3
+    # periodic seen-table compaction (None = never): every N rounds,
+    # rewrite seen into compact_target_files consolidated files
+    compact_seen_every: int | None = None
+    compact_target_files: int = 8
     bloom_capacity: int = 1_000_000
     bloom_shards: int = 8
     # exactly-once filter strategy: True = shard-local exact key probe
@@ -656,6 +660,18 @@ class Crawler:
         self.metrics_t.append_rows(
             [tuple(stats.values())], {"round": rnd}
         )
+        # periodic seen-table maintenance: a long crawl appends one data
+        # dir per round; without compaction a 10^5-round crawl pays 10^5
+        # directory listings per scan. A 'compact' snapshot is an EMPTY
+        # incremental delta (snapshots.py), so downstream consumers skip
+        # it; the seen shard stores rebuild on their next sync — that
+        # amortized rebuild is the knob's documented cost, hence off by
+        # default and tuned to every-N-rounds.
+        if (
+            self.opts.compact_seen_every is not None
+            and (rnd + 1) % self.opts.compact_seen_every == 0
+        ):
+            self.seen_t.compact(target_files=self.opts.compact_target_files)
         self._round = rnd + 1
         stats["done"] = False
         return stats

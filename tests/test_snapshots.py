@@ -189,3 +189,36 @@ def test_compact_preserves_rows_resolves_deletes(spark, tmpdir_path):
 
     with _pytest.raises(ValueError):
         t.compact(target_files=0)
+
+
+def test_crawl_with_periodic_seen_compaction(spark, tmpdir_path):
+    """A multi-round crawl with compact_seen_every behaves identically to
+    one without: same seen contents, exactly-once intact across the
+    compaction + shard-store rebuild, fewer live data dirs."""
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    def run(tag, **extra):
+        c = Crawler(
+            spark,
+            tmpdir_path + "/cc_" + tag,
+            FixtureFetcher(seed=42, synthetic=True, synthetic_links=2, synthetic_hosts=5),
+            CrawlOptions(
+                retries=0, max_rounds=4, follow_links=True, per_host_cap=3, **extra
+            ),
+        )
+        c.seed([f"http://h{i % 5}.synth.test/p/{i}" for i in range(10)])
+        c.run()
+        return c
+
+    plain = run("plain")
+    compacted = run("compact", compact_seen_every=2, compact_target_files=1)
+
+    a = sorted(
+        (r.url, r.status, r.round) for r in plain.seen_t.read().collect()
+    )
+    b = sorted(
+        (r.url, r.status, r.round) for r in compacted.seen_t.read().collect()
+    )
+    assert a == b
+    assert len(compacted.seen_t._dirs()) < len(plain.seen_t._dirs())
