@@ -314,3 +314,86 @@ def test_val_fold_matches_dict_replay(runs):
     assert uk.tolist() == sorted(expect)
     for i, k in enumerate(uk.tolist()):
         assert (mok[i], merr[i]) == tuple(expect[k]), k
+
+
+# --- surt / template / classifier properties (session additions) -------
+
+_label = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,6}[a-z0-9])?", fullmatch=True)
+_pathseg = st.from_regex(r"[a-zA-Z0-9._~!$&'()*+,;=:@-]{1,8}", fullmatch=True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_label, min_size=1, max_size=4),
+    st.lists(_pathseg, min_size=0, max_size=4),
+    st.one_of(st.none(), st.from_regex(r"[a-z0-9=&%]{0,12}", fullmatch=True)),
+)
+def test_surt_key_structure_property(spark, labels, segs, query):
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.urls import surt_key_expr
+
+    host = ".".join(labels)
+    path = "/" + "/".join(segs)
+    url = f"http://{host}{path}" + (f"?{query}" if query is not None else "")
+    got = (
+        spark.range(1)
+        .select(surt_key_expr(F.lit(url)))
+        .collect()[0][0]
+    )
+    want = ",".join(reversed(labels)) + ")" + (path if path != "" else "/")
+    if query:  # empty query string contributes no '?'
+        want += "?" + query
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.from_regex(r"[a-zA-Z0-9.,!']{1,10}", fullmatch=True), max_size=20))
+def test_hashed_linear_score_property(spark, words):
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    text = " ".join(words)
+    got = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(hashed_linear_score_expr(F.col("t")))
+        .collect()[0][0]
+    )
+    md5i = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    t = text.strip()
+    want = (
+        0
+        if t == ""
+        else sum(
+            md5i(f"qlc|{md5i(tok) % 4096}") % 2001 - 1000
+            for tok in re.split(r"\s+", t.lower())
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_label, min_size=1, max_size=3),
+    st.lists(st.from_regex(r"[a-zA-Z0-9]{1,6}", fullmatch=True), max_size=4),
+)
+def test_url_template_collapses_all_digit_runs(spark, labels, segs):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sinew_spark.operators.traps import url_template_expr
+
+    url = "http://" + ".".join(labels) + "/" + "/".join(segs)
+    got = (
+        spark.range(1).select(url_template_expr(F.lit(url))).collect()[0][0]
+    )
+    host, _, path = got.partition("|")
+    assert not re.search(r"[0-9]", path)  # every digit run collapsed
+    assert host == ".".join(labels).lower()
+    # idempotence: re-templating the template path changes nothing
+    assert re.sub(r"[0-9]+", "N", path) == path
