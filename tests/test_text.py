@@ -147,3 +147,14 @@ def test_hashed_linear_score_rejects_bad_buckets(spark):
 
     with _pytest.raises(ValueError):
         hashed_linear_score_expr(F.lit("x"), buckets=0)
+
+
+def test_hashed_linear_score_zero_shuffle_zero_python(spark):
+    from sinew_spark.functions.text import hashed_linear_score_expr
+
+    df = spark.createDataFrame([("a b c",)], ["text"]).select(
+        hashed_linear_score_expr(F.col("text")).alias("s")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # PLANS.md claim: one Project, all codegen — no Exchange, no Python
+    assert "Exchange" not in plan and "EvalPython" not in plan
