@@ -299,6 +299,28 @@ def main():
         "cpus": CPUS,
     }
     print(json.dumps(result))
+    # The driver records only the TAIL of stdout (~3 KB); the full line above
+    # can exceed that and lose its head, becoming unparseable. Emit a compact
+    # summary as the FINAL line so the tail capture always ends with a short,
+    # complete JSON object (top-5 slowest queries + the crawl/dedup rows).
+    slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **slowest,
+            "crawl_100k": crawl["crawl_sec"],
+            "dedup_round": dedup["dedup_sec"],
+        },
+        "n_queries": len(result["queries"]),
+        "queries_truncated": True,
+        "sf": result["sf"],
+        "frontier_urls_per_sec": crawl["frontier_urls_per_sec"],
+        "dedup_urls_per_sec": dedup["dedup_urls_per_sec"],
+        "cpus": CPUS,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -459,6 +459,7 @@ class Crawler:
             F.max(
                 F.coalesce(F.col("final_url") != F.col("canonical_url"), F.lit(False)).cast("int")
             ).alias("any_moved"),
+            F.max(F.col("cookies").isNotNull().cast("int")).alias("any_cookies"),
         ).collect()[0]
         has_redirects = bool((st.hop_rows or 0) > 0 or (st.any_moved or 0) > 0)
         seen_new = fetched.select(
@@ -539,25 +540,29 @@ class Crawler:
         # state — in steady state one distributed shard-local OR of the
         # delta's keys (one task per shard; the driver writes only
         # meta.json), after a crash or a legacy sidecar the same call
-        # re-absorbs whatever is missing.
-        self._bloom.sync(self.seen_t)
+        # re-absorbs whatever is missing. Gated on the one configuration
+        # whose probe consults the bloom (the fused shard probe): the
+        # anti-join path below the auto threshold and the semantic modes
+        # never read it, so paying a per-round add_delta job (and a full
+        # first-round rebuild) there is pure overhead.
+        if use_shards and not semantic:
+            self._bloom.sync(self.seen_t)
         mark("keys+bloom")
 
-        # C11: persist each host's final cookie jar for the next round.
-        # One pruned-scan agg job over (host, cookies, seq) of the delta;
-        # the jar column is null for cookie-oblivious fetchers, so the
-        # common path aggregates nothing and appends nothing.
-        jar_updates = (
-            fetched.where(F.col("cookies").isNotNull())
-            .groupBy("host")
-            .agg(F.max_by("cookies", "seq").alias("cookies"))
-            .withColumn("round", F.lit(rnd))
-        )
-        jar_rows = jar_updates.collect()
-        if jar_rows:
-            self.host_state_t.append_rows(
-                [(r.host, r.cookies, r.round) for r in jar_rows], {"round": rnd}
+        # C11: persist each host's final cookie jar for the next round as a
+        # distributed DataFrame append (never an O(hosts) driver collect —
+        # at 10^7 cookie-bearing hosts that pull is exactly the O(rows)
+        # driver hop the rest of the loop eliminated). Cookie presence
+        # rides the existing 1-row stats aggregate, so cookie-oblivious
+        # fetchers (null jar column) skip the agg+append job entirely.
+        if bool(st.any_cookies or 0):
+            jar_updates = (
+                fetched.where(F.col("cookies").isNotNull())
+                .groupBy("host")
+                .agg(F.max_by("cookies", "seq").alias("cookies"))
+                .withColumn("round", F.lit(rnd))
             )
+            self.host_state_t.append(jar_updates, {"round": rnd})
         mark("host_state")
 
         # 7. documents = pure VIEW over the fused commit. Spans were already

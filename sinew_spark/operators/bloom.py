@@ -214,6 +214,38 @@ def _load_shard(dirpath: str, shard: int) -> "BloomShards | None":
     return hit
 
 
+def _delta_chain(seen_t, from_id: int, cur: int) -> "list[dict] | None":
+    """Snapshots strictly after ``from_id`` on the lineage path to ``cur``,
+    oldest first — or None when ``from_id`` is NOT an ancestor of ``cur``
+    (``rollback_to`` moved current behind the store's recorded snapshot, or
+    onto a divergent branch built on an older snapshot). None means a
+    sidecar store cannot sync incrementally: its shards hold keys from
+    rolled-back snapshots the table no longer contains, and absorbing
+    "newer ids" would silently keep them (exactly-once violation — seen
+    filter drops frontier URLs that were never fetched on this branch).
+
+    Walks the manifest's Iceberg-style ``parent`` pointers; legacy
+    snapshots without one (pre-parent manifests, necessarily a linear
+    chain) fall back to largest-smaller-id order."""
+    snaps = {s["id"]: s for s in seen_t.snapshots()}
+    chain: list[dict] = []
+    sid = cur
+    while sid is not None and sid != from_id:
+        s = snaps.get(sid)
+        if s is None:
+            return None
+        chain.append(s)
+        if "parent" in s:
+            sid = s["parent"]
+        else:
+            older = [i for i in snaps if i < sid]
+            sid = max(older) if older else None
+    if sid != from_id:
+        return None
+    chain.reverse()
+    return chain
+
+
 class BloomShardStore:
     """Directory-backed sharded Bloom sidecar; every probe and update runs
     executor-side on exactly one shard per task (module docstring).
@@ -333,37 +365,49 @@ class BloomShardStore:
     def sync(self, seen_t) -> None:
         """Bring the bloom up to the seen table's current snapshot — the
         precondition for the fused probe's "definitely new skips the exact
-        search" short-circuit (module docstring). Append snapshots are
-        absorbed as deltas; non-append history (delete/compaction) only
-        removes seen keys, so the over-approximate bloom stays fail-safe
-        and the id just advances. Unknown provenance (legacy meta, lost
-        sidecar) rebuilds from the full key set, as does outgrowing
+        search" short-circuit (module docstring). Append snapshots on the
+        lineage path are absorbed as deltas; edelete/compact only remove
+        seen keys, so the over-approximate bloom stays fail-safe and the id
+        just advances. Everything else rebuilds from the full key set:
+        fresh/legacy/lost sidecar, rollback or divergent history (the
+        shards may hold keys from rolled-back snapshots — the invariant
+        "bloom contains every seen key AND nothing decides on phantom
+        keys alone" needs the exact store rebuilt in lockstep; the bloom
+        rebuilds for hygiene since phantom keys degrade the prefilter),
+        an ``overwrite`` snapshot (may ADD keys; advancing past it would
+        break "bloom contains every seen key" and the short-circuit would
+        skip the exact search for genuinely-seen URLs), and outgrowing
         capacity (4x re-size keeps amortized cost O(delta))."""
         cur = seen_t.current_snapshot()
         if cur == self.snapshot_id or cur is None:
             return
-        if self.snapshot_id is None:
-            # fresh/legacy/lost sidecar: pre-size from manifest stats (free)
-            # so the rebuild lands under the fpp budget in one pass
+        newer = (
+            _delta_chain(seen_t, self.snapshot_id, cur)
+            if self.snapshot_id is not None
+            else None
+        )
+        if newer is None:
+            # fresh/legacy/lost sidecar/rollback: pre-size from manifest
+            # stats (free) so the rebuild lands under the fpp budget in one
+            # pass
             est = seen_t.approx_rows()
             if est > self.capacity:
                 self.capacity = max(self.capacity * 4, est * 2)
             self.rebuild(seen_t.read().select("key"), snapshot_id=cur)
             return
-        newer = sorted(
-            (
-                s
-                for s in seen_t.snapshots()
-                if s["id"] > self.snapshot_id and s["id"] <= cur
-            ),
-            key=lambda s: s["id"],
-        )
         for s in newer:
             if s["op"] == "append":
                 self.add_delta(seen_t.read_delta(s["id"]).select("key"), snapshot_id=s["id"])
-            else:  # keys only shrink: over-approximation is fail-safe
+            elif s["op"] in ("edelete", "compact"):
+                # keys only shrink: over-approximation is fail-safe
                 self.snapshot_id = s["id"]
                 self._write_meta()
+            else:  # overwrite/unknown may add keys the bloom lacks
+                est = seen_t.approx_rows()
+                if est > self.capacity:
+                    self.capacity = max(self.capacity * 4, est * 2)
+                self.rebuild(seen_t.read().select("key"), snapshot_id=cur)
+                return
         if self.n_added > self.capacity:  # fpp past budget: re-size + rebuild
             self.capacity = max(self.capacity * 4, self.n_added * 2)
             self.rebuild(seen_t.read().select("key"), snapshot_id=cur)
@@ -672,19 +716,21 @@ class SeenKeyShardStore:
         can't express incrementally (overwrite/compaction rewrites the
         table). Appends and edeletes are absorbed in snapshot order so the
         run-generation sequence reproduces the table's delete-then-re-add
-        semantics."""
+        semantics. A rollback (or a branch built on an older snapshot) is
+        never incremental — the shards would keep keys the table no longer
+        holds and reject_seen would silently drop live frontier URLs, a
+        violation of exactly-once — so lineage is walked via the
+        manifest's parent pointers (``_delta_chain``); any history not
+        reaching the recorded snapshot takes the full-rebuild branch."""
         cur = seen_t.current_snapshot()
         if cur is None or cur == self.snapshot_id:
             return
-        newer = sorted(
-            (
-                s
-                for s in seen_t.snapshots()
-                if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
-            ),
-            key=lambda s: s["id"],
+        newer = (
+            _delta_chain(seen_t, self.snapshot_id, cur)
+            if self.snapshot_id is not None
+            else None
         )
-        incremental = self.snapshot_id is not None and all(
+        incremental = newer is not None and all(
             s["op"] in ("append", "edelete") for s in newer
         )
         if incremental:
@@ -992,20 +1038,19 @@ class SeenValueShardStore(SeenKeyShardStore):
 
     def sync(self, seen_t) -> None:
         """Same snapshot discipline as the key store (appends + equality
-        deletes absorb O(delta), in snapshot order; other history
-        rebuilds), but append deltas carry (key, status, fetched_at)."""
+        deletes absorb O(delta), in snapshot order; other history —
+        including rollback/divergent lineage, detected via
+        ``_delta_chain`` parent walking — rebuilds), but append deltas
+        carry (key, status, fetched_at)."""
         cur = seen_t.current_snapshot()
         if cur is None or cur == self.snapshot_id:
             return
-        newer = sorted(
-            (
-                s
-                for s in seen_t.snapshots()
-                if (self.snapshot_id is None or s["id"] > self.snapshot_id) and s["id"] <= cur
-            ),
-            key=lambda s: s["id"],
+        newer = (
+            _delta_chain(seen_t, self.snapshot_id, cur)
+            if self.snapshot_id is not None
+            else None
         )
-        incremental = self.snapshot_id is not None and all(
+        incremental = newer is not None and all(
             s["op"] in ("append", "edelete") for s in newer
         )
         cols = ["key", "status", "fetched_at"]

@@ -77,22 +77,34 @@ def asof_join(
     out_names = {c: (c + suffix if c in lcols else c) for c in value_cols}
     matched_ts = ts_col + suffix
 
+    from pyspark.sql import types as T
+
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     lrow_t = F.struct(*[F.col(c) for c in lcols])
+    # the right row travels as ONE struct so the window pick below is
+    # atomic: the matched timestamp and every value column come from the
+    # SAME right row, even when that row has nulls in some value columns
+    # (per-column last(ignorenulls) would backfill those from older rows,
+    # diverging from pandas merge_asof / DuckDB ASOF JOIN row semantics)
+    rrow_type = T.StructType(
+        [T.StructField("_rts", rtypes[ts_col])]
+        + [T.StructField("_v_" + c, rtypes[c]) for c in value_cols]
+    )
     l_u = left.select(
         *[F.col(k) for k in keys],
         F.col(ts_col).alias("_ts"),
         lrow_t.alias("_lrow"),
-        *[F.lit(None).cast(rtypes[c]).alias("_v_" + c) for c in value_cols],
-        F.lit(None).cast(rtypes[ts_col]).alias("_rts"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
         F.lit(1).alias("_side"),
     )
     r_u = right.select(
         *[F.col(k) for k in keys],
         F.col(ts_col).alias("_ts"),
         F.lit(None).cast(l_u.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias("_v_" + c) for c in value_cols],
-        F.col(ts_col).alias("_rts"),
+        F.struct(
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c).alias("_v_" + c) for c in value_cols],
+        ).alias("_rrow"),
         F.lit(0).alias("_side"),
     )
     u = l_u.unionByName(r_u)
@@ -115,21 +127,18 @@ def asof_join(
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)
 
-    matched = u.withColumn("_m_ts", pick("_rts"))
-    for c in value_cols:
-        matched = matched.withColumn("_m_" + c, pick("_v_" + c))
-    matched = matched.where(F.col("_side") == 1)
+    matched = u.withColumn("_m", pick("_rrow")).where(F.col("_side") == 1)
 
-    ok = F.col("_m_ts").isNotNull()
+    ok = F.col("_m._rts").isNotNull()  # also excludes degenerate null-ts right rows
     if tolerance is not None:
-        gap = F.col("_ts").cast("double") - F.col("_m_ts").cast("double")
+        gap = F.col("_ts").cast("double") - F.col("_m._rts").cast("double")
         if direction == "forward":
             gap = -gap
         ok = ok & (gap <= F.lit(float(tolerance)))
     return matched.select(
         *[F.col("_lrow." + c).alias(c) for c in lcols],
-        F.when(ok, F.col("_m_ts")).alias(matched_ts),
-        *[F.when(ok, F.col("_m_" + c)).alias(out_names[c]) for c in value_cols],
+        F.when(ok, F.col("_m._rts")).alias(matched_ts),
+        *[F.when(ok, F.col("_m._v_" + c)).alias(out_names[c]) for c in value_cols],
     )
 
 

@@ -153,6 +153,12 @@ class SnapshotTable:
         m["snapshots"].append(
             {
                 "id": sid,
+                # Iceberg-style parent pointer: the snapshot this one was
+                # built on. After rollback_to, ids alone cannot express
+                # lineage (a post-rollback snapshot's state excludes the
+                # rolled-back ones despite their smaller ids); sidecar
+                # stores walk parents to decide incremental vs rebuild.
+                "parent": m["current"],
                 "dirs": dirs,
                 "op": op,
                 "ts": time.time(),

@@ -43,12 +43,20 @@ def run_hll_available_now(
     ``out_dir`` with the current 2^p-row register table. Idempotent and
     resumable: rerunning with no new files rewrites the same registers;
     a crash between passes resumes from the checkpoint's file log."""
+    from pyspark.sql import functions as F
+
+    # part-*.parquet matches exactly the Spark-written data files; the
+    # glob must EXCLUDE equality-delete files (delete-*.parquet, written
+    # by SnapshotTable.delete_keys with a key-only schema — read through
+    # the url schema they'd surface as null rows and skew hll_estimate's
+    # linear-counting branch). Compaction-rewritten dirs are still read
+    # alongside the originals — wasted IO but value-exact under max-merge.
     stream = (
         spark.readStream.schema(_INPUT)
-        .option("pathGlobFilter", "*.parquet")
+        .option("pathGlobFilter", "part-*.parquet")
         .parquet(os.path.join(table_path, "data", "*"))
     )
-    regs = hll_registers(stream, col, p=p)
+    regs = hll_registers(stream.where(F.col(col).isNotNull()), col, p=p)
 
     def sink(batch_df, _batch_id):
         batch_df.write.mode("overwrite").parquet(out_dir)

@@ -89,10 +89,12 @@ def test_store_rebuild_after_resize(spark, tmp_path):
 
 
 def test_store_sync_gating_and_delete_advance(spark, tmp_path):
-    """sync() absorbs append deltas snapshot-by-snapshot; a delete/overwrite
-    snapshot advances the id WITHOUT rebuilding (over-approximation is
-    fail-safe under the fused probe); a legacy/fresh store rebuilds from
-    the full seen read on first sync."""
+    """sync() absorbs append deltas snapshot-by-snapshot; an edelete
+    snapshot advances the id WITHOUT rebuilding (keys only shrink, so the
+    over-approximation is fail-safe under the fused probe); an overwrite
+    snapshot REBUILDS (overwrite may add keys, and the fused probe's
+    short-circuit needs the bloom to contain every seen key); a
+    legacy/fresh store rebuilds from the full seen read on first sync."""
     from sinew_spark.plans.snapshots import SnapshotTable
     from pyspark.sql import types as T
 
@@ -112,11 +114,21 @@ def test_store_sync_gating_and_delete_advance(spark, tmp_path):
     assert store.maybe_seen(probe).count() == 200
 
     sid_before = store.snapshot_id
-    t.delete_where(F.col("key") < 50)  # overwrite op
+    t.delete_keys(list(range(0, 10)))  # edelete op: advance, no rebuild
     store.sync(t)
     assert store.in_sync_with(t) and store.snapshot_id > sid_before
     # stale entries allowed (over-approximation): still flags deleted keys
     assert store.maybe_seen(probe).count() == 200
+
+    sid_before = store.snapshot_id
+    # overwrite may ADD keys the bloom has never absorbed: 200-249 here.
+    # Advancing without a rebuild would let the fused probe's "definitely
+    # new" short-circuit skip the exact search for genuinely-seen keys.
+    t.overwrite(spark.range(50, 250).select(F.col("id").alias("key")))
+    store.sync(t)
+    assert store.in_sync_with(t) and store.snapshot_id > sid_before
+    added = spark.range(200, 250).select(F.col("id").alias("key"))
+    assert store.maybe_seen(added).count() == 50  # no false negatives
 
 
 def test_store_sync_resizes_past_capacity(spark, tmp_path):
@@ -592,3 +604,115 @@ def test_seen_vals_edelete_tombstones_match_anti_join(spark, tmp_path):
             for r in store.reject_seen(frontier, expires=expires, force_errors=fe, now=now).collect()
         )
         assert via == exact, f"divergence at expires={expires} force_errors={fe}"
+
+
+# --- rollback / divergent-lineage sync (ADVICE r2: rollback_to left stores
+# --- claiming in-sync while shards held keys from rolled-back snapshots) ------
+
+
+def _key_table(spark, tmp_path, name="seen"):
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    return SnapshotTable(
+        spark, str(tmp_path / name), T.StructType([T.StructField("key", T.LongType())])
+    )
+
+
+def test_seen_keys_rollback_rebuilds_not_phantom(spark, tmp_path):
+    """rollback_to an older snapshot, then sync: the store must take the
+    full-rebuild branch, NOT mark itself in-sync with rolled-back keys
+    still in its shards — otherwise reject_seen silently drops frontier
+    URLs the table no longer marks seen (exactly-once violation)."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 1000).select(F.col("id").alias("key")))
+    t.append(spark.range(1000, 2000).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)
+    assert store.in_sync_with(t)
+
+    t.rollback_to(first)  # resume-from-checkpoint: keys 1000-1999 un-seen
+    store.sync(t)
+    assert store.in_sync_with(t)
+    frontier = spark.range(0, 2000).select(F.col("id").alias("key"))
+    survivors = sorted(r.key for r in store.reject_seen(frontier).collect())
+    assert survivors == list(range(1000, 2000))  # rolled-back keys survive
+
+
+def test_seen_keys_post_rollback_branch_is_not_incremental(spark, tmp_path):
+    """After rollback + new appends, the new branch's ids exceed the
+    store's recorded id but its STATE excludes the rolled-back snapshots;
+    absorbing 'newer ids' incrementally would keep phantom keys. The
+    parent walk must detect the divergent branch and rebuild."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore
+
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 500).select(F.col("id").alias("key")))
+    t.append(spark.range(500, 1000).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)
+
+    t.rollback_to(first)
+    t.append(spark.range(2000, 2500).select(F.col("id").alias("key")))
+    store.sync(t)
+    assert store.in_sync_with(t)
+    frontier = spark.range(0, 2500).select(F.col("id").alias("key"))
+    survivors = sorted(r.key for r in store.reject_seen(frontier).collect())
+    assert survivors == list(range(500, 2000))
+
+
+def test_bloom_store_rollback_then_append_no_false_negatives(spark, tmp_path):
+    """Bloom mirror of the divergent-branch case: post-rollback appends
+    must end up IN the bloom (rebuild), or the fused probe's 'definitely
+    new' short-circuit would skip the exact search for seen keys."""
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 500).select(F.col("id").alias("key")))
+    t.append(spark.range(500, 1000).select(F.col("id").alias("key")))
+    bloom = BloomShardStore(str(tmp_path / "bl"), capacity=10_000, n_shards=4)
+    bloom.sync(t)
+
+    t.rollback_to(first)
+    t.append(spark.range(2000, 2500).select(F.col("id").alias("key")))
+    bloom.sync(t)
+    assert bloom.in_sync_with(t)
+    branch_keys = spark.range(2000, 2500).select(F.col("id").alias("key"))
+    assert bloom.maybe_seen(branch_keys).count() == 500  # no false negatives
+
+
+def test_seen_vals_rollback_rebuilds(spark, tmp_path):
+    """Value-store mirror: semantic probe must not reject rolled-back keys."""
+    import time as _time
+
+    from sinew_spark.operators.bloom import SeenValueShardStore
+    from sinew_spark.plans.snapshots import SnapshotTable
+    from pyspark.sql import types as T
+
+    now = _time.time()
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("fetched_at", T.DoubleType()),
+        ]
+    )
+    t = SnapshotTable(spark, str(tmp_path / "seenv"), schema)
+    first = t.append(
+        spark.range(0, 300).select(
+            F.col("id").alias("key"), F.lit(200).alias("status"), F.lit(now).alias("fetched_at")
+        )
+    )
+    t.append(
+        spark.range(300, 600).select(
+            F.col("id").alias("key"), F.lit(200).alias("status"), F.lit(now).alias("fetched_at")
+        )
+    )
+    store = SeenValueShardStore(str(tmp_path / "vs"), n_shards=4)
+    store.sync(t)
+    t.rollback_to(first)
+    store.sync(t)
+    assert store.in_sync_with(t)
+    frontier = spark.range(0, 600).select(F.col("id").alias("key"))
+    survivors = sorted(r.key for r in store.reject_seen(frontier).collect())
+    assert survivors == list(range(300, 600))
