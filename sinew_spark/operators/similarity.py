@@ -147,7 +147,15 @@ def cosine_lsh_pairs(
     """Near-duplicate embedding pairs: n_tables independent sign-bucket
     hashes of n_planes random hyperplanes; pairs sharing a bucket in any
     table are candidates; exact cosine verifies. Join is on the bucket key
-    — no cross join."""
+    — no cross join.
+
+    Shuffle discipline: the bucket join and the candidate distinct carry
+    ONLY (id, tbl, bucket) — never the vectors. Shipping `v` through the
+    n_tables-way self-join would move n_tables copies of every embedding
+    (~6 KB/row at d=768) and make distinct() compare arrays, all for
+    columns that are pure functions of the ids. Vectors are joined back
+    exactly once per side onto the deduplicated (a, b) pairs — candidate
+    pairs are a tiny fraction of n_tables x rows at any real threshold."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     v = F.col(vec_col).cast("array<double>")
@@ -161,23 +169,24 @@ def cosine_lsh_pairs(
         for b in bits:
             bucket = F.shiftleft(bucket, 1) + b
         tables.append(
-            emb.select(
-                F.col(id_col), v.alias("v"), F.lit(t).alias("tbl"), bucket.alias("bucket")
-            )
+            emb.select(F.col(id_col), F.lit(t).alias("tbl"), bucket.alias("bucket"))
         )
     banded = tables[0]
     for tdf in tables[1:]:
         banded = banded.unionByName(tdf)
-    left = banded.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "tbl", "bucket")
-    right = banded.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "tbl", "bucket")
+    left = banded.select(F.col(id_col).alias("a"), "tbl", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "tbl", "bucket")
     pairs = (
         left.join(right, ["tbl", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b")
         .distinct()
     )
+    vecs = emb.select(F.col(id_col), v.alias("_vv"))
     return (
-        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        pairs.join(vecs.select(F.col(id_col).alias("a"), F.col("_vv").alias("va")), "a")
+        .join(vecs.select(F.col(id_col).alias("b"), F.col("_vv").alias("vb")), "b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -71,3 +71,20 @@ def test_cosine_lsh_pairs(spark):
     got = {(r.a, r.b) for r in pairs}
     assert (1, 2) in got
     assert not any({a, b} == {1, 3} for a, b in got)
+
+
+def test_cosine_lsh_pairs_narrow_shuffle_plan(spark):
+    """Scale pin (r2 VERDICT 'what's wrong' #2): the bucket self-join and
+    the candidate distinct must carry only (id, tbl, bucket) — the
+    vectors join back once per side AFTER dedup. The distinct's
+    HashAggregate grouping on vectors is the regression signature (it
+    meant n_tables copies of every embedding crossed the shuffle and
+    distinct compared arrays)."""
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cosine_lsh_pairs(df, dim=16, threshold=0.5, n_planes=4, n_tables=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            assert "va" not in line and "vb" not in line and "embedding" not in line, line
