@@ -12,9 +12,13 @@ Semantics matched to the reference:
   Response#html (response.rb:10-24).
 - NodeSet text joins with a single SPACE, not '' (nokogiri_ext.rb:10-17,
   proven by test_nokogiri_ext.rb:5-9).
-- CSS subset: tag, #id, .class, tag.class, [attr], [attr=val], '*', and
-  descendant combinator — covers every selector in the reference's recipe
-  suite ('h1', 'slide title', '#element', '.e', '#nokogiri_ext ul li').
+- CSS subset (tier 2): tag, #id, .class, tag.class, '*', attribute
+  selectors with operators ([attr], [a=v], ^= $= *= ~= |=), structural
+  pseudo-classes (:first-child, :last-child, :only-child,
+  :nth-child(an+b|odd|even|N), :nth-of-type, :first-of-type), descendant
+  and child ('>') combinators, and comma groups — covers the reference's
+  recipe suite plus the real-world shapes Nokogiri accepts
+  (`td.title > a`, README.md:52-62).
 
 Span extraction implements the interleaved text+media document model
 (BASELINE.json input_hint): each document becomes an ordered
@@ -123,31 +127,99 @@ def parse_html(body: str, clean: bool = True) -> Node:
 
 
 # --- CSS subset -------------------------------------------------------------
+#
+# Tier-2 grammar (Nokogiri css(), lib/sinew/response.rb:37-39; real-world
+# recipe selectors like `td.title > a` per reference README.md:52-62):
+#   compound:   tag? #id? .class* [attr op value]* :pseudo*
+#   attr ops:   [a] [a=v] [a^=v] [a$=v] [a*=v] [a~=v] [a|=v]
+#   pseudos:    :first-child :last-child :only-child
+#               :nth-child(an+b | odd | even | N)  :nth-of-type(...)
+#   combinators: descendant (space), child (>)
+#   groups:     comma-separated selector list, document-order union
 
 _SIMPLE_RE = re.compile(
     r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
     r"(?P<id>#[\w-]+)?"
     r"(?P<classes>(?:\.[\w-]+)*)"
-    r"(?P<attr>\[[\w-]+(?:=[^\]]*)?\])?$"
+    r"(?P<attrs>(?:\[[\w-]+(?:[~^$*|]?=[^\]]*)?\])*)"
+    r"(?P<pseudos>(?::[\w-]+(?:\([^)]*\))?)*)$"
 )
+_ATTR_RE = re.compile(r"\[([\w-]+)(?:([~^$*|]?=)([^\]]*))?\]")
+_PSEUDO_RE = re.compile(r":([\w-]+)(?:\(([^)]*)\))?")
+_NTH_RE = re.compile(r"^([+-]?\d*)n([+-]\d+)?$")
+
+
+def _parse_nth(expr: str) -> tuple[int, int]:
+    """Parse a CSS an+b expression → (a, b)."""
+    expr = expr.strip().lower().replace(" ", "")
+    if expr == "odd":
+        return (2, 1)
+    if expr == "even":
+        return (2, 0)
+    m = _NTH_RE.match(expr)
+    if m:
+        a_s = m.group(1)
+        a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
+        b = int(m.group(2)) if m.group(2) else 0
+        return (a, b)
+    return (0, int(expr))
+
+
+def _nth_matches(a: int, b: int, i: int) -> bool:
+    """True iff 1-based index i == a*n + b for some integer n >= 0."""
+    if a == 0:
+        return i == b
+    return (i - b) % a == 0 and (i - b) // a >= 0
+
+
+def _elem_siblings(node: Node) -> list[Node]:
+    if node.parent is None:
+        return [node]
+    return [c for c in node.parent.children if not c.is_text]
+
+
+def _attr_match(op: str, have: str, want: str) -> bool:
+    if op == "=":
+        return have == want
+    if op == "^=":
+        return bool(want) and have.startswith(want)
+    if op == "$=":
+        return bool(want) and have.endswith(want)
+    if op == "*=":
+        return bool(want) and want in have
+    if op == "~=":
+        return want in have.split()
+    if op == "|=":
+        return have == want or have.startswith(want + "-")
+    raise ValueError(f"unsupported attribute operator: {op!r}")
 
 
 def _compile_simple(sel: str):
     m = _SIMPLE_RE.match(sel)
-    if not m:
+    if not m or not sel:
         raise ValueError(f"unsupported CSS selector component: {sel!r}")
     tag = m.group("tag")
     tag = None if tag in (None, "*") else tag.lower()
     nid = m.group("id")[1:] if m.group("id") else None
     classes = [c for c in (m.group("classes") or "").split(".") if c]
-    attr = None
-    if m.group("attr"):
-        inner = m.group("attr")[1:-1]
-        if "=" in inner:
-            k, v = inner.split("=", 1)
-            attr = (k, v.strip("\"'"))
+    attrs = []
+    for k, op, v in _ATTR_RE.findall(m.group("attrs") or ""):
+        attrs.append((k, op or None, v.strip("\"'") if op else None))
+    pseudos = []
+    for name, arg in _PSEUDO_RE.findall(m.group("pseudos") or ""):
+        name = name.lower()
+        if name == "first-child":
+            pseudos.append(("nth-child", (0, 1)))
+        elif name == "last-child":
+            pseudos.append(("last-child", None))
+        elif name == "only-child":
+            pseudos.append(("only-child", None))
+        elif name in ("nth-child", "nth-of-type"):
+            pseudos.append((name, _parse_nth(arg or "")))
+        elif name == "first-of-type":
+            pseudos.append(("nth-of-type", (0, 1)))
         else:
-            attr = (inner, None)
+            raise ValueError(f"unsupported CSS pseudo-class: :{name}")
 
     def match(node: Node) -> bool:
         if node.is_text:
@@ -160,32 +232,107 @@ def _compile_simple(sel: str):
             have = (node.attrs.get("class") or "").split()
             if any(c not in have for c in classes):
                 return False
-        if attr:
-            k, v = attr
+        for k, op, v in attrs:
             if k not in node.attrs:
                 return False
-            if v is not None and node.attrs.get(k) != v:
+            if op is not None and not _attr_match(op, node.attrs.get(k) or "", v):
                 return False
+        for kind, arg in pseudos:
+            sibs = _elem_siblings(node)
+            if kind == "last-child":
+                if not sibs or sibs[-1] is not node:
+                    return False
+            elif kind == "only-child":
+                if len(sibs) != 1:
+                    return False
+            elif kind == "nth-child":
+                if not _nth_matches(*arg, sibs.index(node) + 1):
+                    return False
+            else:  # nth-of-type
+                typed = [s for s in sibs if s.tag == node.tag]
+                if not _nth_matches(*arg, typed.index(node) + 1):
+                    return False
         return True
 
     return match
 
 
+def _split_top(sel: str, seps: str) -> list[str]:
+    """Split on separator chars outside [...] / (...) nesting; '>' is kept
+    as its own token, whitespace runs collapse to token boundaries."""
+    tokens, buf, depth = [], [], 0
+    for ch in sel:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if depth == 0 and ch in seps:
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            if ch not in " \t":
+                tokens.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
+def _compile_compound(compound: str):
+    """Compile one comma-group member into [(combinator, pred), ...] where
+    combinator is the relation to the PREVIOUS part (' ' or '>')."""
+    parts = []
+    comb = " "
+    for tok in _split_top(compound, " \t>"):
+        if tok == ">":
+            if not parts:
+                raise ValueError(f"selector may not start with '>': {compound!r}")
+            comb = ">"
+            continue
+        parts.append((comb, _compile_simple(tok)))
+        comb = " "
+    if comb == ">" or not parts:
+        raise ValueError(f"empty CSS selector component in: {compound!r}")
+    return parts
+
+
+def _match_chain(node: Node, parts, idx: int) -> bool:
+    """node matched parts[idx]; check the left context with backtracking."""
+    if idx == 0:
+        return True
+    comb = parts[idx][0]
+    pred = parts[idx - 1][1]
+    anc = node.parent
+    if comb == ">":
+        if anc is None or anc.is_text or anc.tag == "#root":
+            return False
+        return pred(anc) and _match_chain(anc, parts, idx - 1)
+    while anc is not None and anc.tag != "#root":
+        if not anc.is_text and pred(anc) and _match_chain(anc, parts, idx - 1):
+            return True
+        anc = anc.parent
+    return False
+
+
 def css_select(root: Node, selector: str) -> list[Node]:
-    """Descendant-combinator CSS select, document order (Nokogiri css())."""
-    parts = [_compile_simple(p) for p in selector.split()]
+    """CSS select in document order (Nokogiri css() subset): descendant and
+    child combinators, comma groups, attribute operators, structural
+    pseudo-classes. One document-order traversal; a node is emitted once
+    even if several group members match it."""
+    groups = [
+        _compile_compound(g)
+        for g in _split_top(selector, ",")
+        if g != ","
+    ]
+    if not groups:
+        raise ValueError(f"empty CSS selector: {selector!r}")
     out = []
     for node in root.iter():
-        if parts[-1](node):
-            # walk ancestors for the remaining parts right-to-left
-            idx = len(parts) - 2
-            anc = node.parent
-            while idx >= 0 and anc is not None:
-                if not anc.is_text and anc.tag != "#root" and parts[idx](anc):
-                    idx -= 1
-                anc = anc.parent
-            if idx < 0:
+        for parts in groups:
+            if parts[-1][1](node) and _match_chain(node, parts, len(parts) - 1):
                 out.append(node)
+                break
     return out
 
 

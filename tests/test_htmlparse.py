@@ -92,3 +92,89 @@ def test_script_text_skipped():
     spans = extract_spans(TEST_HTML)
     assert not any("alert" in s[1] for s in spans)
     assert css_select(root, "title")[0].text() == "Title"
+
+# --- tier-2 selector matrix (child, groups, attr operators, pseudo-classes;
+# semantics per Nokogiri css() / CSS Selectors Level 3) ----------------------
+
+RESULTS = """
+<div id="wrap">
+  <div class="results">
+    <a href="/r/1" data-kind="story-item">one</a>
+    <span><a href="/r/2">two</a></span>
+    <a href="/r/3" data-kind="ad">three</a>
+  </div>
+  <td class="title"><a href="/t/1">tee</a></td>
+  <ul id="l">
+    <li>first</li>
+    <li class="mid">second</li>
+    <li>third</li>
+    <li>fourth</li>
+  </ul>
+  <p lang="en-US">hello</p>
+  <p lang="en">plain</p>
+  <p lang="fr">bonjour</p>
+</div>
+"""
+
+
+def _texts(sel, html=RESULTS):
+    return [n.text() for n in css_select(parse_html(html), sel)]
+
+
+def test_child_combinator():
+    # div.results > a skips the span-nested link
+    assert _texts("div.results > a") == ["one", "three"]
+    assert _texts("div.results a") == ["one", "two", "three"]
+    assert _texts("td.title > a") == ["tee"]
+    # chained child
+    assert _texts("#wrap > ul > li") == ["first", "second", "third", "fourth"]
+    # child then descendant backtracking: span is a child of .results,
+    # the a is a descendant of that span
+    assert _texts("div.results > span a") == ["two"]
+
+
+def test_comma_groups_document_order():
+    assert _texts("td.title a, div.results > a") == ["one", "three", "tee"]
+    # overlapping groups emit each node once
+    assert _texts("a, .results a") == ["one", "two", "three", "tee"]
+
+
+def test_attr_operators():
+    assert _texts("a[href^=/r/]") == ["one", "two", "three"]
+    assert _texts("a[href$=/1]") == ["one", "tee"]
+    assert _texts("a[data-kind*=story]") == ["one"]
+    assert _texts('a[data-kind~="ad"]') == ["three"]
+    assert _texts("p[lang|=en]") == ["hello", "plain"]
+    assert _texts("a[data-kind]") == ["one", "three"]
+
+
+def test_structural_pseudo_classes():
+    assert _texts("#l li:first-child") == ["first"]
+    assert _texts("#l li:last-child") == ["fourth"]
+    assert _texts("#l li:nth-child(2)") == ["second"]
+    assert _texts("#l li:nth-child(odd)") == ["first", "third"]
+    assert _texts("#l li:nth-child(even)") == ["second", "fourth"]
+    assert _texts("#l li:nth-child(2n+1)") == ["first", "third"]
+    assert _texts("#l li:nth-child(3n)") == ["third"]
+    assert _texts("#l li:nth-child(-n+2)") == ["first", "second"]
+    assert _texts("#l li:nth-child(n)") == ["first", "second", "third", "fourth"]
+    # class + pseudo compound
+    assert _texts("li.mid:nth-child(2)") == ["second"]
+    assert _texts("li.mid:nth-child(3)") == []
+
+
+def test_of_type_pseudo_classes():
+    html = "<div><span>s1</span><p>p1</p><span>s2</span><p>p2</p></div>"
+    assert _texts("span:nth-of-type(2)", html) == ["s2"]
+    assert _texts("p:first-of-type", html) == ["p1"]
+
+
+def test_unsupported_selector_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        css_select(parse_html(RESULTS), "a:hover")
+    with pytest.raises(ValueError):
+        css_select(parse_html(RESULTS), "> a")
+    with pytest.raises(ValueError):
+        css_select(parse_html(RESULTS), "div >")
