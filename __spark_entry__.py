@@ -1052,6 +1052,46 @@ def q_pagerank(spark, sf_dir):
     return r.select(F.col("v").alias("doc_id"), "rank").orderBy("doc_id")
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution (operators/graph.py
+    pagerank_fixedpoint(redistribute_dangling=True)): web graphs have
+    heavy sinks — every not-yet-fetched frontier page — so the damped
+    mass of out-degree-0 vertices is split uniformly (share = D div n)
+    and added to every vertex's incoming sum each iteration, in the same
+    exact integer arithmetic (D is a 1-row aggregate per iteration,
+    never an O(rows) pull). Graph: docs with doc_id % 3 != 0 emit 3
+    md5-derived out-links; the other third are pure sinks, so roughly a
+    third of all mass is redistributed per round. Oracle: the unrolled
+    CTE chain with a share term per iteration."""
+    from sinew_spark.operators.graph import pagerank_fixedpoint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .crossJoin(spark.range(3).select(F.col("id").alias("j")))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", F.lit("pr"), F.col("doc_id"), F.col("j"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("dst"),
+        )
+    )
+    r = pagerank_fixedpoint(e, iters=5, redistribute_dangling=True)
+    return r.select(F.col("v").alias("doc_id"), "rank").orderBy("doc_id")
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Freshness-driven recrawl scheduling (operators/scheduler.py
     recrawl_priority — Cho & Garcia-Molina greedy revisit score): LAG
@@ -2285,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_linearize": q_interleave_linearize,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
         "surt_index": q_surt_index,
         "recrawl_priority": q_recrawl_priority,
         "main_content": q_main_content,
@@ -2407,6 +2448,40 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
     )
     pr_sql = "".join(pr)
+
+    # pagerank_dangling: same unrolled chain, but (a) only doc_id % 3 != 0
+    # emit links (a third of the graph is pure sink), (b) unit/base/share
+    # divide by the VERTEX count nv (endpoints of e, not all documents),
+    # (c) each iteration adds share_i = sum(rank over dangling) // nv to
+    # every vertex's incoming sum before damping.
+    prd = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('pr|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1), (2)) j(j) WHERE d.doc_id % 3 <> 0), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "nv AS (SELECT COUNT(*) AS nv FROM verts), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        f"p AS (SELECT nv, ({pr_scale} // nv) AS unit, "
+        f"((({pr_den} - {pr_num}) * ({pr_scale} // nv)) // {pr_den}) AS base FROM nv), "
+        "r0 AS (SELECT v, (SELECT unit FROM p) AS rank FROM verts)"
+    ]
+    for i in range(1, pr_iters + 1):
+        prd.append(
+            f", d{i} AS (SELECT COALESCE(SUM(r.rank), 0) // (SELECT nv FROM p) "
+            f"AS share FROM r{i - 1} r WHERE r.v NOT IN (SELECT src FROM deg))"
+            f", r{i} AS (SELECT verts.v, (SELECT base FROM p) + "
+            f"({pr_num} * (COALESCE(c.s, 0) + (SELECT share FROM d{i}))) // {pr_den} "
+            f"AS rank FROM verts "
+            f"LEFT JOIN (SELECT e.dst AS v, CAST(SUM(r.rank // deg.deg) AS BIGINT) AS s "
+            f"FROM e JOIN r{i - 1} r ON r.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) c ON c.v = verts.v)"
+        )
+    prd.append(
+        f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
+    )
+    prd_sql = "".join(prd)
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -2872,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via
         # regexp_replace + list ops; INTEGER casts defuse BIGINT len()

@@ -43,11 +43,12 @@ def connected_components(
     minimum vertex id in its connected component.
 
     Returns (v, cluster) with one row per distinct endpoint; vertex ids
-    must be orderable (numeric or string). Raises if the graph hasn't
-    converged after ``max_iters`` rounds — for near-dup graphs the
-    fixpoint lands in a handful of rounds; hitting the cap means the
-    graph has a path of that length and wants the star-contraction
-    variant instead.
+    must be orderable (numeric or string). For near-dup graphs (dense
+    clumps, tiny diameter) min-label propagation reaches fixpoint in a
+    handful of rounds; if ``max_iters`` rounds pass without convergence
+    the graph has a long path and the computation auto-degrades to
+    large-star/small-star contraction (O(log n) rounds, same per-round
+    join+agg shape, same min-id cluster contract) instead of raising.
     """
     if max_iters <= 0:
         raise ValueError("max_iters must be positive")
@@ -84,10 +85,89 @@ def connected_components(
         labels = new
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(long-path graph — use a star-contraction variant)"
+    return connected_components_star(edges, src=src, dst=dst)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. SoCC'14): every node u connects
+    each strictly LARGER neighbor to min(N(u) ∪ {u}). One groupBy-min +
+    one join, both keyed on u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
     )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges big→small; every node u connects
+    its smaller neighbors AND itself to min(N_smaller(u))."""
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 80,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — O(log n) rounds on ANY graph shape (adversarial paths
+    included), vs diameter rounds for label propagation.
+
+    Each round is one groupBy-min + one self-join + distinct, all
+    hash-keyed on vertex id — the same scale shape as a propagation
+    round, just fewer of them. Fixpoint: every component is a star whose
+    center is its minimum vertex id; labels read directly off the final
+    edge set. Same (v, cluster) contract as connected_components.
+    """
+    verts = (
+        edges.select(F.col(src).alias("v"))
+        .union(edges.select(F.col(dst).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same_size = new.count() == e.count()
+        if same_size and new.exceptAll(e).limit(1).count() == 0:
+            e = new
+            break
+        e = new
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # stars point child -> root; roots (and isolated endpoints) label
+    # themselves
+    children = e.select(F.col("u").alias("v"), F.col("v").alias("cluster"))
+    roots = verts.join(children.select("v"), "v", "left_anti").select(
+        "v", F.col("v").alias("cluster")
+    )
+    return children.union(roots)
 
 
 def pagerank_fixedpoint(
@@ -98,6 +178,7 @@ def pagerank_fixedpoint(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed multigraph, computed in
     EXACT integer fixed-point arithmetic — frontier prioritization by
@@ -129,10 +210,18 @@ def pagerank_fixedpoint(
     round 1, so the exchange on the edge side is reused from the
     persisted symmetrized list) + one groupBy(``dst``) SUM with
     map-side partial aggregation. ``localCheckpoint`` truncates lineage
-    so the plan stays O(1) deep over any iteration count. Dangling
-    vertices (no out-edges) leak their damped mass — the standard
-    simplification; redistribute by adding a virtual uniform edge set
-    if the crawl graph has heavy sinks.
+    so the plan stays O(1) deep over any iteration count.
+
+    Dangling vertices (no out-edges) leak their damped mass by default —
+    the standard simplification. Web crawl graphs have HEAVY sinks
+    (every not-yet-fetched frontier page is one), so
+    ``redistribute_dangling=True`` adds the textbook uniform term in the
+    same integer arithmetic: each iteration the dangling vertices' total
+    rank D is split as ``share = D div n`` and every vertex's incoming
+    sum becomes ``s + share`` before damping. D is a single-row
+    aggregate per iteration (a driver scalar, like kmeans' k-row
+    centroid collect — never an O(rows) pull), so the result stays
+    bit-identical across partitionings and SQL-replayable.
 
     Returns (v, rank: long) with one row per distinct endpoint.
     """
@@ -156,8 +245,17 @@ def pagerank_fixedpoint(
     # out-edges annotated with out-degree, persisted once: every
     # iteration's join re-reads this exchange instead of re-shuffling.
     ed = e.join(deg, "src").localCheckpoint(eager=True)
+    dangling = None
+    if redistribute_dangling:
+        dangling = verts.join(
+            deg.select(F.col("src").alias("v")), "v", "left_anti"
+        ).localCheckpoint(eager=True)
     ranks = verts.select("v", F.lit(unit).cast("long").alias("rank"))
     for _ in range(iters):
+        share = 0
+        if dangling is not None:
+            dmass = ranks.join(dangling, "v").agg(F.sum("rank")).first()[0]
+            share = int(dmass or 0) // n
         contrib = (
             ed.join(ranks.select(F.col("v").alias("src"), "rank"), "src")
             .select("dst", F.expr("rank div deg").alias("c"))
@@ -171,7 +269,8 @@ def pagerank_fixedpoint(
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                        f"({damping_num} * (coalesce(s, 0L) + {share})) "
+                        f"div {damping_den}"
                     )
                 ).cast("long").alias("rank"),
             )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sinew_spark.operators.graph import (
     cluster_representatives,
     connected_components,
+    connected_components_star,
     pagerank_fixedpoint,
 )
 
@@ -51,15 +52,36 @@ def test_connected_components_chain_and_ring(spark):
     assert got[500] == got[501] == 500
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_cap_degrades_to_star(spark):
+    # a 30-path needs 30 propagation rounds; capping at 2 must auto-switch
+    # to star contraction and still produce the exact min-id labelling
     df = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
-    with pytest.raises(RuntimeError):
-        connected_components(df, max_iters=2)
+    got = {r.v: r.cluster for r in connected_components(df, max_iters=2).collect()}
+    assert got == {v: 0 for v in range(31)}
     with pytest.raises(ValueError):
         connected_components(df, max_iters=0)
 
 
-def _pagerank_bruteforce(edges, iters, num=85, den=100, scale=10**12):
+def test_star_contraction_matches_union_find(spark):
+    rng = random.Random(29)
+    edges = list({(rng.randrange(120), rng.randrange(120)) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(6)
+    got = {r.v: r.cluster for r in connected_components_star(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_star_contraction_adversarial_path(spark):
+    # 200-node path: diameter 200, star contraction must land in O(log n)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    ).repartition(8)
+    got = {r.v: r.cluster for r in connected_components_star(df).collect()}
+    assert got == {v: 0 for v in range(201)}
+
+
+def _pagerank_bruteforce(
+    edges, iters, num=85, den=100, scale=10**12, redistribute=False
+):
     verts = sorted({v for e in edges for v in e})
     n = len(verts)
     unit = scale // n
@@ -71,11 +93,14 @@ def _pagerank_bruteforce(edges, iters, num=85, den=100, scale=10**12):
     # non-negative here so the two agree, but keep the guard explicit.
     ranks = {v: unit for v in verts}
     for _ in range(iters):
+        share = 0
+        if redistribute:
+            share = sum(r for v, r in ranks.items() if v not in deg) // n
         s = {v: 0 for v in verts}
         for a, b in edges:
             assert ranks[a] >= 0
             s[b] += ranks[a] // deg[a]
-        ranks = {v: base + (num * s[v]) // den for v in verts}
+        ranks = {v: base + (num * (s[v] + share)) // den for v in verts}
     return ranks
 
 
@@ -107,6 +132,52 @@ def test_pagerank_hub_ranks_highest(spark):
     assert ranks[0] > 10 * ranks[1]
     # mass never exceeds the scale budget (DIVs only leak downward)
     assert sum(ranks.values()) <= 10**12
+
+
+def test_pagerank_dangling_redistribution_exact(spark):
+    rng = random.Random(17)
+    # heavy sinks: only src < 30 emit links, dst range 0..89 -> ~2/3 dangling
+    edges = [(rng.randrange(30), rng.randrange(90)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    got = {
+        r.v: r.rank
+        for r in pagerank_fixedpoint(df, iters=4, redistribute_dangling=True).collect()
+    }
+    assert got == _pagerank_bruteforce(edges, 4, redistribute=True)
+    # redistribution keeps strictly more mass in play than the leaky default
+    leaky = pagerank_fixedpoint(df, iters=4).collect()
+    assert sum(got.values()) > sum(r.rank for r in leaky)
+    assert sum(got.values()) <= 10**12
+
+
+def test_pagerank_dangling_bit_identical_across_partitionings(spark):
+    rng = random.Random(19)
+    edges = [(rng.randrange(25), rng.randrange(60)) for _ in range(120)]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    b = spark.createDataFrame(
+        list(reversed(edges)), "src long, dst long"
+    ).repartition(13)
+    ra = sorted(
+        (r.v, r.rank)
+        for r in pagerank_fixedpoint(a, iters=5, redistribute_dangling=True).collect()
+    )
+    rb = sorted(
+        (r.v, r.rank)
+        for r in pagerank_fixedpoint(b, iters=5, redistribute_dangling=True).collect()
+    )
+    assert ra == rb
+
+
+def test_pagerank_no_dangling_flag_is_noop(spark):
+    # every vertex has out-edges -> flag must not change a single bit
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 5) % 12) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ra = sorted((r.v, r.rank) for r in pagerank_fixedpoint(df, iters=3).collect())
+    rb = sorted(
+        (r.v, r.rank)
+        for r in pagerank_fixedpoint(df, iters=3, redistribute_dangling=True).collect()
+    )
+    assert ra == rb
 
 
 def test_pagerank_rejects_bad_params(spark):
