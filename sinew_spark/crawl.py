@@ -50,7 +50,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from sinew_spark.functions.urls import host_expr, make_canonicalize_udf, request_key_expr
+from sinew_spark.functions.localhash import request_key_local
+from sinew_spark.functions.urls import (
+    canonicalize_url_str,
+    host_expr,
+    make_canonicalize_udf,
+    request_key_expr,
+)
 from sinew_spark.operators.bloom import (
     BloomShardStore,
     SeenKeyShardStore,
@@ -462,6 +468,13 @@ class Crawler:
             F.max(F.col("cookies").isNotNull().cast("int")).alias("any_cookies"),
         ).collect()[0]
         has_redirects = bool((st.hop_rows or 0) > 0 or (st.any_moved or 0) > 0)
+        if int(st.n or 0) == 0:
+            # drained frontier: skip the empty seen append — it's history
+            # noise (one vacuous snapshot per drained run at scale) and it
+            # would leave the just-synced probe sidecars one empty
+            # snapshot behind, forcing interactive status()/cached() off
+            # the driver-local fast path
+            return {"round": rnd, "selected": 0, "done": True}
         seen_new = fetched.select(
             "key",
             F.col("canonical_url").alias("url"),
@@ -695,13 +708,19 @@ class Crawler:
     # --- cache probe API (sinew's status/cached?/uncache, base.rb:95-122) -------
 
     def _key_for(self, url: str, method: str = "GET", body: str = ""):
-        df = self.spark.createDataFrame([(url, method.upper(), body)], "url string, method string, body string")
-        row = df.select(
-            self.canonicalize(F.col("url")).alias("curl")
-        ).select(
-            "curl", request_key_expr(F.lit(method.upper()), F.col("curl"), F.lit(body)).alias("key")
-        ).collect()[0]
-        return row.key, row.curl
+        """Canonicalize + hash ONE request identity on the driver — pure
+        Python, no Spark job. canonicalize_url_str is the same function the
+        frontier's pandas UDF vectorizes (urls.py) and request_key_local is
+        the JVM-parity xxhash64 twin (functions/localhash.py), so the key
+        is bit-identical to what the crawl loop computed. The reference
+        probe is O(1) local too (lib/sinew/base.rb:95-122)."""
+        curl = canonicalize_url_str(
+            url,
+            base=self.opts.url_prefix,
+            default_params=self.opts.params,
+            ignore_params=frozenset(self.opts.ignore_params),
+        )
+        return request_key_local(method, curl, body), curl
 
     def status(self, url: str, method: str = "GET", body: str = "") -> dict:
         """Probe one request identity. ``diskpath`` is the storage-location
@@ -709,9 +728,19 @@ class Crawler:
         — the reference stores one file per request under the httpdisk
         cache dir; the engine stores rows in the fetched snapshot table, so
         the handle is (table dir, identity key) rather than a per-request
-        file."""
+        file.
+
+        Fast path: when the exact seen-key shards are warm and in sync
+        with the seen table, a MISS is answered entirely on the driver
+        (local canonicalize + hash + shard binary search — no Spark job,
+        matching the reference's O(1) local probe). Only a HIT (needs the
+        row's status/fetched_at) or a cold shard store runs the 1-row
+        Spark lookup."""
         key, curl = self._key_for(url, method, body)
         diskpath = os.path.join(self.workdir, "fetched")
+        if self._seen_keys.in_sync_with(self.seen_t):
+            if self._seen_keys.probe_local(key) is False:
+                return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
         rows = self.seen_t.read().where(F.col("key") == key).limit(1).collect()
         if not rows:
             return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
@@ -725,6 +754,13 @@ class Crawler:
         }
 
     def cached(self, url: str, method: str = "GET", body: str = "") -> bool:
+        """Boolean probe (sinew's ``cached?``): fully driver-local when the
+        key shards are warm — membership alone answers it, no Spark job in
+        either direction."""
+        if self._seen_keys.in_sync_with(self.seen_t):
+            hit = self._seen_keys.probe_local(self._key_for(url, method, body)[0])
+            if hit is not None:
+                return hit
         return self.status(url, method, body)["status"] != "miss"
 
     def uncache(self, url: str, method: str = "GET", body: str = "") -> None:

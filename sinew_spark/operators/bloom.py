@@ -752,6 +752,25 @@ class SeenKeyShardStore:
     def in_sync_with(self, seen_t) -> bool:
         return seen_t.current_snapshot() == self.snapshot_id
 
+    def probe_local(self, key: int) -> bool | None:
+        """Driver-side membership probe — NO Spark job: route the key to
+        its shard with the pure-Python hash twin (functions/localhash.py,
+        JVM-parity test-pinned) and binary-search the shard's folded runs.
+        Returns None when the store is cold (never synced) — the caller
+        falls back to the Spark path. Caller is responsible for
+        ``in_sync_with``; a stale warm store answers for its recorded
+        snapshot (interactive probes tolerate that; the crawl loop never
+        uses this path)."""
+        if self.snapshot_id is None:
+            return None
+        from ..functions.localhash import shard_of_key
+
+        arr = _load_keys_shard(self.path, shard_of_key(key, self.n_shards))
+        if len(arr) == 0:
+            return False
+        i = int(np.searchsorted(arr, key))
+        return i < len(arr) and int(arr[i]) == key
+
     def reject_seen(self, frontier, bloom: "BloomShardStore | None" = None):
         """EXACT filter: drop frontier rows whose key is in the seen set.
         Equivalent to ``left_anti`` vs seen keys, with zero shuffle — a
@@ -922,6 +941,22 @@ class SeenValueShardStore(SeenKeyShardStore):
     class-max merge on compaction, rename-before-unlink, snapshot-gated
     sync); runs are 24 B/key npz files (240 MB/shard at S=1000 and 10^10
     keys — still one worker-cached array set per task)."""
+
+    def probe_local(self, key: int) -> bool | None:
+        """Driver-side membership probe against the vals- run files (the
+        inherited implementation reads keys- files, which this store does
+        not write)."""
+        if self.snapshot_id is None:
+            return None
+        from ..functions.localhash import shard_of_key
+
+        keys, _fa_ok, _fa_err = _load_vals_shard(
+            self.path, shard_of_key(key, self.n_shards)
+        )
+        if len(keys) == 0:
+            return False
+        i = int(np.searchsorted(keys, key))
+        return i < len(keys) and int(keys[i]) == key
 
     def _absorb(self, keys_df) -> int:
         from pyspark.sql import functions as F

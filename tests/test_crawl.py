@@ -162,6 +162,41 @@ def test_status_cached_uncache(spark, tmpdir_path):
     assert c.run()[0]["selected"] == 1
 
 
+def test_probe_driver_local_when_shards_warm(spark, tmpdir_path):
+    # interactive probes must not launch a Spark job when the exact
+    # seen-key shards are warm (VERDICT r2 #7): misses and cached() answer
+    # via local canonicalize + hash twin + shard binary search
+    c = make_crawler(spark, tmpdir_path, exact_shards=True)
+    c.seed(["http://httpbingo.org/html", "http://httpbingo.org/get?q=1"])
+    c.run()
+    assert c._seen_keys.in_sync_with(c.seen_t)
+    sc = spark.sparkContext
+    sc.setJobGroup("o1probe", "driver-local probe check")
+    try:
+        assert c.cached("http://httpbingo.org/html")
+        assert c.cached("http://httpbingo.org/get?q=1")
+        assert not c.cached("http://httpbingo.org/never-fetched")
+        assert c.status("http://httpbingo.org/nope")["status"] == "miss"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert tuple(sc.statusTracker().getJobIdsForGroup("o1probe")) == ()
+    # hit-path status() still returns the row's status code (1 Spark job)
+    assert c.status("http://httpbingo.org/html")["status"] == 200
+
+
+def test_probe_falls_back_when_shards_cold(spark, tmpdir_path):
+    # anti-join configuration (exact_shards=False): key store never syncs,
+    # probes must still answer correctly via the Spark path
+    c = make_crawler(spark, tmpdir_path, exact_shards=False)
+    url = "http://httpbingo.org/cold"
+    c.seed([url])
+    c.run()
+    assert c._seen_keys.snapshot_id is None
+    assert c.cached(url)
+    assert not c.cached("http://httpbingo.org/absent")
+    assert c.status(url)["status"] == 200
+
+
 def test_robots_gating(spark, tmpdir_path):
     robots = None
 

@@ -131,3 +131,63 @@ def test_surt_key_domain_contiguity(spark):
         "test,alpha,www",
         "test,beta,www",
     ]
+
+
+def test_local_hash_twins_match_spark(spark):
+    """Pin JVM parity of the driver-side hash twins (functions/localhash.py)
+    that back the O(1) probe path: xxhash64 chaining over strings and
+    Murmur3 hashLong, across every tail length 0..40, unicode, and null
+    chaining."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.localhash import (
+        murmur3_hash_long,
+        request_key_local,
+        shard_of_key,
+        xxhash64_cols,
+    )
+    from sinew_spark.functions.urls import request_key_expr
+
+    rng = random.Random(7)
+    cases = ["".join(rng.choice(string.printable) for _ in range(n)) for n in range(41)]
+    cases += [
+        "".join(rng.choice("abcdefé中\U0001F600|/:?=&") for _ in range(rng.randrange(100)))
+        for _ in range(40)
+    ]
+    rows = [(c, "GET", c[::-1] or None) for c in cases] + [("x", None, "y")]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = df.select(
+        F.xxhash64("a", "b", "c").alias("x"),
+        F.hash(F.xxhash64("a", "b", "c")).alias("h"),
+    ).collect()
+    for (a, b, c), r in zip(rows, got):
+        assert xxhash64_cols(a, b, c) == r.x
+        assert murmur3_hash_long(xxhash64_cols(a, b, c)) == r.h
+
+    # request_key_local == request_key_expr on real request identities
+    reqs = [
+        ("GET", "http://example.com/a?x=1", ""),
+        ("post", "http://example.com/a", "a=1&b=2"),
+        ("GET", "http://example.com/café", None),
+    ]
+    rdf = spark.createDataFrame(reqs, "m string, u string, b string")
+    keys = [
+        r[0]
+        for r in rdf.select(
+            request_key_expr(F.col("m"), F.col("u"), F.col("b"))
+        ).collect()
+    ]
+    for (m, u, b), k in zip(reqs, keys):
+        assert request_key_local(m, u, b) == k
+        assert 0 <= shard_of_key(k, 64) < 64
+
+    # shard routing twin == pmod(hash(key), n)
+    kdf = spark.createDataFrame([(k,) for k in keys], "key long")
+    shards = [
+        r[0]
+        for r in kdf.select(F.pmod(F.hash(F.col("key")), F.lit(64))).collect()
+    ]
+    assert [shard_of_key(k, 64) for k in keys] == shards
