@@ -51,6 +51,33 @@ def _sqdist(q: Column, centroid: list[int]) -> Column:
     )
 
 
+def _make_argmin_udf(centroids: list[list[int]]):
+    """Arrow-batched assignment for the large-k path: centroids ship as a
+    broadcast numpy matrix in the UDF closure (k*d longs — KBs to MBs),
+    distances via the integer expansion ||x-c||² = x·x - 2 x·C^T + c·c so
+    the per-batch intermediate is the n×k distance matrix, never n×k×d.
+    All arithmetic is int64 — identical to the literal plan's BIGINT math
+    (both overflow-free for quantized unit-scale embeddings); np.argmin
+    takes the first minimum, matching the literal path's
+    lowest-centroid-index tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)  # (k, d)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("struct<cluster:int, dist:bigint>")
+    def argmin(q):
+        Q = np.array(q.tolist(), dtype=np.int64)  # (n, d)
+        d2 = (Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T) + c_sq[None, :]
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"), "dist": d2[np.arange(len(idx)), idx]}
+        )
+
+    return argmin
+
+
 def kmeans_fixedpoint(
     vectors: DataFrame,
     k: int = 4,
@@ -58,6 +85,7 @@ def kmeans_fixedpoint(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    max_literal_terms: int = 4096,
 ) -> DataFrame:
     """Cluster ``vectors`` into ``k`` groups with ``iters`` Lloyd
     rounds of exact integer k-means.
@@ -66,6 +94,22 @@ def kmeans_fixedpoint(
     quantized L2 distance to the assigned centroid. ``cluster`` is the
     0-based index of the centroid seeded by the (cluster+1)-th
     smallest id.
+
+    Assignment has two plans with identical integer results:
+
+    - small k*d (≤ ``max_literal_terms``): centroids baked into the plan
+      as literals — pure whole-stage-codegen projection, zero Python.
+    - large k*d: the literal expression tree is k*d terms and blows past
+      codegen's method-size limits (and plan-build time) around k in the
+      hundreds; assignment switches to one Arrow-batched pandas UDF
+      whose closure broadcasts the (k, d) int64 centroid matrix and
+      computes the n×k distance matrix per batch via the dot-product
+      expansion — still zero extra exchange per iteration (a broadcast
+      JOIN against a centroid table would re-shuffle all rows through a
+      groupBy(id) argmin every round).
+
+    Either way the per-iteration scale shape is unchanged: ONE
+    groupBy(cluster) shuffle carrying k aggregate rows to the driver.
     """
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
@@ -80,8 +124,14 @@ def kmeans_fixedpoint(
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
     centroids = [list(r.q) for r in seed_rows]
     dim = len(centroids[0])
+    use_udf = k * dim > max_literal_terms
 
     def assign(df: DataFrame) -> DataFrame:
+        if use_udf:
+            a = _make_argmin_udf(centroids)(F.col("q"))
+            return df.select(
+                "id", "q", a["cluster"].alias("cluster"), a["dist"].alias("dist")
+            )
         dists = F.array(*[_sqdist(F.col("q"), c) for c in centroids])
         return df.select(
             "id",

@@ -87,3 +87,34 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_fixedpoint(df, k=0)
     with pytest.raises(ValueError):
         kmeans_fixedpoint(df, k=5, iters=1)
+
+
+def test_kmeans_udf_path_bit_identical_to_literal_plan(spark):
+    # force the Arrow argmin path (max_literal_terms=1) on the same data
+    # the literal plan handles: every (id, cluster, dist) must match bit
+    # for bit across all iterations' interacting assignments
+    vecs = _blob_data(n=45, dim=5, seed=21)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    lit = sorted(
+        (r.id, r.cluster, r.dist)
+        for r in kmeans_fixedpoint(df.repartition(4), k=4, iters=3).collect()
+    )
+    udf = sorted(
+        (r.id, r.cluster, r.dist)
+        for r in kmeans_fixedpoint(
+            df.repartition(9), k=4, iters=3, max_literal_terms=1
+        ).collect()
+    )
+    assert lit == udf
+
+
+def test_kmeans_large_k_smoke(spark):
+    # k=256, d=32 -> k*d = 8192 > default threshold: auto-selects the
+    # Arrow path; the literal plan at this size would blow codegen limits
+    rng = random.Random(33)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = kmeans_fixedpoint(df, k=256, iters=2).collect()
+    assert len(out) == 300
+    assert len({r.cluster for r in out}) > 64
+    assert all(0 <= r.cluster < 256 and r.dist >= 0 for r in out)
