@@ -409,15 +409,49 @@ class Crawler:
         ):
             selected = selected.repartition(par * 2)
 
-        # C11: seed each host's cookie jar from the persisted host_state
-        # (latest round wins). Broadcast join — host_state is O(hosts).
+        # C11: seed each host's cookie jar from the persisted host_state.
+        # RFC 6265 domain cookies cross sibling subdomains, so the seeding
+        # key is the registrable SITE (cookies.site_key): per-host latest
+        # rows of one site merge into a single scoped jar (applyInPandas
+        # over the SMALL state table only — O(hosts with cookies) rows,
+        # never the frontier), which broadcast-joins onto the frontier by
+        # site. The frontier side stays pure codegen (site_key_expr);
+        # per-request host/path/expiry scoping happens inside the fetch
+        # UDF (cookies_for), so a sibling's host-only cookies ride along
+        # but are never sent and never re-persisted (own_records).
         if self.host_state_t.current_snapshot() is not None:
+            from sinew_spark.functions.cookies import site_key_expr
+
             hs = self.host_state_t.read()
-            latest = (
+            per_host = (
                 hs.groupBy("host")
-                .agg(F.max_by("cookies", "round").alias("host_cookies"))
+                .agg(
+                    F.max_by("cookies", "round").alias("cookies"),
+                    F.max("round").alias("r"),
+                )
+                .withColumn("site", site_key_expr(F.col("host")))
             )
-            selected = selected.join(F.broadcast(latest), "host", "left_outer")
+
+            def _merge_site(pdf):
+                import pandas as _pd
+
+                from sinew_spark.functions.cookies import merge_host_jars
+
+                js = merge_host_jars(
+                    list(zip(pdf["r"], pdf["host"], pdf["cookies"]))
+                )
+                return _pd.DataFrame(
+                    {"site": [pdf["site"].iloc[0]], "host_cookies": [js]}
+                )
+
+            merged = per_host.groupBy("site").applyInPandas(
+                _merge_site, "site string, host_cookies string"
+            )
+            selected = (
+                selected.withColumn("site", site_key_expr(F.col("host")))
+                .join(F.broadcast(merged), "site", "left_outer")
+                .drop("site")
+            )
 
         # 5. fetch + parse, FUSED into one UDF pass (one Arrow crossing; the
         # body never re-enters Python just to be parsed). The whole
@@ -569,10 +603,24 @@ class Crawler:
         # rides the existing 1-row stats aggregate, so cookie-oblivious
         # fetchers (null jar column) skip the agg+append job entirely.
         if bool(st.any_cookies or 0):
+            # per-RECORD merge of the host's row jars (not whole-jar
+            # max_by): rows of one host can land on different partitions
+            # within a round, each seeing only its own sets/deletes — the
+            # record-level (modification-stamp) merge keeps all of them,
+            # and tombstones let a delete beat an untouched stale copy.
+            def _merge_host(pdf):
+                import pandas as _pd
+
+                from sinew_spark.functions.cookies import merge_host_jars
+
+                js = merge_host_jars(list(zip(pdf["seq"], pdf["host"], pdf["cookies"])))
+                return _pd.DataFrame({"host": [pdf["host"].iloc[0]], "cookies": [js]})
+
             jar_updates = (
                 fetched.where(F.col("cookies").isNotNull())
+                .select("host", "seq", "cookies")
                 .groupBy("host")
-                .agg(F.max_by("cookies", "seq").alias("cookies"))
+                .applyInPandas(_merge_host, "host string, cookies string")
                 .withColumn("round", F.lit(rnd))
             )
             self.host_state_t.append(jar_updates, {"round": rnd})

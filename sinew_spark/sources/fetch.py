@@ -72,8 +72,14 @@ class Fetcher:
     def resolve_with_cookies(
         self, url: str, method: str, body: str, attempt: int, cookies: dict
     ) -> tuple:
-        """Cookie-jar-aware transport (C11 — the reference's faraday
-        cookie_jar, base.rb:204). Default: cookie-oblivious delegation.
+        """Cookie-aware transport (C11 — the reference's faraday
+        cookie_jar, base.rb:204). ``cookies`` is the flat name→value view
+        the ENGINE computed for this request (RFC 6265 scoping lives in
+        functions/cookies.py, not in transports); the returned
+        ``cookies_after`` is the transport's post-request view — new or
+        changed names are Set-Cookies (dict values carry
+        domain/path/max_age attributes), missing sent names are
+        deletions. Default: cookie-oblivious delegation.
         -> (status, content_type, body, redirect_to, cookies_after)."""
         return (*self.resolve(url, method, body, attempt), cookies)
 
@@ -118,17 +124,32 @@ class FixtureFetcher(Fetcher):
 
     def resolve_with_cookies(self, url, method, body, attempt, cookies):
         """httpbin-style cookie endpoints for C11 tests: /cookies/set?k=v
-        merges query params into the jar and redirects to /cookies, which
-        echoes the jar as JSON. Everything else is cookie-oblivious."""
+        adds cookies (attribute params __domain/__path/__max_age apply to
+        the cookies set in that request) and redirects to /cookies, which
+        echoes the request's applicable cookies as JSON; /cookies/del?name=k
+        drops k from the visible jar. Everything else is cookie-oblivious."""
         import json as _json
         from urllib.parse import parse_qsl, urlsplit
 
         parts = urlsplit(url)
         if parts.path == "/cookies/set":
+            q = dict(parse_qsl(parts.query, keep_blank_values=True))
+            attrs = {}
+            for a in ("domain", "path", "max_age"):
+                if f"__{a}" in q:
+                    attrs[a] = q.pop(f"__{a}")
+            if "max_age" in attrs:
+                attrs["max_age"] = float(attrs["max_age"])
             new = dict(cookies)
-            new.update(dict(parse_qsl(parts.query, keep_blank_values=True)))
+            for k, v in q.items():
+                new[k] = {"v": v, **attrs} if attrs else v
             loc = f"{parts.scheme}://{parts.netloc}/cookies"
             return (302, "text/html", "", loc, new)
+        if parts.path == "/cookies/del":
+            q = dict(parse_qsl(parts.query, keep_blank_values=True))
+            gone = set((q.get("name") or "").split(","))
+            new = {k: v for k, v in cookies.items() if k not in gone}
+            return (200, "application/json", _json.dumps({"cookies": new}, sort_keys=True), None, new)
         if parts.path == "/cookies":
             return (200, "application/json", _json.dumps({"cookies": cookies}, sort_keys=True), None, cookies)
         return (*self.resolve(url, method, body, attempt), cookies)
@@ -189,31 +210,47 @@ def _fetch_one(
     fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01, cookies=None
 ):
     """One request: retry loop around a redirect-following loop; the cookie
-    jar threads through hops and attempts (C11, base.rb:204-211).
+    jar threads through hops and attempts (C11, base.rb:204-211) with RFC
+    6265 scoping — each hop's Cookie view is recomputed for ITS host/path
+    (a cross-host redirect never leaks the origin's host-only cookies) and
+    the transport's response cookies fold back with domain/path/expiry
+    semantics (functions/cookies.py). ``cookies`` is a normalized scoped
+    jar ({(domain, path, name): record}); returns it updated.
     Returns (status, content_type, resp_body, final_url, n_attempts, hops,
-    error, cookies_after)."""
+    error, jar_after)."""
+    from urllib.parse import urljoin, urlsplit
+
+    from sinew_spark.functions.cookies import apply_response_cookies, cookies_for
+
     n_attempts = 0
     hops: list[str] = []
-    jar = dict(cookies or {})
+    jar = cookies if cookies is not None else {}
     status, ct, resp_body, final_url, error = None, None, None, url, None
+
+    def _do(cur, m, b, attempt):
+        parts = urlsplit(cur)
+        host = (parts.hostname or "").lower()
+        req_path = parts.path or "/"
+        now = time.time()
+        sent = cookies_for(jar, host, req_path, now)
+        status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
+            cur, m, b, attempt, sent
+        )
+        apply_response_cookies(jar, sent, after, host, req_path, now)
+        return status, ct, resp_body, redirect
+
     for attempt in range(retries + 1):
         n_attempts += 1
         cur, cur_method, cur_body = url, method, body
         hops = []
-        status, ct, resp_body, redirect, jar = fetcher.resolve_with_cookies(
-            cur, cur_method, cur_body, attempt, jar
-        )
+        status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt)
         hop_count = 0
         while redirect is not None and hop_count < MAX_REDIRECT_HOPS:
             hops.append(cur)
-            from urllib.parse import urljoin
-
             cur = urljoin(cur, redirect)
             cur_method, cur_body = "GET", ""  # 302 => GET, like faraday follow_redirects
             hop_count += 1
-            status, ct, resp_body, redirect, jar = fetcher.resolve_with_cookies(
-                cur, cur_method, cur_body, attempt, jar
-            )
+            status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt)
         final_url = cur
         if status is not None and (200 <= status < 500):
             error = None
@@ -262,8 +299,6 @@ def make_fetch_fn(
     proxies = proxies or []
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import json as _json
-
         if parse:
             from sinew_spark.functions.htmlparse import extract_spans_and_links
 
@@ -275,11 +310,17 @@ def make_fetch_fn(
             hd = pdf["host_delay"].iloc[0]
             if hd is not None and not pd.isna(hd):
                 effective = max(rate_limit, float(hd))
-        # C11: the host group's cookie jar, seeded from host_state (all rows
-        # of a group share a host, so the first row's value is the group's)
+        # C11: the host group's cookie jar, seeded from host_state via the
+        # site-merged seeding join (all rows of a group share a host, so
+        # the first row's value is the group's). The jar is the scoped RFC
+        # 6265 form; cookies_for/apply_response_cookies inside _fetch_one
+        # do the per-request scoping.
+        from sinew_spark.functions.cookies import dump_jar, normalize_jar, own_records
+
+        group_host = (pdf["host"].iloc[0] or "").lower() if len(pdf) else ""
         jar = {}
         if "host_cookies" in pdf.columns and len(pdf) and pdf["host_cookies"].iloc[0]:
-            jar = _json.loads(pdf["host_cookies"].iloc[0])
+            jar = normalize_jar(pdf["host_cookies"].iloc[0], group_host)
         out = {
             "status": [], "content_type": [], "resp_body": [], "final_url": [],
             "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
@@ -308,7 +349,7 @@ def make_fetch_fn(
             out["error"].append(error)
             out["fetched_at"].append(time.time())
             out["proxy"].append(proxy)
-            out["cookies"].append(_json.dumps(jar, sort_keys=True) if jar else None)
+            out["cookies"].append(dump_jar(own_records(jar, group_host)))
             if parse:
                 ok = status is not None and 200 <= status < 400 and body
                 if ok:
@@ -363,7 +404,7 @@ def make_fetch_arrow_fn(
         links_type = pa.list_(pa.string()) if parse else None
         hops_type = pa.list_(pa.string())
 
-        import json as _json
+        from sinew_spark.functions.cookies import dump_jar, normalize_jar, own_records
 
         for rb in it:
             d = rb.to_pydict()
@@ -380,7 +421,7 @@ def make_fetch_arrow_fn(
                 first = False
                 key, url, host = d["key"][i], d["url"][i], d["host"][i]
                 if host not in jars:
-                    jars[host] = _json.loads(host_cookies[i]) if host_cookies[i] else {}
+                    jars[host] = normalize_jar(host_cookies[i], host)
                 proxy = proxies[key % len(proxies)] if proxies else None
                 status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
                     fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
@@ -396,7 +437,7 @@ def make_fetch_arrow_fn(
                 err_c.append(error)
                 ts_c.append(time.time())
                 proxy_c.append(proxy)
-                cookies_c.append(_json.dumps(jar, sort_keys=True) if jar else None)
+                cookies_c.append(dump_jar(own_records(jar, host)))
                 if parse:
                     if status is not None and 200 <= status < 400 and body:
                         spans, links = extract_spans_and_links(

@@ -1,11 +1,13 @@
 """C11 cookie sessions: jar threads through redirects within a round and
 persists per host across rounds via the host_state table (the distributed
 generalization of the reference's process-wide faraday cookie_jar,
-/root/reference/lib/sinew/base.rb:204)."""
+/root/reference/lib/sinew/base.rb:204) — with RFC 6265 domain/path
+scoping and expiry (functions/cookies.py)."""
 
 import json
 
 from sinew_spark.crawl import Crawler, CrawlOptions
+from sinew_spark.functions.cookies import cookies_for, normalize_jar
 from sinew_spark.sources.fetch import FixtureFetcher
 
 
@@ -14,6 +16,11 @@ def _body(c, url):
     rows = df.where(df.canonical_url == url).collect()
     assert len(rows) == 1, rows
     return rows[0].resp_body
+
+
+def _visible(jar_json, host, path="/", now=0.0):
+    """name->value view a request to (host, path) would send."""
+    return cookies_for(normalize_jar(jar_json, host), host, path, now)
 
 
 def test_cookie_set_and_echo_same_round(spark, tmpdir_path):
@@ -26,10 +33,17 @@ def test_cookie_set_and_echo_same_round(spark, tmpdir_path):
     assert len(fetched) == 1
     echo = json.loads(fetched[0].resp_body)
     assert echo["cookies"] == {"tok": "abc"}
-    # jar recorded on the row and in host_state
-    assert json.loads(fetched[0].cookies) == {"tok": "abc"}
-    hs = {r.host: json.loads(r.cookies) for r in c.host_state_t.read().collect()}
-    assert hs == {"a.test": {"tok": "abc"}}
+    # jar recorded on the row and in host_state (scoped v2 records; the
+    # default path of a cookie set at /cookies/set is /cookies, RFC §5.1.4)
+    assert _visible(fetched[0].cookies, "a.test", "/cookies") == {"tok": "abc"}
+    assert _visible(fetched[0].cookies, "a.test", "/elsewhere") == {}
+    rec = json.loads(fetched[0].cookies)["c"][0]
+    assert (rec["n"], rec["v"], rec["d"], rec["ho"], rec["p"]) == (
+        "tok", "abc", "a.test", True, "/cookies",
+    )
+    hs = {r.host: r.cookies for r in c.host_state_t.read().collect()}
+    assert list(hs) == ["a.test"]
+    assert _visible(hs["a.test"], "a.test", "/cookies") == {"tok": "abc"}
 
 
 def test_cookie_persists_across_rounds(spark, tmpdir_path):
@@ -73,3 +87,134 @@ def test_cookie_paced_path(spark, tmpdir_path):
     c.run(1)
     echo = json.loads(_body(c, "http://p.test/cookies?probe=1"))
     assert echo["cookies"] == {"k": "v"}
+
+
+def test_domain_cookie_crosses_sibling_subdomains(spark, tmpdir_path):
+    """A Domain=shop-wide cookie set on www reaches a sibling subdomain
+    next round (the faraday cookie_jar behavior the flat per-host jar
+    missed); a host-only cookie set in the same request does not."""
+    f = FixtureFetcher(seed=6)
+    c = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c.seed(["http://www.shop.test/cookies/set?sid=w1&__domain=shop.test"])
+    c.run(1)
+    c.seed(["http://www.shop.test/cookies/set?local=only"])
+    c.run(1)
+    c2 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c2.seed(
+        ["http://api.shop.test/cookies?p=1", "http://www.shop.test/cookies?p=1"]
+    )
+    c2.run(1)
+    # sibling sees the domain cookie but NOT www's host-only cookie
+    assert json.loads(_body(c2, "http://api.shop.test/cookies?p=1"))["cookies"] == {
+        "sid": "w1"
+    }
+    # origin host sees both
+    assert json.loads(_body(c2, "http://www.shop.test/cookies?p=1"))["cookies"] == {
+        "sid": "w1",
+        "local": "only",
+    }
+
+
+def test_domain_cookie_rejected_for_foreign_domain(spark, tmpdir_path):
+    """Setting Domain=other.test from a.test is rejected (RFC 6265 §5.3)."""
+    f = FixtureFetcher(seed=7)
+    c = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c.seed(["http://a.test/cookies/set?evil=1&__domain=other.test"])
+    c.run(1)
+    c2 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c2.seed(["http://a.test/cookies?p=1"])
+    c2.run(1)
+    assert json.loads(_body(c2, "http://a.test/cookies?p=1"))["cookies"] == {}
+
+
+def test_path_scoping(spark, tmpdir_path):
+    """A Path=/cookies cookie is sent to /cookies but a Path=/other one
+    is not (RFC 6265 §5.1.4)."""
+    f = FixtureFetcher(seed=8)
+    c = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c.seed(
+        [
+            "http://p2.test/cookies/set?inpath=1&__path=/cookies",
+            "http://p2.test/cookies/set?outpath=1&__path=/other",
+        ]
+    )
+    c.run(1)
+    c2 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c2.seed(["http://p2.test/cookies?p=1"])
+    c2.run(1)
+    assert json.loads(_body(c2, "http://p2.test/cookies?p=1"))["cookies"] == {
+        "inpath": "1"
+    }
+
+
+def test_max_age_expiry_and_delete(spark, tmpdir_path):
+    """max_age=0 deletes immediately; a tiny max_age expires before the
+    next round's request; /cookies/del removes a visible cookie."""
+    f = FixtureFetcher(seed=9)
+    c = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c.seed(
+        [
+            "http://e.test/cookies/set?keep=1",
+            "http://e.test/cookies/set?brief=1&__max_age=0.05",
+        ]
+    )
+    c.run(1)
+    import time as _t
+
+    _t.sleep(0.2)
+    c2 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c2.seed(["http://e.test/cookies?p=1"])
+    c2.run(1)
+    assert json.loads(_body(c2, "http://e.test/cookies?p=1"))["cookies"] == {
+        "keep": "1"
+    }
+    c3 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c3.seed(["http://e.test/cookies/del?name=keep"])
+    c3.run(1)
+    c4 = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c4.seed(["http://e.test/cookies?p=2"])
+    c4.run(1)
+    assert json.loads(_body(c4, "http://e.test/cookies?p=2"))["cookies"] == {}
+
+
+def test_site_key_expr_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.cookies import site_key, site_key_expr
+
+    hosts = [
+        "www.example.com", "example.com", "a.b.example.com", "x.test",
+        "shop.example.co.uk", "example.co.uk", "192.168.0.1", "localhost",
+        "a.co.jp", "b.a.com.au", "deep.sub.domain.org",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = [r[0] for r in df.select(site_key_expr(F.col("host"))).collect()]
+    assert got == [site_key(h) for h in hosts]
+
+
+def test_record_merge_tombstone_beats_stale_copy():
+    """Pure-function pin of the cross-row merge rule: a delete observed on
+    one row (tombstone, higher modification stamp) beats an untouched
+    live copy carried by a later-ordered row; concurrent independent sets
+    union."""
+    import json as _j
+
+    from sinew_spark.functions.cookies import (
+        apply_response_cookies,
+        dump_jar,
+        merge_host_jars,
+        normalize_jar,
+    )
+
+    base = normalize_jar({"keep": "1", "tok": "x"}, "h.test")
+    # row A: delete 'keep' (transport dropped it from the response view)
+    a = {k: dict(v) for k, v in base.items()}
+    apply_response_cookies(a, {"keep": "1", "tok": "x"}, {"tok": "x"}, "h.test", "/", 0)
+    # row B: untouched copy, but later row order + a new cookie
+    b = {k: dict(v) for k, v in base.items()}
+    apply_response_cookies(b, {"keep": "1", "tok": "x"}, {"keep": "1", "tok": "x", "new": "n"}, "h.test", "/", 0)
+    merged = merge_host_jars([(0, "h.test", dump_jar(a)), (1, "h.test", dump_jar(b))])
+    recs = {r["n"]: r for r in _j.loads(merged)["c"]}
+    assert recs["keep"].get("tomb") is True  # delete survived
+    assert recs["new"]["v"] == "n"  # concurrent set survived
+    assert recs["tok"]["v"] == "x"
