@@ -1855,6 +1855,36 @@ def q_cookie_last(spark, sf_dir):
     )
 
 
+def q_cookie_scope(spark, sf_dir):
+    """C11 tier 2: registrable-site scoping for cross-subdomain cookie
+    visibility (functions/cookies.py site_key / site_key_expr — the key
+    the crawl loop's cookie-seeding broadcast join groups host_state
+    rows by). Hosts synthesized across every shape the rule
+    distinguishes: www/bare/deep subdomains, two-label eTLDs (co.uk),
+    IPv4, single-label. The oracle re-derives the key with DuckDB list
+    ops — pinning the Catalyst expression's semantics independently of
+    the Python twin (which tests pin separately)."""
+    from sinew_spark.functions.cookies import site_key_expr
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id") % 6
+    u = (F.col("user_id") % 10).cast("string")
+    host = (
+        F.when(k == 0, F.concat(F.lit("www.ex"), u, F.lit(".com")))
+        .when(k == 1, F.concat(F.lit("ex"), u, F.lit(".com")))
+        .when(k == 2, F.concat(F.lit("a.b.ex"), u, F.lit(".com")))
+        .when(k == 3, F.concat(F.lit("shop.ex"), u, F.lit(".co.uk")))
+        .when(k == 4, F.concat(F.lit("10.0."), u, F.lit(".1")))
+        .otherwise(F.lit("localhost"))
+    )
+    return (
+        e.select(host.alias("host"))
+        .distinct()
+        .select("host", site_key_expr(F.col("host")).alias("site"))
+        .orderBy("host")
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     """Relational: TPC-H-Q3-shaped selective 3-way join + agg + top-k
     revenue (filters pushed to all three scans; top-k via
@@ -2352,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emit_seq": q_emit_seq,
         "frontier_setops": q_frontier_setops,
         "cookie_last": q_cookie_last,
+        "cookie_scope": q_cookie_scope,
         "shipping_priority": q_shipping_priority,
         "multimodal_framesample": q_multimodal_framesample,
         "multimodal_audio_meta": q_multimodal_audio_meta,
@@ -2384,6 +2415,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "pipeline_end_to_end": q_pipeline_end_to_end,
     }
+
+
+def _cookie_scope_sql() -> str:
+    """DuckDB re-derivation of cookies.site_key over the same synthetic
+    host shapes as q_cookie_scope (list ops; 1-based inclusive slicing)."""
+    from sinew_spark.functions.cookies import COMMON_ETLD2
+
+    etlds = ", ".join(f"'{e}'" for e in sorted(COMMON_ETLD2))
+    return (
+        "WITH h AS (SELECT DISTINCT CASE CAST(event_id % 6 AS INT) "
+        "WHEN 0 THEN 'www.ex' || CAST(user_id % 10 AS VARCHAR) || '.com' "
+        "WHEN 1 THEN 'ex' || CAST(user_id % 10 AS VARCHAR) || '.com' "
+        "WHEN 2 THEN 'a.b.ex' || CAST(user_id % 10 AS VARCHAR) || '.com' "
+        "WHEN 3 THEN 'shop.ex' || CAST(user_id % 10 AS VARCHAR) || '.co.uk' "
+        "WHEN 4 THEN '10.0.' || CAST(user_id % 10 AS VARCHAR) || '.1' "
+        "ELSE 'localhost' END AS host FROM events), "
+        "s AS (SELECT host, string_split(host, '.') AS l FROM h) "
+        "SELECT host, CASE "
+        "WHEN len(l) < 3 OR regexp_matches(host, '^[0-9.]+$') THEN host "
+        f"WHEN array_to_string(l[len(l)-1:], '.') IN ({etlds}) "
+        "THEN array_to_string(l[len(l)-2:], '.') "
+        "ELSE array_to_string(l[len(l)-1:], '.') END AS site "
+        "FROM s ORDER BY host"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3242,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY host ORDER BY ts DESC, event_id DESC) AS rn FROM h) "
             "SELECT host, cookie FROM r WHERE rn = 1 ORDER BY host"
         ),
+        "cookie_scope": _cookie_scope_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
             "o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "

@@ -47,11 +47,17 @@ def get_spark(cpus: int):
     )
 
 
-def crawl_benchmark(spark, n_urls: int) -> dict:
+def crawl_benchmark(spark, n_urls: int, with_cookies: bool = False) -> dict:
     """Frontier throughput: URLs fetched+deduped+parsed+committed per second
     on the synthetic seed crawl (BASELINE.json metric). Includes the full
     round pipeline: canonicalize, key, round-dedup, seen filter, per-host
-    cap, per-host fetch groups, span parse, snapshot commits."""
+    cap, per-host fetch groups, span parse, snapshot commits.
+
+    ``with_cookies=True`` proves the cookie machinery stays off the
+    round-loop critical path: an untimed priming round sets a cookie on
+    every host (so the timed round pays the site-merged seeding join),
+    and 10% of the timed round's URLs hit /cookies/set (jar threading +
+    the distributed host_state append inside the timed window)."""
     from sinew_spark.crawl import Crawler, CrawlOptions
     from sinew_spark.datagen import gen_frontier_seeds
     from sinew_spark.operators.frontier import prepare_frontier
@@ -69,6 +75,32 @@ def crawl_benchmark(spark, n_urls: int) -> dict:
         fetcher = FixtureFetcher(seed=42, synthetic=True, synthetic_links=6, synthetic_hosts=1000)
         c = Crawler(spark, workdir, fetcher, opts)
         seeds = gen_frontier_seeds(spark, n_urls, n_hosts=1000, hot_frac=0.2, dup_frac=0.2)
+        if with_cookies:
+            from pyspark.sql import functions as F
+
+            prime = seeds.where(F.col("seq") < 1000).withColumn(
+                "url",
+                F.concat(
+                    F.regexp_extract("url", r"^(https?://[^/]+)", 1),
+                    F.lit("/cookies/setnr?warm="),
+                    F.col("seq").cast("string"),
+                ),
+            )
+            c.frontier_t.overwrite(
+                prepare_frontier(prime, c.canonicalize), {"op": "seed"}
+            )
+            c.run_round()  # untimed: populates host_state for every host
+            seeds = seeds.withColumn(
+                "url",
+                F.when(
+                    F.col("seq") % 10 == 0,
+                    F.concat(
+                        F.regexp_extract("url", r"^(https?://[^/]+)", 1),
+                        F.lit("/cookies/setnr?s="),
+                        F.col("seq").cast("string"),
+                    ),
+                ).otherwise(F.col("url")),
+            )
         prepared = prepare_frontier(seeds, c.canonicalize)
         # seeding (synthetic datagen + canonicalize + frontier load) is input
         # synthesis, not crawl work — excluded from the timed window like a
@@ -284,6 +316,10 @@ def main():
     # same work as before.
     crawl_benchmark(spark, max(CRAWL_N // 10, 1000))
     crawl = crawl_benchmark(spark, CRAWL_N)
+    # cookies-ON control: same round with jars flowing (site-merged
+    # seeding join + 10% /cookies/set + distributed host_state append) —
+    # proves cookie state costs ~nothing on the round loop
+    crawl_ck = crawl_benchmark(spark, CRAWL_N, with_cookies=True)
     dedup = dedup_benchmark(spark, CRAWL_N, CRAWL_N // 5)
     queries = headline_queries(spark)
     total = round(sum(queries.values()) + crawl["crawl_sec"] + dedup["dedup_sec"], 3)
@@ -295,6 +331,8 @@ def main():
         "queries": {**queries, "crawl_100k": crawl["crawl_sec"], "dedup_round": dedup["dedup_sec"]},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **crawl,
+        "crawl_cookies_sec": crawl_ck["crawl_sec"],
+        "frontier_urls_per_sec_cookies": crawl_ck["frontier_urls_per_sec"],
         **dedup,
         "cpus": CPUS,
     }
@@ -317,6 +355,7 @@ def main():
         "queries_truncated": True,
         "sf": result["sf"],
         "frontier_urls_per_sec": crawl["frontier_urls_per_sec"],
+        "frontier_urls_per_sec_cookies": crawl_ck["frontier_urls_per_sec"],
         "dedup_urls_per_sec": dedup["dedup_urls_per_sec"],
         "cpus": CPUS,
     }

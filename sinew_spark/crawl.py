@@ -622,6 +622,9 @@ class Crawler:
                 .groupBy("host")
                 .applyInPandas(_merge_host, "host string, cookies string")
                 .withColumn("round", F.lit(rnd))
+                # O(hosts-that-set-cookies) rows — one output file, not
+                # one per shuffle partition
+                .coalesce(1)
             )
             self.host_state_t.append(jar_updates, {"round": rnd})
         mark("host_state")

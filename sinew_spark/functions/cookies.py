@@ -178,17 +178,18 @@ def set_cookie(
     host: str,
     req_path: str = "/",
     now: float = 0.0,
-) -> None:
+) -> bool:
     """Apply one response cookie to the jar in place (RFC 6265 §5.3).
     ``value`` is a plain string (host-only, default path, session) or a
     dict {v, domain?, path?, max_age?} carrying attributes. An invalid
     Domain attribute (not a suffix of the request host, or a public-ish
-    suffix) rejects the cookie; max_age <= 0 deletes it."""
+    suffix) rejects the cookie; max_age <= 0 deletes it. Returns True iff
+    the jar was modified (False on rejection)."""
     attrs = value if isinstance(value, dict) else {"v": value}
     dom = (attrs.get("domain") or "").lstrip(".").lower()
     if dom:
         if not domain_match(host, dom) or ("." not in dom and dom != host.lower()):
-            return  # rejected cookie
+            return False  # rejected cookie
         rec_d, ho = dom, False
     else:
         rec_d, ho = host.lower(), True
@@ -200,7 +201,7 @@ def set_cookie(
     ma = attrs.get("max_age")
     if ma is not None and float(ma) <= 0:
         _tombstone(jar, key, rec_d, rec_p, name, ho, mt)
-        return
+        return True
     at = prev["at"] if prev and not prev.get("tomb") else mt
     jar[key] = {
         "n": name,
@@ -212,6 +213,7 @@ def set_cookie(
         "at": at,
         "mt": mt,
     }
+    return True
 
 
 def _next_stamp(jar: dict[tuple, dict]) -> int:
@@ -237,15 +239,20 @@ def apply_response_cookies(
     host: str,
     req_path: str,
     now: float,
-) -> None:
+) -> bool:
     """Fold a transport's post-request cookie view back into the scoped
     jar. The transport speaks flat dicts: a NEW or CHANGED name (or a
     dict-valued entry carrying attributes) is a Set-Cookie; a name that
     was sent but is absent from ``after`` is a deletion of the records
-    that supplied it."""
+    that supplied it. Returns True iff the jar changed — rows that only
+    READ cookies must not re-persist the jar (a crawl where every page of
+    a cookie-bearing host re-emitted its full jar would push O(fetched
+    rows) jar JSONs through the host_state merge instead of O(Set-Cookie
+    responses))."""
+    changed = False
     for n, v in (after or {}).items():
         if isinstance(v, dict) or n not in sent or sent[n] != v:
-            set_cookie(jar, n, v, host, req_path, now)
+            changed |= set_cookie(jar, n, v, host, req_path, now)
     gone = set(sent) - set(after or {})
     if gone:
         for key in [
@@ -261,6 +268,8 @@ def apply_response_cookies(
                 jar, key, rec["d"], rec["p"], rec["n"], rec.get("ho", False),
                 _next_stamp(jar),
             )
+            changed = True
+    return changed
 
 
 def own_records(jar: dict[tuple, dict], host: str) -> dict[tuple, dict]:

@@ -132,6 +132,13 @@ class FixtureFetcher(Fetcher):
         from urllib.parse import parse_qsl, urlsplit
 
         parts = urlsplit(url)
+        if parts.path == "/cookies/setnr":
+            # set without redirecting (302-free cookie traffic — lets the
+            # bench isolate jar cost from redirect-commit cost)
+            q = dict(parse_qsl(parts.query, keep_blank_values=True))
+            new = dict(cookies)
+            new.update(q)
+            return (200, "application/json", _json.dumps({"cookies": new}, sort_keys=True), None, new)
         if parts.path == "/cookies/set":
             q = dict(parse_qsl(parts.query, keep_blank_values=True))
             attrs = {}
@@ -217,7 +224,8 @@ def _fetch_one(
     semantics (functions/cookies.py). ``cookies`` is a normalized scoped
     jar ({(domain, path, name): record}); returns it updated.
     Returns (status, content_type, resp_body, final_url, n_attempts, hops,
-    error, jar_after)."""
+    error, jar_after, jar_changed) — jar_changed marks rows that actually
+    set/deleted cookies, the only rows that re-persist the jar."""
     from urllib.parse import urljoin, urlsplit
 
     from sinew_spark.functions.cookies import apply_response_cookies, cookies_for
@@ -225,9 +233,11 @@ def _fetch_one(
     n_attempts = 0
     hops: list[str] = []
     jar = cookies if cookies is not None else {}
+    jar_changed = False
     status, ct, resp_body, final_url, error = None, None, None, url, None
 
     def _do(cur, m, b, attempt):
+        nonlocal jar_changed
         parts = urlsplit(cur)
         host = (parts.hostname or "").lower()
         req_path = parts.path or "/"
@@ -236,7 +246,7 @@ def _fetch_one(
         status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
             cur, m, b, attempt, sent
         )
-        apply_response_cookies(jar, sent, after, host, req_path, now)
+        jar_changed |= apply_response_cookies(jar, sent, after, host, req_path, now)
         return status, ct, resp_body, redirect
 
     for attempt in range(retries + 1):
@@ -259,7 +269,7 @@ def _fetch_one(
         if attempt < retries:
             # backoff capped at rate_limit (reference base.rb:233)
             time.sleep(min(rate_limit, backoff_base * (2**attempt)))
-    return status, ct, resp_body, final_url, n_attempts, hops, error, jar
+    return status, ct, resp_body, final_url, n_attempts, hops, error, jar, jar_changed
 
 
 FETCH_PARSED_SCHEMA = T.StructType(
@@ -336,7 +346,7 @@ def make_fetch_fn(
             first = False
             # deterministic proxy rotation (replayable, unlike reference's rand)
             proxy = proxies[row.key % len(proxies)] if proxies else None
-            status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
+            status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
                 fetcher, row.url, row.method or "GET", row.body or "", retries, effective,
                 cookies=jar,
             )
@@ -349,7 +359,9 @@ def make_fetch_fn(
             out["error"].append(error)
             out["fetched_at"].append(time.time())
             out["proxy"].append(proxy)
-            out["cookies"].append(dump_jar(own_records(jar, group_host)))
+            out["cookies"].append(
+                dump_jar(own_records(jar, group_host)) if jar_chg else None
+            )
             if parse:
                 ok = status is not None and 200 <= status < 400 and body
                 if ok:
@@ -423,7 +435,7 @@ def make_fetch_arrow_fn(
                 if host not in jars:
                     jars[host] = normalize_jar(host_cookies[i], host)
                 proxy = proxies[key % len(proxies)] if proxies else None
-                status, ct, body, final_url, n_att, hops, error, jar = _fetch_one(
+                status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
                     fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
                     cookies=jars[host],
                 )
@@ -437,7 +449,9 @@ def make_fetch_arrow_fn(
                 err_c.append(error)
                 ts_c.append(time.time())
                 proxy_c.append(proxy)
-                cookies_c.append(dump_jar(own_records(jar, host)))
+                cookies_c.append(
+                    dump_jar(own_records(jar, host)) if jar_chg else None
+                )
                 if parse:
                     if status is not None and 200 <= status < 400 and body:
                         spans, links = extract_spans_and_links(
