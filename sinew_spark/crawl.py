@@ -422,30 +422,27 @@ class Crawler:
         if self.host_state_t.current_snapshot() is not None:
             from sinew_spark.functions.cookies import site_key_expr
 
-            hs = self.host_state_t.read()
-            per_host = (
-                hs.groupBy("host")
-                .agg(
-                    F.max_by("cookies", "round").alias("cookies"),
-                    F.max("round").alias("r"),
-                )
-                .withColumn("site", site_key_expr(F.col("host")))
-            )
-
+            # single groupBy(site) stage: the per-record (modification
+            # stamp) merge already supersedes a host's older rows, so no
+            # separate per-host max_by pass is needed
             def _merge_site(pdf):
                 import pandas as _pd
 
                 from sinew_spark.functions.cookies import merge_host_jars
 
                 js = merge_host_jars(
-                    list(zip(pdf["r"], pdf["host"], pdf["cookies"]))
+                    list(zip(pdf["round"], pdf["host"], pdf["cookies"]))
                 )
                 return _pd.DataFrame(
                     {"site": [pdf["site"].iloc[0]], "host_cookies": [js]}
                 )
 
-            merged = per_host.groupBy("site").applyInPandas(
-                _merge_site, "site string, host_cookies string"
+            merged = (
+                self.host_state_t.read()
+                .withColumn("site", site_key_expr(F.col("host")))
+                .select("site", "round", "host", "cookies")
+                .groupBy("site")
+                .applyInPandas(_merge_site, "site string, host_cookies string")
             )
             selected = (
                 selected.withColumn("site", site_key_expr(F.col("host")))
@@ -602,6 +599,7 @@ class Crawler:
         # driver hop the rest of the loop eliminated). Cookie presence
         # rides the existing 1-row stats aggregate, so cookie-oblivious
         # fetchers (null jar column) skip the agg+append job entirely.
+        cookie_thread = None
         if bool(st.any_cookies or 0):
             # per-RECORD merge of the host's row jars (not whole-jar
             # max_by): rows of one host can land on different partitions
@@ -622,11 +620,27 @@ class Crawler:
                 .groupBy("host")
                 .applyInPandas(_merge_host, "host string, cookies string")
                 .withColumn("round", F.lit(rnd))
-                # O(hosts-that-set-cookies) rows — one output file, not
-                # one per shuffle partition
-                .coalesce(1)
+                # O(hosts-that-set-cookies) rows — one output file. A
+                # repartition (shuffle barrier), NOT coalesce: coalesce(1)
+                # would pull the whole merge UDF into a single task
+                .repartition(1)
             )
-            self.host_state_t.append(jar_updates, {"round": rnd})
+            # overlap the small append job with the round's tail stages
+            # (links/frontier) — independent tables, immutable plans;
+            # joined BEFORE the metrics commit so the round-done marker
+            # still implies durable cookie state (resume invariant)
+            import threading
+
+            cookie_err: list[BaseException] = []
+
+            def _append_jars():
+                try:
+                    self.host_state_t.append(jar_updates, {"round": rnd})
+                except BaseException as exc:  # re-raised at join
+                    cookie_err.append(exc)
+
+            cookie_thread = threading.Thread(target=_append_jars, daemon=True)
+            cookie_thread.start()
         mark("host_state")
 
         # 7. documents = pure VIEW over the fused commit. Spans were already
@@ -725,6 +739,10 @@ class Crawler:
             "duration_sec": dur,
             "ts": time.time(),
         }
+        if cookie_thread is not None:
+            cookie_thread.join()
+            if cookie_err:
+                raise cookie_err[0]
         # driver-side parquet append — a metrics row is not worth a Spark job
         self.metrics_t.append_rows(
             [tuple(stats.values())], {"round": rnd}
