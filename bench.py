@@ -277,9 +277,18 @@ def main():
     if "--scaling" in sys.argv:
         n = SCALING_N
         results = {}
-        for cpus in (2, 8, 32):
-            best = None
-            for _rep in range(2):  # best-of-2: JVM/page-cache variance
+        # INTERLEAVED best-of-2: run the full 2/8/32 cycle twice rather
+        # than two back-to-back runs per level. Host-window quality (VM
+        # steal, page cache) drifts over the ~25-minute sweep; grouping a
+        # level's runs together lets one level land entirely in a quiet
+        # window and another in a stolen one, which corrupts the
+        # efficiency RATIO even when every individual number is accurate
+        # (observed: a steal-1.1 2-core window vs steal-17 8-core windows
+        # read as 0.77 "efficiency" when same-window interleaved runs
+        # measure 0.96). Interleaving keeps the legs temporally adjacent;
+        # per-run steal is still recorded for reading the residual.
+        for _rep in range(int(os.environ.get("SINEW_SCALING_REPS", "2"))):
+            for cpus in (2, 8, 32):
                 p = subprocess.run(
                     [sys.executable, __file__, "--crawl-only", str(n), "--cpus", str(cpus)],
                     capture_output=True,
@@ -288,9 +297,9 @@ def main():
                 )
                 line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
+                best = results.get(cpus)
                 if best is None or r["frontier_urls_per_sec"] > best["frontier_urls_per_sec"]:
-                    best = r
-            results[cpus] = best
+                    results[cpus] = r
         control = _parse_scaling_control(n)
         report = {
             "crawl_urls": n,
