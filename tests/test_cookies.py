@@ -218,3 +218,52 @@ def test_record_merge_tombstone_beats_stale_copy():
     assert recs["keep"].get("tomb") is True  # delete survived
     assert recs["new"]["v"] == "n"  # concurrent set survived
     assert recs["tok"]["v"] == "x"
+
+
+def test_cookie_header_ordering_rfc_5_4():
+    """Longer path first; same name resolved to the most specific path."""
+    from sinew_spark.functions.cookies import cookies_for, set_cookie
+
+    jar = {}
+    set_cookie(jar, "x", {"v": "root", "path": "/"}, "h.test", "/", 0)
+    set_cookie(jar, "x", {"v": "deep", "path": "/a/b"}, "h.test", "/", 0)
+    set_cookie(jar, "y", "only", "h.test", "/", 0)
+    assert cookies_for(jar, "h.test", "/a/b/c", 0) == {"x": "deep", "y": "only"}
+    assert cookies_for(jar, "h.test", "/", 0) == {"x": "root", "y": "only"}
+
+
+def test_domain_and_path_match_edges():
+    from sinew_spark.functions.cookies import (
+        default_path,
+        domain_match,
+        path_match,
+    )
+
+    assert domain_match("a.b.com", "b.com")
+    assert domain_match("b.com", "b.com")
+    assert not domain_match("ab.com", "b.com")  # no label boundary
+    assert not domain_match("b.com", "a.b.com")  # parent never matches child
+    assert path_match("/a/b", "/a")
+    assert path_match("/a/", "/a/")
+    assert not path_match("/ab", "/a")  # no segment boundary
+    assert default_path("/a/b/c") == "/a/b"
+    assert default_path("/a") == "/"
+    assert default_path("") == "/"
+
+
+def test_set_cookie_rejection_and_expiry_rules():
+    from sinew_spark.functions.cookies import cookies_for, set_cookie
+
+    jar = {}
+    # foreign domain rejected, returns False
+    assert set_cookie(jar, "e", {"v": "1", "domain": "other.test"}, "a.test", "/", 0) is False
+    assert jar == {}
+    # bare-TLD domain rejected (public-suffix guard)
+    assert set_cookie(jar, "e", {"v": "1", "domain": "test"}, "a.test", "/", 0) is False
+    # max_age expiry honored against the supplied clock
+    assert set_cookie(jar, "t", {"v": "1", "max_age": 10}, "a.test", "/", 100.0) is True
+    assert cookies_for(jar, "a.test", "/", 105.0) == {"t": "1"}
+    assert cookies_for(jar, "a.test", "/", 110.0) == {}
+    # re-set after expiry revives it
+    assert set_cookie(jar, "t", "2", "a.test", "/", 120.0) is True
+    assert cookies_for(jar, "a.test", "/", 121.0) == {"t": "2"}
