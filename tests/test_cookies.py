@@ -267,3 +267,50 @@ def test_set_cookie_rejection_and_expiry_rules():
     # re-set after expiry revives it
     assert set_cookie(jar, "t", "2", "a.test", "/", 120.0) is True
     assert cookies_for(jar, "a.test", "/", 121.0) == {"t": "2"}
+
+
+def test_merge_host_jars_permutation_invariant():
+    """The per-record merge sorts rows internally, so host_state row
+    arrival order never changes the merged jar (replay determinism)."""
+    import itertools
+
+    from sinew_spark.functions.cookies import dump_jar, merge_host_jars, set_cookie
+
+    jars = []
+    for i, host in enumerate(["a.x.test", "b.x.test", "c.x.test"]):
+        j = {}
+        set_cookie(j, "s", {"v": f"v{i}", "domain": "x.test"}, host, "/", 0)
+        set_cookie(j, f"h{i}", "local", host, "/", 0)
+        jars.append((i, host, dump_jar(j)))
+    expect = merge_host_jars(jars)
+    for perm in itertools.permutations(jars):
+        assert merge_host_jars(list(perm)) == expect
+
+
+def test_cookie_seeding_join_is_broadcast(spark, tmpdir_path):
+    """The site-merged host_state seeding join must broadcast the state
+    side — the frontier never shuffles to pick up cookies."""
+    f = FixtureFetcher(seed=11)
+    c = Crawler(spark, tmpdir_path, f, CrawlOptions(rate_limit=0, retries=0))
+    c.seed(["http://w.plan.test/cookies/set?k=v"])
+    c.run(1)
+    # reconstruct the seeding join the round loop builds
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.cookies import site_key_expr
+
+    frontier = c.frontier_t.read()
+    merged = (
+        c.host_state_t.read()
+        .withColumn("site", site_key_expr(F.col("host")))
+        .select("site", "round", "host", "cookies")
+        .groupBy("site")
+        .agg(F.max_by("cookies", "round").alias("host_cookies"))
+    )
+    joined = (
+        frontier.withColumn("site", site_key_expr(F.col("host")))
+        .join(F.broadcast(merged), "site", "left_outer")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
