@@ -283,6 +283,54 @@ def own_records(jar: dict[tuple, dict], host: str) -> dict[tuple, dict]:
     }
 
 
+def parse_set_cookie_header(value: str, now: float | None = None) -> tuple[str, dict] | None:
+    """Parse one Set-Cookie response header into the transport contract's
+    (name, {v, domain?, path?, max_age?}) form. Max-Age wins over Expires
+    (RFC 6265 §4.1.2.2); an Expires date converts to a relative max_age
+    against ``now`` so the jar's single expiry representation applies.
+    Returns None for malformed headers (no NAME=VALUE first pair)."""
+    parts = value.split(";")
+    if "=" not in parts[0]:
+        return None
+    name, v = parts[0].split("=", 1)
+    name = name.strip()
+    if not name:
+        return None
+    out: dict = {"v": v.strip().strip('"')}
+    expires_raw = None
+    for p in parts[1:]:
+        p = p.strip()
+        k, _, pv = p.partition("=")
+        k, pv = k.strip().lower(), pv.strip()
+        if k == "domain" and pv:
+            out["domain"] = pv
+        elif k == "path" and pv:
+            out["path"] = pv
+        elif k == "max-age" and pv:
+            try:
+                out["max_age"] = float(pv)
+            except ValueError:
+                pass
+        elif k == "expires" and pv:
+            expires_raw = pv
+    if "max_age" not in out and expires_raw is not None and now is not None:
+        try:
+            from email.utils import parsedate_to_datetime
+
+            dt = parsedate_to_datetime(expires_raw)
+            out["max_age"] = dt.timestamp() - now
+        except (TypeError, ValueError):
+            pass
+    return name, out
+
+
+def cookie_header(cookies: dict) -> str:
+    """Serialize the flat applicable-cookie view into a Cookie request
+    header (pairs in the dict's order — cookies_for already applied the
+    §5.4 ordering)."""
+    return "; ".join(f"{n}={v}" for n, v in cookies.items())
+
+
 def merge_host_jars(rows: list[tuple[int, str, str]]) -> str | None:
     """Merge jar rows (same host across partitions/rounds, or sibling
     hosts of one site) into one jar. ``rows`` are (order, host, jar_json).

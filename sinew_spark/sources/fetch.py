@@ -179,11 +179,40 @@ class HttpFetcher(Fetcher):
         self.insecure = insecure
 
     def resolve(self, url, method, body, attempt):
+        status, ct, text, redirect, _set = self._request(url, method, body, None)
+        return (status, ct, text, redirect)
+
+    def resolve_with_cookies(self, url, method, body, attempt, cookies):
+        """Real-network cookie support: the engine's applicable view goes
+        out as a Cookie header; Set-Cookie response headers come back as
+        attribute-carrying dict entries per the transport contract (the
+        engine's RFC 6265 jar does the scoping/expiry)."""
+        import time as _t
+
+        from sinew_spark.functions.cookies import (
+            cookie_header,
+            parse_set_cookie_header,
+        )
+
+        hdr = cookie_header(cookies) if cookies else None
+        status, ct, text, redirect, set_cookies = self._request(url, method, body, hdr)
+        after = dict(cookies)
+        now = _t.time()
+        for sc in set_cookies:
+            parsed = parse_set_cookie_header(sc, now=now)
+            if parsed is not None:
+                after[parsed[0]] = parsed[1]
+        return (status, ct, text, redirect, after)
+
+    def _request(self, url, method, body, cookie_hdr):
         import urllib.error
         import urllib.request
 
+        headers = dict(self.headers)
+        if cookie_hdr:
+            headers["Cookie"] = cookie_hdr
         req = urllib.request.Request(
-            url, data=body.encode() if body else None, method=method, headers=self.headers
+            url, data=body.encode() if body else None, method=method, headers=headers
         )
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -204,13 +233,14 @@ class HttpFetcher(Fetcher):
                 ct = resp.headers.get("Content-Type", "")
                 charset = resp.headers.get_content_charset() or "utf-8"
                 text = resp.read().decode(charset, errors="replace").replace("�", "?")
-                return (resp.status, ct, text, None)
+                return (resp.status, ct, text, None, resp.headers.get_all("Set-Cookie") or [])
         except urllib.error.HTTPError as e:
+            set_c = e.headers.get_all("Set-Cookie") or [] if e.headers else []
             if e.code in (301, 302, 303, 307, 308):
-                return (e.code, "", "", e.headers.get("Location"))
-            return (e.code, "", "", None)
+                return (e.code, "", "", e.headers.get("Location"), set_c)
+            return (e.code, "", "", None, set_c)
         except Exception as e:  # timeout, conn refused, ...
-            return (-1, "", str(e), None)
+            return (-1, "", str(e), None, [])
 
 
 def _fetch_one(

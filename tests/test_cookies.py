@@ -314,3 +314,51 @@ def test_cookie_seeding_join_is_broadcast(spark, tmpdir_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_parse_set_cookie_header():
+    from sinew_spark.functions.cookies import cookie_header, parse_set_cookie_header
+
+    n, a = parse_set_cookie_header("sid=abc; Domain=.example.com; Path=/a; Max-Age=60")
+    assert n == "sid" and a == {"v": "abc", "domain": ".example.com", "path": "/a", "max_age": 60.0}
+    n, a = parse_set_cookie_header('q="quoted value"; HttpOnly; Secure')
+    assert n == "q" and a["v"] == "quoted value"
+    # Expires converts to relative max_age against the supplied clock
+    n, a = parse_set_cookie_header(
+        "t=1; Expires=Thu, 01 Jan 1970 00:01:40 GMT", now=40.0
+    )
+    assert a["max_age"] == 60.0
+    # Max-Age wins over Expires
+    n, a = parse_set_cookie_header(
+        "t=1; Max-Age=5; Expires=Thu, 01 Jan 1970 00:01:40 GMT", now=0.0
+    )
+    assert a["max_age"] == 5.0
+    assert parse_set_cookie_header("malformed-no-equals") is None
+    assert parse_set_cookie_header("=bare") is None
+    assert cookie_header({"a": "1", "b": "2"}) == "a=1; b=2"
+
+
+def test_http_fetcher_cookie_round_trip_no_network():
+    """HttpFetcher's cookie plumbing without sockets: stub _request and
+    assert the Cookie header goes out and Set-Cookie folds back with
+    attributes through the transport contract."""
+    from sinew_spark.sources.fetch import HttpFetcher
+
+    seen = {}
+
+    class Stub(HttpFetcher):
+        def _request(self, url, method, body, cookie_hdr):
+            seen["cookie_hdr"] = cookie_hdr
+            return (200, "text/html", "ok", None,
+                    ["fresh=1; Domain=ex.test; Max-Age=60", "bad"])
+
+    f = Stub()
+    status, ct, text, redirect, after = f.resolve_with_cookies(
+        "http://www.ex.test/p", "GET", "", 0, {"old": "x"}
+    )
+    assert status == 200 and seen["cookie_hdr"] == "old=x"
+    assert after["old"] == "x"
+    assert after["fresh"]["v"] == "1" and after["fresh"]["domain"] == "ex.test"
+    # plain resolve() stays cookie-free
+    assert f.resolve("http://www.ex.test/p", "GET", "", 0)[0] == 200
+    assert seen["cookie_hdr"] is None
