@@ -600,6 +600,7 @@ class Crawler:
         # rides the existing 1-row stats aggregate, so cookie-oblivious
         # fetchers (null jar column) skip the agg+append job entirely.
         cookie_thread = None
+        cookie_err: list[BaseException] = []
         if bool(st.any_cookies or 0):
             # per-RECORD merge of the host's row jars (not whole-jar
             # max_by): rows of one host can land on different partitions
@@ -631,8 +632,6 @@ class Crawler:
             # still implies durable cookie state (resume invariant)
             import threading
 
-            cookie_err: list[BaseException] = []
-
             def _append_jars():
                 try:
                     self.host_state_t.append(jar_updates, {"round": rnd})
@@ -642,86 +641,97 @@ class Crawler:
             cookie_thread = threading.Thread(target=_append_jars, daemon=True)
             cookie_thread.start()
         mark("host_state")
+        try:
+            # 7. documents = pure VIEW over the fused commit. Spans were already
+            # written once (step 6); re-encoding them into a second parquet
+            # table costed ~20s/round at 32 cores for zero information. The view
+            # projects lazily; parquet column pruning means document readers
+            # never touch bodies.
+            mark("docs_view")
 
-        # 7. documents = pure VIEW over the fused commit. Spans were already
-        # written once (step 6); re-encoding them into a second parquet
-        # table costed ~20s/round at 32 cores for zero information. The view
-        # projects lazily; parquet column pruning means document readers
-        # never touch bodies.
-        mark("docs_view")
+            # 8. next frontier: leftover (capped-out) + discovered links.
+            # Everything that can never be fetched must leave the frontier or the
+            # loop never drains: seen keys (any round), robots-blocked, over-depth.
+            leftover = frontier
+            n_new_links = 0
+            if self.opts.follow_links:
+                parsed = self.documents_t.read_delta(snap)
+                links = parsed.select(
+                    F.col("seq").alias("parent_seq"),
+                    F.col("depth").alias("parent_depth"),
+                    F.posexplode("links").alias("link_idx", "url"),
+                )
+                # deterministic seq: parent slot + in-document order
+                links = links.select(
+                    F.col("url"),
+                    F.lit("GET").alias("method"),
+                    F.lit("").alias("body"),
+                    (F.col("parent_depth") + 1).cast("double").alias("priority"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    (F.col("parent_seq") * LINK_STRIDE + F.col("link_idx") + 1).alias("seq"),
+                    F.lit(0).alias("attempt"),
+                )
+                new_frontier_rows = prepare_frontier(links, self.canonicalize)
+                if self.opts.trap_max_urls is not None:
+                    # crawl-trap guard (operators/traps.py): template-explosion /
+                    # depth / cycle detection over THIS round's discovered links,
+                    # flagged templates pruned by broadcast anti-join before they
+                    # ever enter the frontier. Per-round detection is the
+                    # practical guard — explosions show up within one round's
+                    # fan-out (a calendar mints hundreds of same-template links
+                    # per page batch); anything slower leaks at most one round.
+                    from sinew_spark.operators.traps import (
+                        detect_crawl_traps,
+                        prune_traps,
+                    )
 
-        # 8. next frontier: leftover (capped-out) + discovered links.
-        # Everything that can never be fetched must leave the frontier or the
-        # loop never drains: seen keys (any round), robots-blocked, over-depth.
-        leftover = frontier
-        n_new_links = 0
-        if self.opts.follow_links:
-            parsed = self.documents_t.read_delta(snap)
-            links = parsed.select(
-                F.col("seq").alias("parent_seq"),
-                F.col("depth").alias("parent_depth"),
-                F.posexplode("links").alias("link_idx", "url"),
-            )
-            # deterministic seq: parent slot + in-document order
-            links = links.select(
-                F.col("url"),
-                F.lit("GET").alias("method"),
-                F.lit("").alias("body"),
-                (F.col("parent_depth") + 1).cast("double").alias("priority"),
-                (F.col("parent_depth") + 1).alias("depth"),
-                (F.col("parent_seq") * LINK_STRIDE + F.col("link_idx") + 1).alias("seq"),
-                F.lit(0).alias("attempt"),
-            )
-            new_frontier_rows = prepare_frontier(links, self.canonicalize)
-            if self.opts.trap_max_urls is not None:
-                # crawl-trap guard (operators/traps.py): template-explosion /
-                # depth / cycle detection over THIS round's discovered links,
-                # flagged templates pruned by broadcast anti-join before they
-                # ever enter the frontier. Per-round detection is the
-                # practical guard — explosions show up within one round's
-                # fan-out (a calendar mints hundreds of same-template links
-                # per page batch); anything slower leaks at most one round.
-                from sinew_spark.operators.traps import (
-                    detect_crawl_traps,
-                    prune_traps,
-                )
-
-                traps = detect_crawl_traps(
-                    new_frontier_rows,
-                    url_col="canonical_url",
-                    max_urls_per_template=self.opts.trap_max_urls,
-                    max_depth=self.opts.trap_max_depth,
-                    max_repeated_segments=self.opts.trap_max_repeats,
-                )
-                new_frontier_rows = prune_traps(
-                    new_frontier_rows, traps, url_col="canonical_url"
-                )
-            n_new_links = new_frontier_rows.count()
-            next_frontier = leftover.unionByName(new_frontier_rows)
-        else:
-            next_frontier = leftover
-        # drop already-seen rows (incl. this round's commits) — PLAIN key
-        # semantics here even in TTL/force modes: a key fetched this run is
-        # out of the frontier, and the next round's start re-applies the
-        # semantic filter to whatever re-enters. The shard path absorbs the
-        # fresh delta into its shards (the sync the next round would do
-        # anyway) and probes shard-local — the per-round O(seen) shuffle
-        # this join used to cost is gone. Semantic runs keep only the
-        # valued store in sync (it answers the plain probe too).
-        store = self._seen_vals if semantic else self._seen_keys
-        if use_shards:
-            store.sync(self.seen_t)
-        if use_shards and store.in_sync_with(self.seen_t):
-            next_frontier = store.reject_seen(next_frontier)
-        else:
-            seen_after = self.seen_t.read()
-            next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
-        if self.opts.max_depth is not None:
-            next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
-        if self.robots is not None:
-            next_frontier = apply_robots(next_frontier, self.robots)
-        self.frontier_t.overwrite(dedup_within_round(next_frontier), {"round": rnd})
-        mark("next_frontier")
+                    traps = detect_crawl_traps(
+                        new_frontier_rows,
+                        url_col="canonical_url",
+                        max_urls_per_template=self.opts.trap_max_urls,
+                        max_depth=self.opts.trap_max_depth,
+                        max_repeated_segments=self.opts.trap_max_repeats,
+                    )
+                    new_frontier_rows = prune_traps(
+                        new_frontier_rows, traps, url_col="canonical_url"
+                    )
+                n_new_links = new_frontier_rows.count()
+                next_frontier = leftover.unionByName(new_frontier_rows)
+            else:
+                next_frontier = leftover
+            # drop already-seen rows (incl. this round's commits) — PLAIN key
+            # semantics here even in TTL/force modes: a key fetched this run is
+            # out of the frontier, and the next round's start re-applies the
+            # semantic filter to whatever re-enters. The shard path absorbs the
+            # fresh delta into its shards (the sync the next round would do
+            # anyway) and probes shard-local — the per-round O(seen) shuffle
+            # this join used to cost is gone. Semantic runs keep only the
+            # valued store in sync (it answers the plain probe too).
+            store = self._seen_vals if semantic else self._seen_keys
+            if use_shards:
+                store.sync(self.seen_t)
+            if use_shards and store.in_sync_with(self.seen_t):
+                next_frontier = store.reject_seen(next_frontier)
+            else:
+                seen_after = self.seen_t.read()
+                next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
+            if self.opts.max_depth is not None:
+                next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
+            if self.robots is not None:
+                next_frontier = apply_robots(next_frontier, self.robots)
+            self.frontier_t.overwrite(dedup_within_round(next_frontier), {"round": rnd})
+            mark("next_frontier")
+        finally:
+            # join the host_state append before ANY exit from the tail
+            # stages (ADVICE r3): an exception in links/frontier must not
+            # leave the append racing a retried run_round -- the manifest
+            # read-modify-write in SnapshotTable._new_snapshot is not
+            # synchronized across threads, so a second concurrent append
+            # could silently drop one host_state snapshot.
+            if cookie_thread is not None:
+                cookie_thread.join()
+        if cookie_err:
+            raise cookie_err[0]
         if profile:
             prev = t0
             for label, tm in marks:
@@ -739,10 +749,6 @@ class Crawler:
             "duration_sec": dur,
             "ts": time.time(),
         }
-        if cookie_thread is not None:
-            cookie_thread.join()
-            if cookie_err:
-                raise cookie_err[0]
         # driver-side parquet append — a metrics row is not worth a Spark job
         self.metrics_t.append_rows(
             [tuple(stats.values())], {"round": rnd}

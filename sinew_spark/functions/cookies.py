@@ -143,11 +143,15 @@ def dump_jar(jar: dict[tuple, dict]) -> str | None:
     )
 
 
-def cookies_for(jar: dict[tuple, dict], host: str, req_path: str, now: float) -> dict:
+def cookies_for(
+    jar: dict[tuple, dict], host: str, req_path: str, now: float, secure: bool = True
+) -> dict:
     """The Cookie header view for one request (RFC 6265 §5.4): applicable,
     unexpired cookies, longest path first then creation order, first
-    occurrence of a name wins. Returns a flat name→value dict (what the
-    transport sends)."""
+    occurrence of a name wins. ``secure`` is whether the request channel
+    is https — Secure-flagged records are withheld otherwise (§5.4 step 1;
+    replaying a Secure session cookie over plain http is a credential
+    leak). Returns a flat name→value dict (what the transport sends)."""
     if not jar:
         return {}
     cands = []
@@ -155,6 +159,8 @@ def cookies_for(jar: dict[tuple, dict], host: str, req_path: str, now: float) ->
         if rec.get("tomb"):
             continue
         if rec.get("exp") is not None and rec["exp"] <= now:
+            continue
+        if rec.get("sec") and not secure:
             continue
         if rec.get("ho"):
             if host.lower() != rec["d"].lower():
@@ -181,14 +187,21 @@ def set_cookie(
 ) -> bool:
     """Apply one response cookie to the jar in place (RFC 6265 §5.3).
     ``value`` is a plain string (host-only, default path, session) or a
-    dict {v, domain?, path?, max_age?} carrying attributes. An invalid
-    Domain attribute (not a suffix of the request host, or a public-ish
-    suffix) rejects the cookie; max_age <= 0 deletes it. Returns True iff
-    the jar was modified (False on rejection)."""
+    dict {v, domain?, path?, max_age?, secure?} carrying attributes. An
+    invalid Domain attribute (not a suffix of the request host, or a
+    public suffix — single-label like ``com`` AND the dotted eTLDs in
+    COMMON_ETLD2, so ``Domain=co.uk`` from shop.example.co.uk is rejected
+    like RFC 6265 §5.3 step 5 / the reference's http-cookie jar, not
+    stored as a supercookie) rejects the cookie; max_age <= 0 deletes it.
+    Returns True iff the jar was modified (False on rejection)."""
     attrs = value if isinstance(value, dict) else {"v": value}
     dom = (attrs.get("domain") or "").lstrip(".").lower()
     if dom:
-        if not domain_match(host, dom) or ("." not in dom and dom != host.lower()):
+        if (
+            not domain_match(host, dom)
+            or ("." not in dom and dom != host.lower())
+            or dom in COMMON_ETLD2
+        ):
             return False  # rejected cookie
         rec_d, ho = dom, False
     else:
@@ -213,6 +226,8 @@ def set_cookie(
         "at": at,
         "mt": mt,
     }
+    if attrs.get("secure"):
+        jar[key]["sec"] = True
     return True
 
 
@@ -285,10 +300,12 @@ def own_records(jar: dict[tuple, dict], host: str) -> dict[tuple, dict]:
 
 def parse_set_cookie_header(value: str, now: float | None = None) -> tuple[str, dict] | None:
     """Parse one Set-Cookie response header into the transport contract's
-    (name, {v, domain?, path?, max_age?}) form. Max-Age wins over Expires
-    (RFC 6265 §4.1.2.2); an Expires date converts to a relative max_age
-    against ``now`` so the jar's single expiry representation applies.
-    Returns None for malformed headers (no NAME=VALUE first pair)."""
+    (name, {v, domain?, path?, max_age?, secure?}) form. Max-Age wins over
+    Expires (RFC 6265 §4.1.2.2); an Expires date converts to a relative
+    max_age against ``now`` so the jar's single expiry representation
+    applies. The Secure flag is kept so the jar can withhold the cookie
+    from non-https requests. Returns None for malformed headers (no
+    NAME=VALUE first pair)."""
     parts = value.split(";")
     if "=" not in parts[0]:
         return None
@@ -313,6 +330,8 @@ def parse_set_cookie_header(value: str, now: float | None = None) -> tuple[str, 
                 pass
         elif k == "expires" and pv:
             expires_raw = pv
+        elif k == "secure":
+            out["secure"] = True
     if "max_age" not in out and expires_raw is not None and now is not None:
         try:
             from email.utils import parsedate_to_datetime

@@ -224,10 +224,33 @@ def _delta_chain(seen_t, from_id: int, cur: int) -> "list[dict] | None":
     "newer ids" would silently keep them (exactly-once violation — seen
     filter drops frontier URLs that were never fetched on this branch).
 
-    Walks the manifest's Iceberg-style ``parent`` pointers; legacy
-    snapshots without one (pre-parent manifests, necessarily a linear
-    chain) fall back to largest-smaller-id order."""
+    Walks the manifest's Iceberg-style ``parent`` pointers. Legacy
+    snapshots without one (pre-parent manifests) fall back to
+    largest-smaller-id order — but ``rollback_to`` predates parent
+    pointers (ADVICE r3), so a legacy manifest can contain an abandoned
+    branch that largest-smaller-id "reaches" (rollback + re-append walks
+    onto snapshots whose keys the table no longer holds → phantom keys in
+    the exact seen shards, the exactly-once violation this walk exists to
+    prevent). The fallback is therefore gated on structural evidence of
+    linear lineage: it is only taken in an ALL-parentless manifest with
+    ``current == max(ids)``, and each fallback step from ``s`` down to its
+    presumed predecessor ``prev`` must satisfy the append-chain invariant
+    ``dirs(prev) ⊆ dirs(s)`` (cumulative data dirs only grow along
+    append/edelete lineage; a legacy rollback+re-append breaks it because
+    the abandoned append's dir is missing from the re-appended snapshot).
+    Ops that legitimately reset dirs (overwrite/compact) can't be
+    validated — unknown provenance. Any unvalidated walk returns None and
+    the store rebuilds, which is always safe."""
     snaps = {s["id"]: s for s in seen_t.snapshots()}
+    # mixed provenance (parented snapshots stacked on a legacy prefix) or
+    # a parked rollback (current behind the id high-water mark) make the
+    # parentless fallback untrustworthy; compute once up front
+    all_parentless = snaps and all("parent" not in s for s in snaps.values())
+    legacy_linear_ok = bool(
+        all_parentless
+        and cur == max(snaps)
+        and seen_t.current_snapshot() == max(snaps)
+    )
     chain: list[dict] = []
     sid = cur
     while sid is not None and sid != from_id:
@@ -237,9 +260,17 @@ def _delta_chain(seen_t, from_id: int, cur: int) -> "list[dict] | None":
         chain.append(s)
         if "parent" in s:
             sid = s["parent"]
-        else:
+        elif legacy_linear_ok:
             older = [i for i in snaps if i < sid]
             sid = max(older) if older else None
+            if sid is not None:
+                if s.get("op") not in ("append", "edelete"):
+                    return None  # dirs reset: lineage unverifiable
+                prev_dirs = set(snaps[sid].get("dirs", []))
+                if not prev_dirs <= set(s.get("dirs", [])):
+                    return None  # abandoned-branch evidence -> rebuild
+        else:
+            return None  # unknown provenance -> force rebuild
     if sid != from_id:
         return None
     chain.reverse()

@@ -70,7 +70,8 @@ class Fetcher:
         raise NotImplementedError
 
     def resolve_with_cookies(
-        self, url: str, method: str, body: str, attempt: int, cookies: dict
+        self, url: str, method: str, body: str, attempt: int, cookies: dict,
+        proxy: str | None = None,
     ) -> tuple:
         """Cookie-aware transport (C11 — the reference's faraday
         cookie_jar, base.rb:204). ``cookies`` is the flat name→value view
@@ -79,7 +80,10 @@ class Fetcher:
         ``cookies_after`` is the transport's post-request view — new or
         changed names are Set-Cookies (dict values carry
         domain/path/max_age attributes), missing sent names are
-        deletions. Default: cookie-oblivious delegation.
+        deletions. ``proxy`` is the rotation-selected proxy URL for this
+        request (C10, reference base.rb:178-184) — network transports
+        MUST route through it; fixture transports may ignore it. Default:
+        cookie-oblivious delegation.
         -> (status, content_type, body, redirect_to, cookies_after)."""
         return (*self.resolve(url, method, body, attempt), cookies)
 
@@ -122,7 +126,7 @@ class FixtureFetcher(Fetcher):
             )
         return self._web.resolve(url, method, body)
 
-    def resolve_with_cookies(self, url, method, body, attempt, cookies):
+    def resolve_with_cookies(self, url, method, body, attempt, cookies, proxy=None):
         """httpbin-style cookie endpoints for C11 tests: /cookies/set?k=v
         adds cookies (attribute params __domain/__path/__max_age apply to
         the cookies set in that request) and redirects to /cookies, which
@@ -182,11 +186,12 @@ class HttpFetcher(Fetcher):
         status, ct, text, redirect, _set = self._request(url, method, body, None)
         return (status, ct, text, redirect)
 
-    def resolve_with_cookies(self, url, method, body, attempt, cookies):
+    def resolve_with_cookies(self, url, method, body, attempt, cookies, proxy=None):
         """Real-network cookie support: the engine's applicable view goes
         out as a Cookie header; Set-Cookie response headers come back as
         attribute-carrying dict entries per the transport contract (the
-        engine's RFC 6265 jar does the scoping/expiry)."""
+        engine's RFC 6265 jar does the scoping/expiry). The rotation-
+        selected ``proxy`` routes the request (C10, base.rb:178-184)."""
         import time as _t
 
         from sinew_spark.functions.cookies import (
@@ -195,7 +200,9 @@ class HttpFetcher(Fetcher):
         )
 
         hdr = cookie_header(cookies) if cookies else None
-        status, ct, text, redirect, set_cookies = self._request(url, method, body, hdr)
+        status, ct, text, redirect, set_cookies = self._request(
+            url, method, body, hdr, proxy=proxy
+        )
         after = dict(cookies)
         now = _t.time()
         for sc in set_cookies:
@@ -204,13 +211,40 @@ class HttpFetcher(Fetcher):
                 after[parsed[0]] = parsed[1]
         return (status, ct, text, redirect, after)
 
-    def _request(self, url, method, body, cookie_hdr):
+    @staticmethod
+    def _decode_body(raw: bytes, headers) -> bytes:
+        """Undo Content-Encoding (gzip/deflate) like the reference's
+        faraday-encoding middleware (base.rb:2, Gemfile). Tolerant:
+        a body that fails to decompress passes through unchanged."""
+        enc = (headers.get("Content-Encoding") or "").lower().strip()
+        try:
+            if enc == "gzip" or enc == "x-gzip":
+                import gzip as _gz
+
+                return _gz.decompress(raw)
+            if enc == "deflate":
+                import zlib as _z
+
+                try:
+                    return _z.decompress(raw)  # zlib-wrapped (RFC 2616 sense)
+                except _z.error:
+                    return _z.decompress(raw, -_z.MAX_WBITS)  # raw deflate
+        except Exception:
+            return raw
+        return raw
+
+    def _request(self, url, method, body, cookie_hdr, proxy=None):
         import urllib.error
         import urllib.request
 
         headers = dict(self.headers)
         if cookie_hdr:
             headers["Cookie"] = cookie_hdr
+        # negotiate compression unless the caller pinned their own value
+        # (faraday-encoding parity — the reference stack decompresses
+        # transparently; identity-only costs full transfer bytes)
+        if not any(h.lower() == "accept-encoding" for h in headers):
+            headers["Accept-Encoding"] = "gzip, deflate"
         req = urllib.request.Request(
             url, data=body.encode() if body else None, method=method, headers=headers
         )
@@ -220,6 +254,13 @@ class HttpFetcher(Fetcher):
                 return None
 
         handlers = [_NoRedirect]
+        if proxy:
+            # C10: actually route through the rotation-selected proxy
+            # (reference base.rb:178-184 — "proxy: one or more proxies";
+            # before round 4 the pick was recorded but never applied).
+            handlers.append(
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+            )
         if self.insecure:
             import ssl
 
@@ -232,7 +273,8 @@ class HttpFetcher(Fetcher):
             with opener.open(req, timeout=self.timeout) as resp:
                 ct = resp.headers.get("Content-Type", "")
                 charset = resp.headers.get_content_charset() or "utf-8"
-                text = resp.read().decode(charset, errors="replace").replace("�", "?")
+                raw = self._decode_body(resp.read(), resp.headers)
+                text = raw.decode(charset, errors="replace").replace("�", "?")
                 return (resp.status, ct, text, None, resp.headers.get_all("Set-Cookie") or [])
         except urllib.error.HTTPError as e:
             set_c = e.headers.get_all("Set-Cookie") or [] if e.headers else []
@@ -244,21 +286,42 @@ class HttpFetcher(Fetcher):
 
 
 def _fetch_one(
-    fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01, cookies=None
+    fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01,
+    cookies=None, proxy=None,
 ):
     """One request: retry loop around a redirect-following loop; the cookie
     jar threads through hops and attempts (C11, base.rb:204-211) with RFC
     6265 scoping — each hop's Cookie view is recomputed for ITS host/path
-    (a cross-host redirect never leaks the origin's host-only cookies) and
-    the transport's response cookies fold back with domain/path/expiry
-    semantics (functions/cookies.py). ``cookies`` is a normalized scoped
-    jar ({(domain, path, name): record}); returns it updated.
+    (a cross-host redirect never leaks the origin's host-only cookies;
+    Secure cookies are withheld from non-https hops) and the transport's
+    response cookies fold back with domain/path/expiry semantics
+    (functions/cookies.py). ``cookies`` is a normalized scoped jar
+    ({(domain, path, name): record}); returns it updated. ``proxy`` is the
+    rotation-selected proxy for this request — threaded to transports that
+    accept it (C10; fixture transports may not).
     Returns (status, content_type, resp_body, final_url, n_attempts, hops,
     error, jar_after, jar_changed) — jar_changed marks rows that actually
     set/deleted cookies, the only rows that re-persist the jar."""
     from urllib.parse import urljoin, urlsplit
 
     from sinew_spark.functions.cookies import apply_response_cookies, cookies_for
+
+    # does this transport accept the proxy kwarg? (cached on the instance —
+    # user-supplied Fetcher subclasses may predate the C10 contract)
+    takes_proxy = getattr(fetcher, "_takes_proxy", None)
+    if takes_proxy is None:
+        import inspect
+
+        try:
+            takes_proxy = (
+                "proxy" in inspect.signature(fetcher.resolve_with_cookies).parameters
+            )
+        except (TypeError, ValueError):
+            takes_proxy = False
+        try:
+            fetcher._takes_proxy = takes_proxy
+        except Exception:
+            pass
 
     n_attempts = 0
     hops: list[str] = []
@@ -272,10 +335,17 @@ def _fetch_one(
         host = (parts.hostname or "").lower()
         req_path = parts.path or "/"
         now = time.time()
-        sent = cookies_for(jar, host, req_path, now)
-        status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
-            cur, m, b, attempt, sent
+        sent = cookies_for(
+            jar, host, req_path, now, secure=(parts.scheme or "").lower() == "https"
         )
+        if takes_proxy:
+            status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
+                cur, m, b, attempt, sent, proxy=proxy
+            )
+        else:
+            status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
+                cur, m, b, attempt, sent
+            )
         jar_changed |= apply_response_cookies(jar, sent, after, host, req_path, now)
         return status, ct, resp_body, redirect
 
@@ -378,7 +448,7 @@ def make_fetch_fn(
             proxy = proxies[row.key % len(proxies)] if proxies else None
             status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
                 fetcher, row.url, row.method or "GET", row.body or "", retries, effective,
-                cookies=jar,
+                cookies=jar, proxy=proxy,
             )
             out["status"].append(status)
             out["content_type"].append(ct)
@@ -467,7 +537,7 @@ def make_fetch_arrow_fn(
                 proxy = proxies[key % len(proxies)] if proxies else None
                 status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
                     fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
-                    cookies=jars[host],
+                    cookies=jars[host], proxy=proxy,
                 )
                 jars[host] = jar
                 status_c.append(status)

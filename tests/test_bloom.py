@@ -716,3 +716,73 @@ def test_seen_vals_rollback_rebuilds(spark, tmp_path):
     frontier = spark.range(0, 600).select(F.col("id").alias("key"))
     survivors = sorted(r.key for r in store.reject_seen(frontier).collect())
     assert survivors == list(range(300, 600))
+
+
+def _strip_parents(t):
+    """Simulate a pre-upgrade manifest: rollback_to predates parent
+    pointers, so legacy manifests carry none (ADVICE r3 scenario)."""
+    import json
+
+    with open(t._manifest_path) as f:
+        m = json.load(f)
+    for s in m["snapshots"]:
+        s.pop("parent", None)
+    t._commit(m)
+
+
+def test_legacy_manifest_linear_still_incremental(spark, tmp_path):
+    """A genuinely linear pre-parent manifest keeps the O(delta) path:
+    _delta_chain validates the fallback steps structurally (dirs only
+    grow along append lineage) and returns the chain."""
+    from sinew_spark.operators.bloom import _delta_chain
+
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    last = t.append(spark.range(200, 300).select(F.col("id").alias("key")))
+    _strip_parents(t)
+    chain = _delta_chain(t, first, last)
+    assert chain is not None and [s["id"] for s in chain] == [first + 1, last]
+
+
+def test_legacy_manifest_rollback_reappend_forces_rebuild(spark, tmp_path):
+    """The ADVICE r3 hole: a LEGACY manifest containing rollback +
+    re-append has current == max(ids), so id order alone 'reaches' a
+    from_id on the abandoned branch and would absorb incrementally,
+    keeping phantom rolled-back keys in the exact shards. The dirs
+    superset check must detect the abandoned branch; the store rebuilds
+    and rolled-back keys survive reject_seen."""
+    from sinew_spark.operators.bloom import SeenKeyShardStore, _delta_chain
+
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 500).select(F.col("id").alias("key")))
+    abandoned = t.append(spark.range(500, 1000).select(F.col("id").alias("key")))
+    store = SeenKeyShardStore(str(tmp_path / "ks"), n_shards=4)
+    store.sync(t)  # records snapshot_id == abandoned
+    t.rollback_to(first)
+    t.append(spark.range(2000, 2500).select(F.col("id").alias("key")))
+    _strip_parents(t)
+
+    assert _delta_chain(t, abandoned, t.current_snapshot()) is None
+    store.sync(t)
+    assert store.in_sync_with(t)
+    frontier = spark.range(0, 2500).select(F.col("id").alias("key"))
+    survivors = sorted(r.key for r in store.reject_seen(frontier).collect())
+    assert survivors == list(range(500, 2000))  # abandoned keys un-seen
+
+
+def test_mixed_manifest_parentless_step_forces_rebuild(spark, tmp_path):
+    """Parented snapshots stacked on a legacy prefix: the walk must stop
+    trusting the manifest the moment it reaches a parentless snapshot it
+    cannot validate (mixed provenance can hide a legacy-era rollback)."""
+    from sinew_spark.operators.bloom import _delta_chain
+
+    t = _key_table(spark, tmp_path)
+    first = t.append(spark.range(0, 100).select(F.col("id").alias("key")))
+    mid = t.append(spark.range(100, 200).select(F.col("id").alias("key")))
+    _strip_parents(t)  # legacy prefix
+    last = t.append(spark.range(200, 300).select(F.col("id").alias("key")))  # parented
+    # walk from last to first crosses the parentless mid -> unknown provenance
+    assert _delta_chain(t, first, last) is None
+    # but a walk that stays inside the parented suffix still works
+    assert [s["id"] for s in _delta_chain(t, mid, last)] == [last]

@@ -472,3 +472,36 @@ def test_semantic_shards_path_equals_anti_join_path(spark, tmpdir_path):
     assert a == b
     n_err, n_fresh, n_stale, _ = a
     assert (n_err, n_fresh, n_stale) == (15, 0, 40)  # 15 urls land on h0-h2
+
+
+def test_host_state_append_joined_on_tail_failure(spark, tmpdir_path):
+    """ADVICE r3: if a tail stage (links/next-frontier) raises, the
+    background host_state append must be JOINED before run_round exits —
+    otherwise a retried round races a live append through SnapshotTable's
+    unsynchronized manifest read-modify-write and can drop a snapshot."""
+    import threading
+
+    c = make_crawler(spark, tmpdir_path)
+    c.seed(["http://httpbingo.org/cookies/setnr?tok=abc"])
+
+    before = {t.ident for t in threading.enumerate()}
+    boom = RuntimeError("injected tail failure")
+    orig = c.frontier_t.overwrite
+    c.frontier_t.overwrite = lambda *a, **k: (_ for _ in ()).throw(boom)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected tail failure"):
+            c.run_round()
+    finally:
+        c.frontier_t.overwrite = orig
+    # no appender thread leaked past the exception
+    leaked = [
+        t for t in threading.enumerate()
+        if t.ident not in before and t.is_alive() and "append" in (t.name or "").lower()
+    ]
+    assert not leaked
+    # and the cookie state for the round IS durable (join happened)
+    assert c.host_state_t.current_snapshot() is not None
+    rows = c.host_state_t.read().collect()
+    assert any("tok" in (r.cookies or "") for r in rows)
