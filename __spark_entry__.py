@@ -2323,78 +2323,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "canonicalize_urls": q_canonicalize_urls,
-        "request_identity": q_request_identity,
-        "seen_antijoin": q_seen_antijoin,
-        "ttl_expiry": q_ttl_expiry,
-        "per_host_cap": q_per_host_cap,
-        "priority_topk": q_priority_topk,
-        "robots_gate": q_robots_gate,
-        "tally": q_tally,
-        "header_projection": q_header_projection,
-        "normalize_ascii": q_normalize_ascii,
-        "array_join_pipe": q_array_join_pipe,
-        "regex_scan": q_regex_scan,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_token_jaccard": q_dedup_token_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_ivf": q_ann_ivf,
-        "redirect_resolve": q_redirect_resolve,
-        "proxy_rotation": q_proxy_rotation,
-        "retry_requeue": q_retry_requeue,
-        "cache_probe": q_cache_probe,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "spans_interleaved": q_spans_interleaved,
-        "interleave_linearize": q_interleave_linearize,
-        "dedup_clusters": q_dedup_clusters,
-        "pagerank": q_pagerank,
-        "pagerank_dangling": q_pagerank_dangling,
-        "surt_index": q_surt_index,
-        "recrawl_priority": q_recrawl_priority,
-        "main_content": q_main_content,
-        "crawl_traps": q_crawl_traps,
-        "anchor_text": q_anchor_text,
-        "kmeans": q_kmeans,
-        "frontier_value": q_frontier_value,
-        "snapshot_diff": q_snapshot_diff,
-        "robots_longest_match": q_robots_longest_match,
-        "hll_distinct": q_hll_distinct,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "weighted_sample": q_weighted_sample,
-        "streaming_hll": q_streaming_hll,
-        "sample_k": q_sample_k,
-        "quality_classifier": q_quality_classifier,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "css_extract_links": q_css_extract_links,
-        "crawl_rounds": q_crawl_rounds,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "embedding_lsh_neardup": q_embedding_lsh_neardup,
-        "post_identity": q_post_identity,
-        "force_errors": q_force_errors,
-        "uncache": q_uncache,
-        "emit_seq": q_emit_seq,
-        "frontier_setops": q_frontier_setops,
-        "cookie_last": q_cookie_last,
+    # ORDER MATTERS for the driver's size-bounded correctness sample
+    # (prefix-stable 50 in rounds 1-3): never-driver-sampled queries come
+    # FIRST (22), then the former r1 reds fixed-but-unconfirmed (3), then
+    # queries last green in r1/r2 only (16), then r3-green queries whose
+    # code round 4 touched (9) -- so slot 50 ends exactly at the highest-
+    # information boundary. Remaining 41 are all r3-green and unchanged.
         "cookie_scope": q_cookie_scope,
-        "shipping_priority": q_shipping_priority,
-        "multimodal_framesample": q_multimodal_framesample,
-        "multimodal_audio_meta": q_multimodal_audio_meta,
-        "multimodal_resize": q_multimodal_resize,
         "multimodal_decode_real": q_multimodal_decode_real,
-        "json_extract": q_json_extract,
-        "salted_join": q_salted_join,
-        "sitemap_extract": q_sitemap_extract,
-        "local_supplier_volume": q_local_supplier_volume,
-        "streaming_rollup": q_streaming_rollup,
         "streaming_dedup": q_streaming_dedup,
-        "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -2414,6 +2351,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "corpus_stats": q_corpus_stats,
         "pipeline_end_to_end": q_pipeline_end_to_end,
+        "json_extract": q_json_extract,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
+        "streaming_rollup": q_streaming_rollup,
+        "cookie_last": q_cookie_last,
+        "crawl_rounds": q_crawl_rounds,
+        "emit_seq": q_emit_seq,
+        "force_errors": q_force_errors,
+        "frontier_setops": q_frontier_setops,
+        "local_supplier_volume": q_local_supplier_volume,
+        "multimodal_audio_meta": q_multimodal_audio_meta,
+        "multimodal_framesample": q_multimodal_framesample,
+        "multimodal_resize": q_multimodal_resize,
+        "post_identity": q_post_identity,
+        "pricing_summary": q_pricing_summary,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "salted_join": q_salted_join,
+        "shipping_priority": q_shipping_priority,
+        "sitemap_extract": q_sitemap_extract,
+        "uncache": q_uncache,
+        "proxy_rotation": q_proxy_rotation,
+        "seen_antijoin": q_seen_antijoin,
+        "css_extract_links": q_css_extract_links,
+        "spans_interleaved": q_spans_interleaved,
+        "main_content": q_main_content,
+        "redirect_resolve": q_redirect_resolve,
+        "retry_requeue": q_retry_requeue,
+        "per_host_cap": q_per_host_cap,
+        "robots_longest_match": q_robots_longest_match,
+        "canonicalize_urls": q_canonicalize_urls,
+        "request_identity": q_request_identity,
+        "ttl_expiry": q_ttl_expiry,
+        "priority_topk": q_priority_topk,
+        "robots_gate": q_robots_gate,
+        "tally": q_tally,
+        "header_projection": q_header_projection,
+        "normalize_ascii": q_normalize_ascii,
+        "array_join_pipe": q_array_join_pipe,
+        "regex_scan": q_regex_scan,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf": q_ann_ivf,
+        "cache_probe": q_cache_probe,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "interleave_linearize": q_interleave_linearize,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        "surt_index": q_surt_index,
+        "recrawl_priority": q_recrawl_priority,
+        "crawl_traps": q_crawl_traps,
+        "anchor_text": q_anchor_text,
+        "kmeans": q_kmeans,
+        "frontier_value": q_frontier_value,
+        "snapshot_diff": q_snapshot_diff,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
+        "streaming_hll": q_streaming_hll,
+        "sample_k": q_sample_k,
+        "quality_classifier": q_quality_classifier,
+        "multimodal_image_meta": q_multimodal_image_meta,
     }
 
 

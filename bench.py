@@ -251,13 +251,19 @@ def headline_queries(spark) -> dict:
         # checkpoint machinery, not operator throughput
     ]
     out = {}
+    steal = {}
     for name in names:
+        s0 = _steal_ticks()
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         n = df.count()
         out[name] = round(time.time() - t0, 3)
+        # per-query host steal: distinguishes a real regression from a
+        # noisy VM window (r3's multimodal_decode_real 3.5x read had no
+        # per-query steal attached and stayed unexplained)
+        steal[name] = round((_steal_ticks() - s0) / 100.0, 1)
         _ = n
-    return out
+    return out, steal
 
 
 def main():
@@ -330,7 +336,7 @@ def main():
     # proves cookie state costs ~nothing on the round loop
     crawl_ck = crawl_benchmark(spark, CRAWL_N, with_cookies=True)
     dedup = dedup_benchmark(spark, CRAWL_N, CRAWL_N // 5)
-    queries = headline_queries(spark)
+    queries, qsteal = headline_queries(spark)
     total = round(sum(queries.values()) + crawl["crawl_sec"] + dedup["dedup_sec"], 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
@@ -344,6 +350,9 @@ def main():
         "frontier_urls_per_sec_cookies": crawl_ck["frontier_urls_per_sec"],
         **dedup,
         "cpus": CPUS,
+        # only stolen windows are reported (most queries read 0.0)
+        "query_steal_sec": {k: v for k, v in qsteal.items() if v > 0},
+        "query_steal_total_sec": round(sum(qsteal.values()), 1),
     }
     print(json.dumps(result))
     # The driver records only the TAIL of stdout (~3 KB); the full line above
@@ -367,6 +376,7 @@ def main():
         "frontier_urls_per_sec_cookies": crawl_ck["frontier_urls_per_sec"],
         "dedup_urls_per_sec": dedup["dedup_urls_per_sec"],
         "cpus": CPUS,
+        "query_steal_total_sec": round(sum(qsteal.values()), 1),
     }
     print(json.dumps(compact))
     spark.stop()

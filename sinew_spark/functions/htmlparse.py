@@ -84,25 +84,61 @@ class Node:
         return self.attrs.get(attr, default)
 
 
+_RAW_TAG_RE = re.compile(r"<\s*([^\s/>]+)")
+_RAW_ATTR_NAME_RE = re.compile(
+    r"""([^\s=/>'"]+)\s*(?:=\s*(?:"[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
 class _TreeBuilder(HTMLParser):
-    def __init__(self):
+    """xml=True preserves tag/attribute-name CASE (Nokogiri::XML is
+    case-sensitive, reference response.rb:42-44, while Nokogiri::HTML
+    lowercases — stdlib HTMLParser always lowercases, so xml mode
+    recovers the original names from the raw start-tag text)."""
+
+    def __init__(self, xml: bool = False):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
+        self.xml = xml
+
+    def _orig_names(self, tag, attrs):
+        """Recover original-case tag + attr names from the raw start tag;
+        values come from HTMLParser (already entity-decoded)."""
+        raw = self.get_starttag_text() or ""
+        m = _RAW_TAG_RE.match(raw)
+        if m:
+            tag = m.group(1)
+            rest = raw[m.end():]
+            names = [
+                n for n in _RAW_ATTR_NAME_RE.findall(rest)
+                if n not in ("/", ">") and not n.endswith("/>") and n != ""
+            ]
+            names = [n.rstrip("/>") for n in names if n.rstrip("/>")]
+            if len(names) == len(attrs):
+                attrs = [(n, v) for n, (_lc, v) in zip(names, attrs)]
+        return tag, attrs
 
     def handle_starttag(self, tag, attrs):
+        if self.xml:
+            tag, attrs = self._orig_names(tag, attrs)
         node = Node(tag, dict(attrs), parent=self.stack[-1])
         self.stack[-1].children.append(node)
-        if tag not in VOID_TAGS:
+        # XML has no void elements — every tag closes explicitly or is
+        # handled by handle_startendtag
+        if self.xml or tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
+        if self.xml:
+            tag, attrs = self._orig_names(tag, attrs)
         node = Node(tag, dict(attrs), parent=self.stack[-1])
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
+            t = self.stack[i].tag
+            if t == tag or (self.xml and t is not None and t.lower() == tag):
                 del self.stack[i:]
                 return
 
@@ -112,15 +148,18 @@ class _TreeBuilder(HTMLParser):
             parent.children.append(Node(None, {"#text": data}, parent=parent))
 
 
-def parse_html(body: str, clean: bool = True) -> Node:
+def parse_html(body: str, clean: bool = True, xml: bool = False) -> Node:
     """Parse an HTML/XML string into a Node tree.
 
     clean=True applies the reference's Response#html whitespace cleanup
     first (response.rb:10-24) so extracted .text matches Nokogiri-over-html.
+    xml=True preserves tag/attribute case (Nokogiri::XML parity,
+    response.rb:42-44); pair it with ``css_select(..., xml=True)`` for
+    case-sensitive selector matching.
     """
     if clean:
         body = html_cleanup_str(body or "")
-    p = _TreeBuilder()
+    p = _TreeBuilder(xml=xml)
     p.feed(body or "")
     p.close()
     return p.root
@@ -128,13 +167,16 @@ def parse_html(body: str, clean: bool = True) -> Node:
 
 # --- CSS subset -------------------------------------------------------------
 #
-# Tier-2 grammar (Nokogiri css(), lib/sinew/response.rb:37-39; real-world
+# Tier-2+3 grammar (Nokogiri css(), lib/sinew/response.rb:37-39; real-world
 # recipe selectors like `td.title > a` per reference README.md:52-62):
 #   compound:   tag? #id? .class* [attr op value]* :pseudo*
 #   attr ops:   [a] [a=v] [a^=v] [a$=v] [a*=v] [a~=v] [a|=v]
 #   pseudos:    :first-child :last-child :only-child
 #               :nth-child(an+b | odd | even | N)  :nth-of-type(...)
-#   combinators: descendant (space), child (>)
+#               :not(simple-selector)  (argument may not itself carry a
+#               parenthesized pseudo — CSS3 :not takes a simple selector)
+#   combinators: descendant (space), child (>), adjacent sibling (+),
+#                general sibling (~)
 #   groups:     comma-separated selector list, document-order union
 
 _SIMPLE_RE = re.compile(
@@ -194,17 +236,19 @@ def _attr_match(op: str, have: str, want: str) -> bool:
     raise ValueError(f"unsupported attribute operator: {op!r}")
 
 
-def _compile_simple(sel: str):
+def _compile_simple(sel: str, xml: bool = False):
     m = _SIMPLE_RE.match(sel)
     if not m or not sel:
         raise ValueError(f"unsupported CSS selector component: {sel!r}")
     tag = m.group("tag")
-    tag = None if tag in (None, "*") else tag.lower()
+    # HTML matching is case-insensitive (the tree is lowercased); XML
+    # matching is exact (Nokogiri::XML parity, response.rb:42-44)
+    tag = None if tag in (None, "*") else (tag if xml else tag.lower())
     nid = m.group("id")[1:] if m.group("id") else None
     classes = [c for c in (m.group("classes") or "").split(".") if c]
     attrs = []
     for k, op, v in _ATTR_RE.findall(m.group("attrs") or ""):
-        attrs.append((k, op or None, v.strip("\"'") if op else None))
+        attrs.append((k if xml else k.lower(), op or None, v.strip("\"'") if op else None))
     pseudos = []
     for name, arg in _PSEUDO_RE.findall(m.group("pseudos") or ""):
         name = name.lower()
@@ -218,6 +262,10 @@ def _compile_simple(sel: str):
             pseudos.append((name, _parse_nth(arg or "")))
         elif name == "first-of-type":
             pseudos.append(("nth-of-type", (0, 1)))
+        elif name == "not":
+            if not (arg or "").strip():
+                raise ValueError(f"empty :not() argument in: {sel!r}")
+            pseudos.append(("not", _compile_simple(arg.strip(), xml=xml)))
         else:
             raise ValueError(f"unsupported CSS pseudo-class: :{name}")
 
@@ -238,6 +286,10 @@ def _compile_simple(sel: str):
             if op is not None and not _attr_match(op, node.attrs.get(k) or "", v):
                 return False
         for kind, arg in pseudos:
+            if kind == "not":
+                if arg(node):
+                    return False
+                continue
             sibs = _elem_siblings(node)
             if kind == "last-child":
                 if not sibs or sibs[-1] is not node:
@@ -279,20 +331,25 @@ def _split_top(sel: str, seps: str) -> list[str]:
     return tokens
 
 
-def _compile_compound(compound: str):
+def _compile_compound(compound: str, xml: bool = False):
     """Compile one comma-group member into [(combinator, pred), ...] where
-    combinator is the relation to the PREVIOUS part (' ' or '>')."""
+    combinator is the relation to the PREVIOUS part: descendant ' ',
+    child '>', adjacent sibling '+', general sibling '~'."""
     parts = []
     comb = " "
-    for tok in _split_top(compound, " \t>"):
-        if tok == ">":
+    for tok in _split_top(compound, " \t>+~"):
+        if tok in (">", "+", "~"):
             if not parts:
-                raise ValueError(f"selector may not start with '>': {compound!r}")
-            comb = ">"
+                raise ValueError(
+                    f"selector may not start with {tok!r}: {compound!r}"
+                )
+            if comb in (">", "+", "~"):
+                raise ValueError(f"doubled combinator in: {compound!r}")
+            comb = tok
             continue
-        parts.append((comb, _compile_simple(tok)))
+        parts.append((comb, _compile_simple(tok, xml=xml)))
         comb = " "
-    if comb == ">" or not parts:
+    if comb in (">", "+", "~") or not parts:
         raise ValueError(f"empty CSS selector component in: {compound!r}")
     return parts
 
@@ -303,6 +360,16 @@ def _match_chain(node: Node, parts, idx: int) -> bool:
         return True
     comb = parts[idx][0]
     pred = parts[idx - 1][1]
+    if comb in ("+", "~"):
+        sibs = _elem_siblings(node)
+        i = sibs.index(node)
+        if comb == "+":
+            return (
+                i > 0 and pred(sibs[i - 1]) and _match_chain(sibs[i - 1], parts, idx - 1)
+            )
+        return any(
+            pred(s) and _match_chain(s, parts, idx - 1) for s in sibs[:i]
+        )
     anc = node.parent
     if comb == ">":
         if anc is None or anc.is_text or anc.tag == "#root":
@@ -315,13 +382,15 @@ def _match_chain(node: Node, parts, idx: int) -> bool:
     return False
 
 
-def css_select(root: Node, selector: str) -> list[Node]:
-    """CSS select in document order (Nokogiri css() subset): descendant and
-    child combinators, comma groups, attribute operators, structural
-    pseudo-classes. One document-order traversal; a node is emitted once
-    even if several group members match it."""
+def css_select(root: Node, selector: str, xml: bool = False) -> list[Node]:
+    """CSS select in document order (Nokogiri css() subset): descendant,
+    child, and sibling (+/~) combinators, comma groups, attribute
+    operators, structural pseudo-classes and :not(). One document-order
+    traversal; a node is emitted once even if several group members match
+    it. xml=True matches tag/attr names case-sensitively (pair with
+    ``parse_html(..., xml=True)``)."""
     groups = [
-        _compile_compound(g)
+        _compile_compound(g, xml=xml)
         for g in _split_top(selector, ",")
         if g != ","
     ]

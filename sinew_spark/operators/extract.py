@@ -54,9 +54,14 @@ def regex_scan(fetched: DataFrame, pattern: str, columns: dict) -> DataFrame:
     return ex.select("seq", "match_idx", *cols)
 
 
-def css_extract(fetched: DataFrame, selector: str, columns: dict) -> DataFrame:
+def css_extract(
+    fetched: DataFrame, selector: str, columns: dict, xml: bool = False
+) -> DataFrame:
     """One output row per CSS-matched node (noko.sinew/xml.sinew semantics:
-    selection over the cleaned html, node text/attr/inner_html projection)."""
+    selection over the cleaned html, node text/attr/inner_html projection).
+    xml=True parses and matches CASE-SENSITIVELY (Nokogiri::XML parity,
+    reference response.rb:42-44 — Nokogiri::HTML lowercases, XML does
+    not; diverges only on documents with case-distinct tags)."""
     col_items = list(columns.items())
 
     out_fields = [
@@ -71,8 +76,8 @@ def css_extract(fetched: DataFrame, selector: str, columns: dict) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                root = parse_html(r.resp_body or "")
-                for i, node in enumerate(css_select(root, selector)):
+                root = parse_html(r.resp_body or "", xml=xml)
+                for i, node in enumerate(css_select(root, selector, xml=xml)):
                     vals = {"seq": r.seq, "match_idx": i}
                     for name, spec in col_items:
                         if spec == "text":

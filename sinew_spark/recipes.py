@@ -13,6 +13,7 @@ Step extraction shapes cover the whole golden suite
 - ``iterate='rows'``      one emit per fetched doc          (url.sinew)
 - ``iterate=('regex', p)`` one emit per body regex match    (basic.sinew)
 - ``iterate=('css', sel)`` one emit per CSS-matched node    (noko/xml.sinew)
+- ``iterate=('xml', sel)`` same, case-sensitive Nokogiri::XML parity
 - ``rows=[{...}]``         constant emits, no fetch         (array_header/
                                                              implicit_header/
                                                              limit.sinew)
@@ -176,6 +177,10 @@ def run_recipe(
                 emits = regex_scan(fetched, it[1], step.columns)
             elif isinstance(it, tuple) and it[0] == "css":
                 emits = css_extract(fetched, it[1], step.columns)
+            elif isinstance(it, tuple) and it[0] == "xml":
+                # Nokogiri::XML parity: case-sensitive tags/attrs
+                # (reference response.rb:42-44, recipe `xml` view)
+                emits = css_extract(fetched, it[1], step.columns, xml=True)
             else:
                 raise ValueError(f"bad iterate {it!r}")
             return emits.withColumn(

@@ -178,3 +178,78 @@ def test_unsupported_selector_raises():
         css_select(parse_html(RESULTS), "> a")
     with pytest.raises(ValueError):
         css_select(parse_html(RESULTS), "div >")
+
+
+# --- tier 3: sibling combinators, :not(), XML case-sensitive mode -----------
+
+
+def test_adjacent_sibling_combinator():
+    assert _texts("li.mid + li") == ["third"]
+    assert _texts("#l li:first-child + li") == ["second"]
+    assert _texts("td.title + ul li:first-child") == ["first"]
+    # no previous sibling -> no match
+    assert _texts("li + li.mid") == ["second"]
+    assert _texts("li + li:first-child") == []
+    # whitespace around the combinator is insignificant
+    assert _texts("li.mid+li") == ["third"]
+
+
+def test_general_sibling_combinator():
+    assert _texts("li.mid ~ li") == ["third", "fourth"]
+    assert _texts("p[lang|=en] ~ p") == ["plain", "bonjour"]
+    assert _texts("p ~ p[lang=fr]") == ["bonjour"]
+    # the + inside :nth-child(2n+1) is not a combinator
+    assert _texts("li:first-child ~ li:nth-child(2n+1)") == ["third"]
+
+
+def test_not_pseudo_class():
+    assert _texts("div.results a:not([data-kind])") == ["two"]
+    assert _texts("div.results > a:not(.x):not([data-kind*=ad])") == ["one"]
+    assert _texts("#l li:not(:first-child)") == ["second", "third", "fourth"]
+    assert _texts("#l li:not(.mid)") == ["first", "third", "fourth"]
+    assert _texts("p:not([lang|=en])") == ["bonjour"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        css_select(parse_html(RESULTS), "a:not()")
+
+
+def test_sibling_combinator_errors():
+    import pytest
+
+    for bad in ("+ a", "~ a", "a + + b", "a +"):
+        with pytest.raises(ValueError):
+            css_select(parse_html(RESULTS), bad)
+
+
+XMLDOC = """<Root>
+  <Item Kind="a"><Name>first</Name></Item>
+  <item kind="b"><name>second</name></item>
+  <Item Kind="c"><Name>third</Name></Item>
+</Root>"""
+
+
+def test_xml_mode_preserves_case():
+    """Nokogiri::XML is case-sensitive (reference response.rb:42-44);
+    html mode lowercases like Nokogiri::HTML."""
+    root = parse_html(XMLDOC, clean=False, xml=True)
+    assert [n.text() for n in css_select(root, "Item Name", xml=True)] == ["first", "third"]
+    assert [n.text() for n in css_select(root, "item name", xml=True)] == ["second"]
+    assert [n.text() for n in css_select(root, "Item[Kind=c] Name", xml=True)] == ["third"]
+    # attribute NAME case matters in xml mode
+    assert css_select(root, "Item[kind=c]", xml=True) == []
+    # html mode folds everything
+    hroot = parse_html(XMLDOC, clean=False)
+    assert [n.text() for n in css_select(hroot, "item name")] == [
+        "first", "second", "third",
+    ]
+
+
+def test_xml_mode_no_void_tags():
+    # <link> is void in HTML but an ordinary container in XML (atom feeds)
+    xml = "<feed><link>inside</link></feed>"
+    root = parse_html(xml, clean=False, xml=True)
+    assert [n.text() for n in css_select(root, "feed link", xml=True)] == ["inside"]
+    # self-closing still works
+    root2 = parse_html("<A><B/><C>x</C></A>", clean=False, xml=True)
+    assert [n.tag for n in css_select(root2, "A *", xml=True)] == ["B", "C"]
