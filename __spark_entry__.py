@@ -2059,6 +2059,44 @@ def q_multimodal_decode_real(spark, sf_dir):
     return img.unionByName(aud).orderBy("media_id")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC/1.1 export + import round trip (sinew_spark/sinks/warc.py —
+    Common Crawl interop, beyond-reference sink/source): 2000 documents
+    serialize to per-partition .warc.gz archives (one gzip member per
+    record, CDX index computed during the shuffle-free write), read back
+    through the file-parallel binaryFile scan, and re-emit
+    (url, n_bytes, digest). The oracle re-derives every column from the
+    source table alone (octet_length + sha256), so WARC header
+    serialization, HTTP envelope framing, per-member compression, CDX
+    bookkeeping, and stream parsing must all round-trip exactly."""
+    import tempfile
+
+    from sinew_spark.sinks.warc import read_warc, write_warc
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    src = (
+        d.select(
+            F.concat(
+                F.lit("http://corpus.test/doc/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.coalesce(F.col("text"), F.lit("")).alias("body"),
+            F.lit("2024-01-01T00:00:00Z").alias("date"),
+            F.lit(200).alias("status"),
+            F.lit("text/plain; charset=utf-8").alias("content_type"),
+        )
+        .repartition(8, "url")
+        .sortWithinPartitions("url")
+    )
+    out = tempfile.mkdtemp(prefix="sinew_warc_")
+    write_warc(src, out).count()  # materializing the index performs the write
+    back = read_warc(spark, out)
+    return back.select(
+        "url",
+        F.octet_length("body").alias("n_bytes"),
+        "digest",
+    ).orderBy("url")
+
+
 def q_json_extract(spark, sf_dir):
     """P4/P5: JSON body parse + mash dotted access — get_json_object over
     the raw body via the engine's row_project ('json' column spec,
@@ -2378,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "retry_requeue": q_retry_requeue,
         "per_host_cap": q_per_host_cap,
+        "warc_roundtrip": q_warc_roundtrip,
+        # --- end of the 50-slot driver-sample prefix ---
         "robots_longest_match": q_robots_longest_match,
         "canonicalize_urls": q_canonicalize_urls,
         "request_identity": q_request_identity,
@@ -3145,6 +3185,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM u, (VALUES (0), (1), (2), (3)) j(j)) "
             "SELECT CAST(depth AS INTEGER) AS depth, bucket, COUNT(*) AS cnt "
             "FROM c GROUP BY depth, bucket ORDER BY depth, bucket"
+        ),
+        # WARC round trip: every column re-derived from the source table —
+        # byte counts and sha256 digests survive the archive+parse cycle
+        "warc_roundtrip": (
+            "SELECT 'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes, "
+            "'sha256:' || sha256(COALESCE(text, '')) AS digest "
+            "FROM documents WHERE doc_id < 2000 ORDER BY url"
         ),
         # REP precedence replayed generically: rule join + MAX matched-
         # prefix length per type; allowed = best_allow >= best_disallow

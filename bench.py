@@ -231,6 +231,7 @@ def headline_queries(spark) -> dict:
         "paragraph_dedup_apply",
         "dedup_clusters",
         "snapshot_time_travel",
+        "warc_roundtrip",
         "pagerank",
         "surt_index",
         "quality_classifier",

@@ -1,0 +1,250 @@
+"""Distributed WARC export / import (Common Crawl interop).
+
+The reference's terminal output is CSV rows (lib/sinew/output.rb); a
+web-scale crawl additionally needs the archival interchange format the
+ecosystem actually exchanges: WARC/1.1 (ISO 28500) with a CDX-style
+index, the Common Crawl layout. This module implements both directions
+as shuffle-free Spark stages:
+
+- ``write_warc``: one ``part-NNNNN.warc.gz`` per partition, written
+  executor-side (mapInPandas holds the file handle across the
+  partition's Arrow batches — no shuffle, no driver data). Each record
+  is its OWN gzip member (the Common Crawl convention): a reader can
+  fetch one record with a byte-range request and decompress it alone.
+  The returned DataFrame is the CDX index — (url, filename, offset,
+  length, digest, date) per record, offsets into the COMPRESSED file —
+  computed while writing, so indexing costs zero extra passes.
+- ``read_warc``: ``binaryFile`` scan of the .warc.gz parts, one Arrow
+  batch stream per file, member-by-member decompression. File-parallel;
+  at 100 TB the parallelism is the file count, which write_warc sets to
+  the producing job's partition count.
+- ``read_warc_record``: point lookup via a CDX row (filename, offset,
+  length) — seek + decompress one member, no scan. This is the random
+  access path the per-member gzip buys.
+
+Determinism: WARC-Date derives from the row's ``date`` column and the
+record id is a UUIDv5 of (url, date), so identical input produces
+byte-identical archives — replay-stable like every other sink here.
+Digests are labeled ``sha256:`` (the spec allows any labeled algorithm;
+sha1 is the legacy default but sha256 keeps the digest oracle-able).
+
+Executors write to ``out_dir`` directly, so on a cluster it must be a
+shared filesystem (HDFS/NFS/S3-fuse); on local[*] any tmp dir works.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_VERSION = "WARC/1.1"
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("date", T.StringType()),
+    ]
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def _record_bytes(
+    url: str, date_iso: str, status: int, content_type: str, body: bytes
+) -> tuple[bytes, str]:
+    """Serialize one WARC response record (uncompressed). Returns
+    (record_bytes, payload_digest)."""
+    digest = "sha256:" + hashlib.sha256(body).hexdigest()
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8") + body
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date_iso}")
+    headers = (
+        f"{WARC_VERSION}\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"WARC-Payload-Digest: {digest}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("utf-8")
+    return headers + http + b"\r\n\r\n", digest
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "body",
+    date_col: str = "date",
+    status_col: str | None = "status",
+    content_type_col: str | None = "content_type",
+) -> DataFrame:
+    """Write ``df`` as per-partition .warc.gz files; RETURNS the CDX index
+    DataFrame (lazy — materializing the index is what performs the write).
+    Rows are archived in partition order; sortWithinPartitions upstream
+    for a canonical layout. ``body`` may be string (UTF-8-encoded) or
+    binary; missing status/content_type default to 200/text/plain."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [F.col(url_col).alias("url"), F.col(date_col).alias("date")]
+    cols.append(
+        (F.col(status_col) if status_col in df.columns else F.lit(200))
+        .cast("int").alias("status")
+    )
+    cols.append(
+        (
+            F.col(content_type_col)
+            if content_type_col in df.columns
+            else F.lit("text/plain")
+        ).cast("string").alias("content_type")
+    )
+    body = F.col(body_col)
+    if dict(df.dtypes)[body_col] != "binary":
+        body = F.encode(body.cast("string"), "UTF-8")
+    cols.append(body.alias("body"))
+    slim = df.select(cols)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        path = os.path.join(out_dir, fname)
+        tmp = path + ".inprogress"
+        offset = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if fh is None:
+                    fh = open(tmp, "wb")
+                rows = {
+                    "url": [], "filename": [], "offset": [],
+                    "length": [], "digest": [], "date": [],
+                }
+                for r in pdf.itertuples(index=False):
+                    b = r.body if isinstance(r.body, (bytes, bytearray)) else b""
+                    rec, digest = _record_bytes(
+                        r.url, r.date, int(r.status or 200),
+                        r.content_type or "text/plain", bytes(b),
+                    )
+                    member = gzip.compress(rec, mtime=0)  # mtime=0: replayable bytes
+                    fh.write(member)
+                    rows["url"].append(r.url)
+                    rows["filename"].append(fname)
+                    rows["offset"].append(offset)
+                    rows["length"].append(len(member))
+                    rows["digest"].append(digest)
+                    rows["date"].append(r.date)
+                    offset += len(member)
+                yield pd.DataFrame(rows)
+        finally:
+            if fh is not None:
+                fh.close()
+                os.replace(tmp, path)  # atomic publish per partition
+
+    return slim.mapInPandas(emit, INDEX_SCHEMA)
+
+
+def _parse_headers(block: bytes) -> dict:
+    out = {}
+    for line in block.split(b"\r\n"):
+        k, sep, v = line.partition(b":")
+        if sep:
+            out[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return out
+
+
+def parse_warc_stream(data: bytes) -> Iterator[dict]:
+    """Parse an UNCOMPRESSED WARC byte stream into record dicts
+    (url, date, status, content_type, body, digest)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = _parse_headers(data[pos:head_end])
+        clen = int(head.get("content-length", "0"))
+        content = data[head_end + 4 : head_end + 4 + clen]
+        pos = head_end + 4 + clen
+        if head.get("warc-type") != "response":
+            continue
+        status, ctype, body = 0, "", content
+        http_end = content.find(b"\r\n\r\n")
+        if content.startswith(b"HTTP/") and http_end >= 0:
+            http_head = content[:http_end]
+            body = content[http_end + 4 :]
+            first = http_head.split(b"\r\n", 1)[0].split()
+            status = int(first[1]) if len(first) > 1 else 0
+            ctype = _parse_headers(http_head).get("content-type", "")
+        yield {
+            "url": head.get("warc-target-uri", ""),
+            "date": head.get("warc-date", ""),
+            "status": status,
+            "content_type": ctype,
+            "body": body,
+            "digest": head.get("warc-payload-digest", ""),
+        }
+
+
+def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Read .warc.gz files into RECORD_SCHEMA rows. File-parallel binary
+    scan; python's gzip reads concatenated members as one stream, so
+    per-member and whole-file compression both parse."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(in_dir, "*.warc.gz")
+    ).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in RECORD_SCHEMA.fields}
+            for content in pdf["content"]:
+                for rec in parse_warc_stream(gzip.decompress(bytes(content))):
+                    for k in rows:
+                        rows[k].append(rec[k])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def read_warc_record(in_dir: str, filename: str, offset: int, length: int) -> dict:
+    """Point lookup via a CDX index row: seek + decompress ONE gzip member.
+    O(record) regardless of archive size — the random-access path the
+    per-member compression exists for (local/shared-fs variant of a
+    ranged GET against an object store)."""
+    with open(os.path.join(in_dir, filename), "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = list(parse_warc_stream(gzip.decompress(member)))
+    if not recs:
+        raise ValueError(f"no WARC record at {filename}:{offset}+{length}")
+    return recs[0]

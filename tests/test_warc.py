@@ -1,0 +1,103 @@
+"""WARC export/import (sinew_spark/sinks/warc.py): round trip, CDX point
+lookup, byte determinism, multi-member stream parsing."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.sinks.warc import (
+    parse_warc_stream,
+    read_warc,
+    read_warc_record,
+    write_warc,
+)
+
+
+@pytest.fixture
+def src(spark):
+    rows = [
+        ("http://a.test/1", "hello world", "2024-01-01T00:00:00Z", 200, "text/plain"),
+        ("http://a.test/2", "", "2024-01-01T00:00:01Z", 404, "text/plain"),
+        ("http://b.test/3", "héllo ünïcode", "2024-01-01T00:00:02Z", 200,
+         "text/html; charset=utf-8"),
+        ("http://b.test/4", "x" * 10000, "2024-01-01T00:00:03Z", 200, "text/plain"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, body string, date string, status int, content_type string"
+    ).repartition(2, "url").sortWithinPartitions("url")
+
+
+def test_roundtrip_and_index(spark, src, tmp_path):
+    out = str(tmp_path / "w")
+    idx = write_warc(src, out).toPandas()
+    assert len(idx) == 4
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    # compressed member extents tile each file exactly
+    for fname, g in idx.groupby("filename"):
+        g = g.sort_values("offset")
+        assert g.iloc[0]["offset"] == 0
+        assert (g["offset"] + g["length"]).iloc[-1] == os.path.getsize(
+            os.path.join(out, fname)
+        )
+
+    back = read_warc(spark, out).toPandas().sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == [f"http://{h}.test/{i}" for h, i in
+                                 [("a", 1), ("a", 2), ("b", 3), ("b", 4)]]
+    assert bytes(back.loc[2, "body"]).decode() == "héllo ünïcode"
+    assert int(back.loc[1, "status"]) == 404
+    assert back.loc[3, "body"] == b"x" * 10000
+    for _, r in back.iterrows():
+        assert r["digest"] == "sha256:" + hashlib.sha256(bytes(r["body"])).hexdigest()
+
+
+def test_cdx_point_lookup(spark, src, tmp_path):
+    out = str(tmp_path / "w")
+    idx = write_warc(src, out).toPandas()
+    row = idx[idx["url"] == "http://b.test/3"].iloc[0]
+    rec = read_warc_record(out, row["filename"], int(row["offset"]), int(row["length"]))
+    assert rec["url"] == "http://b.test/3"
+    assert rec["body"].decode() == "héllo ünïcode"
+    assert rec["digest"] == row["digest"]
+    assert rec["content_type"].startswith("text/html")
+
+
+def test_write_is_byte_deterministic(spark, src, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(src, a).count()
+    write_warc(src, b).count()
+    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert fa == fb
+    for f in fa:
+        assert open(os.path.join(a, f), "rb").read() == open(
+            os.path.join(b, f), "rb").read()
+
+
+def test_parse_stream_skips_non_response_records():
+    info = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    resp, _ = __import__("sinew_spark.sinks.warc", fromlist=["x"])._record_bytes(
+        "http://x.test/", "2024-01-01T00:00:00Z", 200, "text/plain", b"payload"
+    )
+    recs = list(parse_warc_stream(info + resp))
+    assert len(recs) == 1 and recs[0]["body"] == b"payload"
+    # multi-member gzip: concatenated members parse as one stream
+    data = gzip.decompress(gzip.compress(info, mtime=0) + gzip.compress(resp, mtime=0))
+    assert len(list(parse_warc_stream(data))) == 1
+
+
+def test_binary_body_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("http://bin.test/1", bytearray(b"\x00\x01\xff"), "2024-01-01T00:00:00Z")],
+        "url string, body binary, date string",
+    )
+    out = str(tmp_path / "w")
+    write_warc(df, out).count()
+    back = read_warc(spark, out).toPandas()
+    assert bytes(back.loc[0, "body"]) == b"\x00\x01\xff"
