@@ -2059,6 +2059,45 @@ def q_multimodal_decode_real(spark, sf_dir):
     return img.unionByName(aud).orderBy("media_id")
 
 
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap: directive discovery from robots.txt bodies
+    (functions/robots.py robots_sitemaps — sitemaps.org / RFC 9309 §2.3
+    non-group lines; the standard seed-discovery path feeding
+    sources/sitemap.py). Synthetic robots bodies per host exercise:
+    directive anywhere in the file, case-insensitive field name, comment
+    stripping, relative-URL rejection, de-duplication, and the 4xx
+    allow-nothing gate. The oracle re-derives the expected (host,
+    sitemap_url) rows from the same host-class arithmetic."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 50).cast("int").alias("i"))
+        .distinct()
+    )
+    host = F.concat(F.lit("h"), F.col("i").cast("string"), F.lit(".test"))
+    base = F.concat(F.lit("http://"), host)
+    m = F.col("i") % 5
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: "), base, F.lit("/sitemap.xml\n")))
+        .when(m == 1, F.concat(
+            F.lit("sitemap: "), base, F.lit("/s1.xml # trailing comment\nSiTeMap: "),
+            base, F.lit("/s2.xml\n")))
+        .when(m == 2, F.concat(
+            F.lit("Sitemap: /relative-rejected.xml\nSitemap: "), base,
+            F.lit("/ok.xml\nSitemap: "), base, F.lit("/ok.xml\n")))
+        .when(m == 3, F.lit("User-agent: *\nDisallow:\n"))
+        .otherwise(F.concat(F.lit("Sitemap: "), base, F.lit("/never.xml\n")))
+    )
+    fetched = h.select(
+        host.alias("host"),
+        F.when(m == 4, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        body.alias("resp_body"),
+    )
+    from sinew_spark.functions.robots import robots_sitemaps
+
+    return robots_sitemaps(fetched).orderBy("host", "sitemap_url")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/1.1 export + import round trip (sinew_spark/sinks/warc.py —
     Common Crawl interop, beyond-reference sink/source): 2000 documents
@@ -2419,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         # --- end of the 50-slot driver-sample prefix ---
         "robots_longest_match": q_robots_longest_match,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "canonicalize_urls": q_canonicalize_urls,
         "request_identity": q_request_identity,
         "ttl_expiry": q_ttl_expiry,
@@ -3185,6 +3225,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM u, (VALUES (0), (1), (2), (3)) j(j)) "
             "SELECT CAST(depth AS INTEGER) AS depth, bucket, COUNT(*) AS cnt "
             "FROM c GROUP BY depth, bucket ORDER BY depth, bucket"
+        ),
+        # Sitemap: discovery — expected rows re-derived from the host-class
+        # arithmetic (m0: one sitemap; m1: two case-variant lines; m2: one
+        # surviving dedup+relative-reject; m3: none; m4: 404-gated)
+        "robots_sitemap_discovery": (
+            "WITH h AS (SELECT DISTINCT CAST(event_id % 50 AS INTEGER) AS i "
+            "FROM events), "
+            "r AS ("
+            "SELECT i, 'http://h' || CAST(i AS VARCHAR) || '.test/sitemap.xml' AS s "
+            "FROM h WHERE i % 5 = 0 "
+            "UNION ALL SELECT i, 'http://h' || CAST(i AS VARCHAR) || '.test/s1.xml' "
+            "FROM h WHERE i % 5 = 1 "
+            "UNION ALL SELECT i, 'http://h' || CAST(i AS VARCHAR) || '.test/s2.xml' "
+            "FROM h WHERE i % 5 = 1 "
+            "UNION ALL SELECT i, 'http://h' || CAST(i AS VARCHAR) || '.test/ok.xml' "
+            "FROM h WHERE i % 5 = 2) "
+            "SELECT 'h' || CAST(i AS VARCHAR) || '.test' AS host, s AS sitemap_url "
+            "FROM r ORDER BY host, sitemap_url"
         ),
         # WARC round trip: every column re-derived from the source table —
         # byte counts and sha256 digests survive the archive+parse cycle

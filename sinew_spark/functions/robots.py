@@ -219,3 +219,52 @@ def bootstrap_robots(crawler, hosts: DataFrame, agent: str = "*", scheme: str = 
     return robots_rules(
         fetched.where(F.col("canonical_url").endswith("/robots.txt")), agent
     )
+
+
+SITEMAPS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("sitemap_url", T.StringType()),
+    ]
+)
+
+
+def parse_robots_sitemaps(body: str) -> list[str]:
+    """``Sitemap:`` directive URLs from a robots.txt body
+    (sitemaps.org / RFC 9309 §2.3 non-group line: case-insensitive field
+    name, absolute URL value, valid ANYWHERE in the file independent of
+    user-agent groups). Order-preserving, de-duplicated."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, sep, value = line.partition(":")
+        if not sep or field.strip().lower() != "sitemap":
+            continue
+        url = value.strip()
+        if url and "://" in url and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+def robots_sitemaps(fetched: DataFrame) -> DataFrame:
+    """fetched /robots.txt rows -> (host, sitemap_url) for every Sitemap
+    directive — the standard seed-discovery path a web-scale crawl pairs
+    with ``sources/sitemap.py expand_sitemap_frontier`` (robots fetch ->
+    sitemap URLs -> sitemap tree walk -> frontier seeds). Output is a few
+    rows per host — broadcast-sized."""
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, urls = [], []
+            for row in pdf.itertuples(index=False):
+                ok = row.status is not None and 200 <= row.status < 300
+                for u in parse_robots_sitemaps(row.resp_body if ok else ""):
+                    hosts.append(row.host)
+                    urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return fetched.select("host", "status", "resp_body").mapInPandas(
+        parse, SITEMAPS_SCHEMA
+    )

@@ -249,3 +249,37 @@ def test_apply_robots_longest_match_no_rules_host_and_plan(spark):
     assert "BroadcastHashJoin" in plan
     # no exchange on the frontier side beyond the broadcast
     assert plan.count("Exchange hashpartitioning") <= 1  # rules-side groupBy only
+
+
+def test_parse_robots_sitemaps():
+    from sinew_spark.functions.robots import parse_robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://a.test/s.xml\n"
+        "sitemap: http://a.test/s2.xml # comment\n"
+        "SITEMAP: http://a.test/s.xml\n"     # dup removed
+        "Sitemap: /relative.xml\n"            # rejected: not absolute
+        "Sitemap:\n"                          # rejected: empty
+        "User-agent: other\nSitemap: http://a.test/s3.xml\n"  # group-independent
+    )
+    assert parse_robots_sitemaps(body) == [
+        "http://a.test/s.xml", "http://a.test/s2.xml", "http://a.test/s3.xml",
+    ]
+    assert parse_robots_sitemaps("") == []
+    assert parse_robots_sitemaps(None) == []
+
+
+def test_robots_sitemaps_df(spark):
+    from sinew_spark.functions.robots import robots_sitemaps
+
+    df = spark.createDataFrame(
+        [
+            ("a.test", 200, "Sitemap: http://a.test/s.xml\n"),
+            ("b.test", 404, "Sitemap: http://b.test/never.xml\n"),
+            ("c.test", 200, "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, status int, resp_body string",
+    )
+    rows = sorted((r.host, r.sitemap_url) for r in robots_sitemaps(df).collect())
+    assert rows == [("a.test", "http://a.test/s.xml")]
