@@ -66,22 +66,41 @@ RECORD_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("body", T.BinaryType()),
         T.StructField("digest", T.StringType()),
+        T.StructField("warc_type", T.StringType()),  # response | revisit
     ]
 )
 
 
 def _record_bytes(
-    url: str, date_iso: str, status: int, content_type: str, body: bytes
+    url: str, date_iso: str, status: int, content_type: str, body: bytes,
+    revisit: bool = False,
 ) -> tuple[bytes, str]:
-    """Serialize one WARC response record (uncompressed). Returns
-    (record_bytes, payload_digest)."""
+    """Serialize one WARC record (uncompressed). ``revisit=True`` emits a
+    WARC revisit record (profile identical-payload-digest — the Common
+    Crawl storage-dedup convention: the payload is NOT re-stored, only
+    its digest, so an unchanged page costs ~200 bytes instead of its
+    body). Returns (record_bytes, payload_digest)."""
     digest = "sha256:" + hashlib.sha256(body).hexdigest()
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date_iso}")
+    if revisit:
+        headers = (
+            f"{WARC_VERSION}\r\n"
+            f"WARC-Type: revisit\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date_iso}\r\n"
+            f"WARC-Payload-Digest: {digest}\r\n"
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: 0\r\n\r\n"
+        ).encode("utf-8")
+        return headers + b"\r\n\r\n", digest
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("utf-8") + body
-    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date_iso}")
     headers = (
         f"{WARC_VERSION}\r\n"
         f"WARC-Type: response\r\n"
@@ -103,12 +122,23 @@ def write_warc(
     date_col: str = "date",
     status_col: str | None = "status",
     content_type_col: str | None = "content_type",
+    revisit_index: DataFrame | None = None,
 ) -> DataFrame:
     """Write ``df`` as per-partition .warc.gz files; RETURNS the CDX index
     DataFrame (lazy — materializing the index is what performs the write).
     Rows are archived in partition order; sortWithinPartitions upstream
     for a canonical layout. ``body`` may be string (UTF-8-encoded) or
-    binary; missing status/content_type default to 200/text/plain."""
+    binary; missing status/content_type default to 200/text/plain.
+
+    ``revisit_index``: a prior crawl's (url, digest) table — e.g. the
+    previous write's CDX index. Rows whose (url, sha256-of-body) match it
+    are archived as WARC **revisit** records (identical-payload-digest
+    profile): the payload is not re-stored, which is how incremental
+    crawls keep archive growth proportional to CHANGED content. The match
+    is a plain equi-join on url (hash-shuffle both sides at scale; AQE
+    broadcasts a small index) — the digest comparison is Catalyst-side
+    (F.sha2), so unchanged pages never cross into Python as stored
+    payloads twice."""
     os.makedirs(out_dir, exist_ok=True)
     cols = [F.col(url_col).alias("url"), F.col(date_col).alias("date")]
     cols.append(
@@ -127,6 +157,20 @@ def write_warc(
         body = F.encode(body.cast("string"), "UTF-8")
     cols.append(body.alias("body"))
     slim = df.select(cols)
+    if revisit_index is not None:
+        prior = revisit_index.select(
+            F.col("url").alias("url"), F.col("digest").alias("_prior_digest")
+        ).dropDuplicates(["url"])
+        slim = slim.join(prior, "url", "left").withColumn(
+            "revisit",
+            F.col("_prior_digest").isNotNull()
+            & (
+                F.concat(F.lit("sha256:"), F.sha2(F.col("body"), 256))
+                == F.col("_prior_digest")
+            ),
+        ).drop("_prior_digest")
+    else:
+        slim = slim.withColumn("revisit", F.lit(False))
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -150,6 +194,7 @@ def write_warc(
                     rec, digest = _record_bytes(
                         r.url, r.date, int(r.status or 200),
                         r.content_type or "text/plain", bytes(b),
+                        revisit=bool(r.revisit),
                     )
                     member = gzip.compress(rec, mtime=0)  # mtime=0: replayable bytes
                     fh.write(member)
@@ -196,7 +241,8 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         clen = int(head.get("content-length", "0"))
         content = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
-        if head.get("warc-type") != "response":
+        wtype = head.get("warc-type")
+        if wtype not in ("response", "revisit"):
             continue
         status, ctype, body = 0, "", content
         http_end = content.find(b"\r\n\r\n")
@@ -213,6 +259,7 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
             "content_type": ctype,
             "body": body,
             "digest": head.get("warc-payload-digest", ""),
+            "warc_type": wtype,
         }
 
 

@@ -101,3 +101,48 @@ def test_binary_body_column(spark, tmp_path):
     write_warc(df, out).count()
     back = read_warc(spark, out).toPandas()
     assert bytes(back.loc[0, "body"]) == b"\x00\x01\xff"
+
+
+def test_revisit_records_dedup_storage(spark, src, tmp_path):
+    """Second crawl against the first crawl's CDX index: unchanged pages
+    become revisit records (payload not re-stored — identical-payload-
+    digest profile); changed pages re-archive in full."""
+    # give /4 an incompressible body so the gzip member length actually
+    # reflects payload size (x*10000 deflates to ~header size)
+    import hashlib as _h
+    noisy = "".join(
+        _h.sha256(str(i).encode()).hexdigest() for i in range(200)
+    )
+    src = src.withColumn(
+        "body",
+        F.when(F.col("url") == "http://b.test/4", F.lit(noisy))
+        .otherwise(F.col("body")),
+    )
+    first_dir = str(tmp_path / "c1")
+    idx1 = write_warc(src, first_dir)
+    idx1_pd = idx1.toPandas()
+
+    # second crawl: /1 changed, others unchanged
+    src2 = src.withColumn(
+        "body",
+        F.when(F.col("url") == "http://a.test/1", F.lit("hello world CHANGED"))
+        .otherwise(F.col("body")),
+    )
+    second_dir = str(tmp_path / "c2")
+    idx2 = write_warc(
+        src2, second_dir, revisit_index=spark.createDataFrame(idx1_pd)
+    ).toPandas()
+    assert len(idx2) == 4
+
+    back = read_warc(spark, second_dir).toPandas().set_index("url")
+    assert back.loc["http://a.test/1", "warc_type"] == "response"
+    assert bytes(back.loc["http://a.test/1", "body"]) == b"hello world CHANGED"
+    for u in ("http://a.test/2", "http://b.test/3", "http://b.test/4"):
+        assert back.loc[u, "warc_type"] == "revisit"
+        assert bytes(back.loc[u, "body"]) == b""  # payload not re-stored
+        # digest still identifies the unchanged payload (matches crawl 1)
+        assert back.loc[u, "digest"] == idx1_pd.set_index("url").loc[u, "digest"]
+    # storage actually shrank: revisit members are ~header-sized
+    big = idx1_pd.set_index("url").loc["http://b.test/4", "length"]
+    small_len = idx2.set_index("url").loc["http://b.test/4", "length"]
+    assert small_len < big / 5
