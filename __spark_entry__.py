@@ -2136,6 +2136,61 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_revalidate_crawl(spark, sf_dir):
+    """HTTP conditional revalidation end-to-end (CrawlOptions.revalidate —
+    beyond-reference recrawl efficiency; fetch.py resolve_validated +
+    crawl.py validator join): crawl 40 pages, then force-recrawl with
+    validators after every 5th page's content changed at the origin.
+    Unchanged pages must answer 304 with no body re-transfer (the fixture
+    origin's ETag is md5(body), a pure function of the page); changed
+    pages refetch in full. The SQL oracle re-derives the expected
+    (status, body_stored) per URL from the change predicate alone, so the
+    validator storage, the latest-per-key max_by join, the conditional
+    transport, and the 304 fetch path must all compose exactly."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    urls = [f"http://site{i}.test/page/{i}" for i in range(40)]
+    workdir = tempfile.mkdtemp(prefix="sinew_q_reval_")
+    try:
+        c1 = Crawler(
+            spark, workdir, FixtureFetcher(seed=42), CrawlOptions(retries=0)
+        )
+        c1.seed(urls)
+        c1.run_round()
+
+        changed = {
+            u: f"<html><body>changed {i}</body></html>"
+            for i, u in enumerate(urls)
+            if i % 5 == 0
+        }
+        c2 = Crawler(
+            spark,
+            workdir,
+            FixtureFetcher(seed=42, extra_pages=changed),
+            CrawlOptions(retries=0, force=True, revalidate=True),
+        )
+        c2.seed(urls)
+        stats = c2.run_round()
+        rows = (
+            c2.fetched_t.read()
+            .where(F.col("round") == stats["round"])
+            .select(
+                F.col("canonical_url").alias("url"),
+                F.col("status").cast("int").alias("status"),
+                F.col("resp_body").isNotNull().alias("body_stored"),
+            )
+            .orderBy("url")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "url string, status int, body_stored boolean")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_json_extract(spark, sf_dir):
     """P4/P5: JSON body parse + mash dotted access — get_json_object over
     the raw body via the engine's row_project ('json' column spec,
@@ -2403,9 +2458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's size-bounded correctness sample
     # (prefix-stable 50 in rounds 1-3): never-driver-sampled queries come
     # FIRST (22), then the former r1 reds fixed-but-unconfirmed (3), then
-    # queries last green in r1/r2 only (16), then r3-green queries whose
-    # code round 4 touched (9) -- so slot 50 ends exactly at the highest-
-    # information boundary. Remaining 41 are all r3-green and unchanged.
+    # queries last green in r1/r2 only (15 — local_supplier_volume, pure
+    # relational and lowest-risk, yielded its slot to the new
+    # revalidate_crawl), then r3-green queries whose code round 4 touched
+    # (9 incl. revalidate_crawl) -- so slot 50 ends exactly at the
+    # highest-information boundary. Remaining 44 are r3-green/unchanged
+    # or low-risk.
         "cookie_scope": q_cookie_scope,
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_dedup": q_streaming_dedup,
@@ -2436,7 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emit_seq": q_emit_seq,
         "force_errors": q_force_errors,
         "frontier_setops": q_frontier_setops,
-        "local_supplier_volume": q_local_supplier_volume,
+        "revalidate_crawl": q_revalidate_crawl,
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_framesample": q_multimodal_framesample,
         "multimodal_resize": q_multimodal_resize,
@@ -2457,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_host_cap": q_per_host_cap,
         "warc_roundtrip": q_warc_roundtrip,
         # --- end of the 50-slot driver-sample prefix ---
+        "local_supplier_volume": q_local_supplier_volume,
         "robots_longest_match": q_robots_longest_match,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "canonicalize_urls": q_canonicalize_urls,
@@ -3251,6 +3310,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes, "
             "'sha256:' || sha256(COALESCE(text, '')) AS digest "
             "FROM documents WHERE doc_id < 2000 ORDER BY url"
+        ),
+        # conditional revalidation: expected per-URL outcome re-derived
+        # from the change predicate alone (i % 5 == 0 changed -> full 200
+        # refetch with body; else 304, no body stored)
+        "revalidate_crawl": (
+            "SELECT 'http://site' || CAST(i AS VARCHAR) || '.test/page/' "
+            "|| CAST(i AS VARCHAR) AS url, "
+            "CAST(CASE WHEN i % 5 = 0 THEN 200 ELSE 304 END AS INTEGER) AS status, "
+            "(i % 5 = 0) AS body_stored "
+            "FROM generate_series(0, 39) t(i) ORDER BY url"
         ),
         # REP precedence replayed generically: rule join + MAX matched-
         # prefix length per type; allowed = best_allow >= best_disallow

@@ -85,6 +85,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("selected", T.LongType()),
         T.StructField("fetched", T.LongType()),
         T.StructField("errors", T.LongType()),
+        T.StructField("not_modified", T.LongType()),  # 304 revalidations
         T.StructField("new_links", T.LongType()),
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("ts", T.DoubleType()),
@@ -114,7 +115,9 @@ class _DocumentsView:
 
     @staticmethod
     def _project(df: DataFrame) -> DataFrame:
-        return df.select(
+        # a 304 revalidation is not a new document (the body never came
+        # over the wire) — the prior round's row is still the document
+        return df.where(F.coalesce(F.col("status"), F.lit(0)) != 304).select(
             F.col("canonical_url").alias("doc_id"),
             "final_url", "status", "content_type", "seq", "depth",
             "spans", "links", "round",
@@ -144,6 +147,14 @@ class CrawlOptions:
     expires: float | None = None
     force: bool = False
     force_errors: bool = False
+    # HTTP revalidation on recrawl (force/force_errors/expires modes):
+    # re-offered pages send their stored validators (If-None-Match /
+    # If-Modified-Since); a 304 answer refreshes seen/TTL state without
+    # body transfer or re-parse. The reference can't do this (httpdisk
+    # serves stale or refetches whole); at the 10^10-URL design point a
+    # TTL recrawl's bandwidth is dominated by unchanged pages, and this
+    # plus the WARC revisit sink makes recrawl cost track CHANGE rate.
+    revalidate: bool = False
     ignore_params: tuple = ()
     url_prefix: str | None = None
     params: dict = field(default_factory=dict)
@@ -450,6 +461,34 @@ class Crawler:
                 .drop("site")
             )
 
+        # 4.6: conditional-revalidation validators. Only recrawl modes can
+        # re-offer a seen key, so the join exists only there. The validator
+        # side is a 3-column pruned scan of fetched history (etag-bearing
+        # rows only) reduced to latest-per-key — O(corpus) once per round,
+        # which a recrawl round already is; the payoff is that every
+        # unchanged page then costs a ~200-byte 304 instead of body
+        # transfer + re-parse. Keyed on the request-identity hash, same
+        # hash the frontier is already partitioned by.
+        validators = None
+        if (
+            self.opts.revalidate
+            and semantic
+            and self.fetched_t.current_snapshot() is not None
+        ):
+            validators = (
+                self.fetched_t.read()
+                .where(
+                    F.col("etag").isNotNull() | F.col("last_modified").isNotNull()
+                )
+                .groupBy("key")
+                .agg(
+                    F.max_by(
+                        F.struct("etag", "last_modified"), "fetched_at"
+                    ).alias("v")
+                )
+                .select("key", "v.etag", "v.last_modified")
+            )
+
         # 5. fetch + parse, FUSED into one UDF pass (one Arrow crossing; the
         # body never re-enters Python just to be parsed). The whole
         # dedup->cap->fetch->parse pipeline materializes exactly ONCE — at
@@ -465,6 +504,7 @@ class Crawler:
             proxies=list(self.opts.proxies),
             parse=True,
             host_delays=self.crawl_delays,
+            validators=validators,
         )
 
         # 6. commit fetched + seen (including one entry per redirect hop,
@@ -490,6 +530,7 @@ class Crawler:
         st = fetched.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(err_cond, 1).otherwise(0)).alias("errors"),
+            F.sum(F.when(F.col("status") == 304, 1).otherwise(0)).alias("nm"),
             F.sum(
                 F.when(F.coalesce(F.size("hops"), F.lit(0)) > 0, 1).otherwise(0)
             ).alias("hop_rows"),
@@ -571,12 +612,17 @@ class Crawler:
             sr = sd.agg(
                 F.sum(F.when(direct, 1).otherwise(0)).alias("n"),
                 F.sum(F.when(direct & err_cond, 1).otherwise(0)).alias("errors"),
+                F.sum(
+                    F.when(direct & (F.col("status") == 304), 1).otherwise(0)
+                ).alias("nm"),
             ).collect()[0]
             n_selected = int(sr.n or 0)
             n_errors = int(sr.errors or 0)
+            n_not_modified = int(sr.nm or 0)
         else:
             n_selected = int(st.n)
             n_errors = int(st.errors or 0)
+            n_not_modified = int(st.nm or 0)
         n_fetched = n_selected
         if n_selected == 0:
             return {"round": rnd, "selected": 0, "done": True}
@@ -745,6 +791,7 @@ class Crawler:
             "selected": n_selected,
             "fetched": n_fetched,
             "errors": n_errors,
+            "not_modified": n_not_modified,
             "new_links": n_new_links,
             "duration_sec": dur,
             "ts": time.time(),

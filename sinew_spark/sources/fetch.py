@@ -53,6 +53,10 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("fetched_at", T.DoubleType()),
         T.StructField("proxy", T.StringType()),
         T.StructField("cookies", T.StringType()),  # JSON jar state after this request (C11)
+        # HTTP validators from the response (conditional revalidation):
+        # status == 304 marks a not-modified revisit (body not re-transferred)
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
     ]
 )
 
@@ -86,6 +90,47 @@ class Fetcher:
         cookie-oblivious delegation.
         -> (status, content_type, body, redirect_to, cookies_after)."""
         return (*self.resolve(url, method, body, attempt), cookies)
+
+    def resolve_validated(
+        self, url: str, method: str, body: str, attempt: int, cookies: dict,
+        proxy: str | None = None, etag: str | None = None,
+        last_modified: str | None = None,
+    ) -> tuple:
+        """Conditional-request transport (HTTP revalidation). ``etag`` /
+        ``last_modified`` are the validators the engine stored from a prior
+        fetch of this URL; a supporting transport sends them as
+        If-None-Match / If-Modified-Since and may answer (304, ct, None,
+        None, ...) when the origin says not-modified — the recrawl-scale
+        bandwidth saver (an unchanged page costs ~200 bytes, no body
+        transfer, no re-parse). The last two return slots are the
+        validators of THIS response (None if the origin sent none).
+
+        Default: delegates to resolve_with_cookies with no validator
+        support (never 304s, returns no validators) — user Fetcher
+        subclasses that predate this contract keep working, including ones
+        whose resolve_with_cookies lacks the ``proxy`` kwarg (sniffed once
+        and cached on the instance).
+        -> (status, content_type, body, redirect_to, cookies_after,
+            etag_out, last_modified_out)."""
+        takes_proxy = getattr(self, "_takes_proxy", None)
+        if takes_proxy is None:
+            import inspect
+
+            try:
+                takes_proxy = (
+                    "proxy" in inspect.signature(self.resolve_with_cookies).parameters
+                )
+            except (TypeError, ValueError):
+                takes_proxy = False
+            try:
+                self._takes_proxy = takes_proxy
+            except Exception:
+                pass
+        if takes_proxy:
+            r = self.resolve_with_cookies(url, method, body, attempt, cookies, proxy=proxy)
+        else:
+            r = self.resolve_with_cookies(url, method, body, attempt, cookies)
+        return (*r, None, None)
 
 
 class FixtureFetcher(Fetcher):
@@ -165,6 +210,26 @@ class FixtureFetcher(Fetcher):
             return (200, "application/json", _json.dumps({"cookies": cookies}, sort_keys=True), None, cookies)
         return (*self.resolve(url, method, body, attempt), cookies)
 
+    def resolve_validated(
+        self, url, method, body, attempt, cookies, proxy=None, etag=None,
+        last_modified=None,
+    ):
+        """Deterministic revalidation: every 200 response carries a strong
+        ETag = md5(body) (a pure function of the page, so replay-stable);
+        a request presenting that ETag gets 304 with no body — exactly the
+        origin-side behavior a validator-aware recrawl exploits."""
+        import hashlib as _h
+
+        status, ct, resp_body, redirect, after = self.resolve_with_cookies(
+            url, method, body, attempt, cookies, proxy=proxy
+        )
+        if status != 200 or resp_body is None:
+            return (status, ct, resp_body, redirect, after, None, None)
+        cur = '"' + _h.md5(resp_body.encode("utf-8", "replace")).hexdigest() + '"'
+        if etag is not None and etag == cur:
+            return (304, ct, None, None, after, cur, None)
+        return (status, ct, resp_body, redirect, after, cur, None)
+
 
 class HttpFetcher(Fetcher):
     """Real-network transport via urllib (used only outside tests/bench; the
@@ -183,7 +248,7 @@ class HttpFetcher(Fetcher):
         self.insecure = insecure
 
     def resolve(self, url, method, body, attempt):
-        status, ct, text, redirect, _set = self._request(url, method, body, None)
+        status, ct, text, redirect, _set, _e, _lm = self._request(url, method, body, None)
         return (status, ct, text, redirect)
 
     def resolve_with_cookies(self, url, method, body, attempt, cookies, proxy=None):
@@ -192,6 +257,21 @@ class HttpFetcher(Fetcher):
         attribute-carrying dict entries per the transport contract (the
         engine's RFC 6265 jar does the scoping/expiry). The rotation-
         selected ``proxy`` routes the request (C10, base.rb:178-184)."""
+        s, ct, text, redirect, after, _e, _lm = self.resolve_validated(
+            url, method, body, attempt, cookies, proxy=proxy
+        )
+        return (s, ct, text, redirect, after)
+
+    def resolve_validated(
+        self, url, method, body, attempt, cookies, proxy=None, etag=None,
+        last_modified=None,
+    ):
+        """Real-network conditional request: prior validators go out as
+        If-None-Match / If-Modified-Since; the origin's 304 comes back as
+        status 304 with no body, and the response's ETag / Last-Modified
+        headers are returned for the engine to store for the NEXT
+        revalidation (RFC 9110 §13.1; the recrawl analog of httpdisk's
+        cache, which the reference can't do because it never revalidates)."""
         import time as _t
 
         from sinew_spark.functions.cookies import (
@@ -200,8 +280,9 @@ class HttpFetcher(Fetcher):
         )
 
         hdr = cookie_header(cookies) if cookies else None
-        status, ct, text, redirect, set_cookies = self._request(
-            url, method, body, hdr, proxy=proxy
+        status, ct, text, redirect, set_cookies, etag_out, lm_out = self._request(
+            url, method, body, hdr, proxy=proxy, etag=etag,
+            last_modified=last_modified,
         )
         after = dict(cookies)
         now = _t.time()
@@ -209,7 +290,7 @@ class HttpFetcher(Fetcher):
             parsed = parse_set_cookie_header(sc, now=now)
             if parsed is not None:
                 after[parsed[0]] = parsed[1]
-        return (status, ct, text, redirect, after)
+        return (status, ct, text, redirect, after, etag_out, lm_out)
 
     @staticmethod
     def _decode_body(raw: bytes, headers) -> bytes:
@@ -233,13 +314,18 @@ class HttpFetcher(Fetcher):
             return raw
         return raw
 
-    def _request(self, url, method, body, cookie_hdr, proxy=None):
+    def _request(self, url, method, body, cookie_hdr, proxy=None, etag=None,
+                 last_modified=None):
         import urllib.error
         import urllib.request
 
         headers = dict(self.headers)
         if cookie_hdr:
             headers["Cookie"] = cookie_hdr
+        if etag:
+            headers["If-None-Match"] = etag
+        if last_modified:
+            headers["If-Modified-Since"] = last_modified
         # negotiate compression unless the caller pinned their own value
         # (faraday-encoding parity — the reference stack decompresses
         # transparently; identity-only costs full transfer bytes)
@@ -275,19 +361,29 @@ class HttpFetcher(Fetcher):
                 charset = resp.headers.get_content_charset() or "utf-8"
                 raw = self._decode_body(resp.read(), resp.headers)
                 text = raw.decode(charset, errors="replace").replace("�", "?")
-                return (resp.status, ct, text, None, resp.headers.get_all("Set-Cookie") or [])
+                return (
+                    resp.status, ct, text, None,
+                    resp.headers.get_all("Set-Cookie") or [],
+                    resp.headers.get("ETag"), resp.headers.get("Last-Modified"),
+                )
         except urllib.error.HTTPError as e:
             set_c = e.headers.get_all("Set-Cookie") or [] if e.headers else []
+            e_tag = e.headers.get("ETag") if e.headers else None
+            e_lm = e.headers.get("Last-Modified") if e.headers else None
+            if e.code == 304:
+                # not modified: no body came over the wire; the validators
+                # (if re-sent by the origin) refresh the stored ones
+                return (304, "", None, None, set_c, e_tag, e_lm)
             if e.code in (301, 302, 303, 307, 308):
-                return (e.code, "", "", e.headers.get("Location"), set_c)
-            return (e.code, "", "", None, set_c)
+                return (e.code, "", "", e.headers.get("Location"), set_c, e_tag, e_lm)
+            return (e.code, "", "", None, set_c, e_tag, e_lm)
         except Exception as e:  # timeout, conn refused, ...
-            return (-1, "", str(e), None, [])
+            return (-1, "", str(e), None, [], None, None)
 
 
 def _fetch_one(
     fetcher: Fetcher, url, method, body, retries, rate_limit, backoff_base=0.01,
-    cookies=None, proxy=None,
+    cookies=None, proxy=None, etag=None, last_modified=None,
 ):
     """One request: retry loop around a redirect-following loop; the cookie
     jar threads through hops and attempts (C11, base.rb:204-211) with RFC
@@ -297,40 +393,37 @@ def _fetch_one(
     response cookies fold back with domain/path/expiry semantics
     (functions/cookies.py). ``cookies`` is a normalized scoped jar
     ({(domain, path, name): record}); returns it updated. ``proxy`` is the
-    rotation-selected proxy for this request — threaded to transports that
-    accept it (C10; fixture transports may not).
+    rotation-selected proxy for this request — threaded via the
+    resolve_validated transport entry (C10; the base delegation sniffs
+    legacy resolve_with_cookies signatures). ``etag``/``last_modified``
+    are prior validators for the SEED url — sent on the first hop of each
+    attempt only (a redirect target is a different resource). A 304
+    answer is success.
     Returns (status, content_type, resp_body, final_url, n_attempts, hops,
-    error, jar_after, jar_changed) — jar_changed marks rows that actually
-    set/deleted cookies, the only rows that re-persist the jar."""
+    error, jar_after, jar_changed, etag_out, lm_out) — jar_changed marks
+    rows that actually set/deleted cookies (the only rows that re-persist
+    the jar); etag_out/lm_out are the FINAL response's validators, for the
+    next revalidation."""
     from urllib.parse import urljoin, urlsplit
 
     from sinew_spark.functions.cookies import apply_response_cookies, cookies_for
-
-    # does this transport accept the proxy kwarg? (cached on the instance —
-    # user-supplied Fetcher subclasses may predate the C10 contract)
-    takes_proxy = getattr(fetcher, "_takes_proxy", None)
-    if takes_proxy is None:
-        import inspect
-
-        try:
-            takes_proxy = (
-                "proxy" in inspect.signature(fetcher.resolve_with_cookies).parameters
-            )
-        except (TypeError, ValueError):
-            takes_proxy = False
-        try:
-            fetcher._takes_proxy = takes_proxy
-        except Exception:
-            pass
 
     n_attempts = 0
     hops: list[str] = []
     jar = cookies if cookies is not None else {}
     jar_changed = False
     status, ct, resp_body, final_url, error = None, None, None, url, None
+    etag_out, lm_out = None, None
 
-    def _do(cur, m, b, attempt):
-        nonlocal jar_changed
+    # duck-typed transports (objects exposing only resolve_with_cookies /
+    # resolve, without subclassing Fetcher) get the base delegation
+    resolve_validated = getattr(fetcher, "resolve_validated", None)
+    if resolve_validated is None:
+        def resolve_validated(*a, **k):
+            return Fetcher.resolve_validated(fetcher, *a, **k)
+
+    def _do(cur, m, b, attempt, first_hop):
+        nonlocal jar_changed, etag_out, lm_out
         parts = urlsplit(cur)
         host = (parts.hostname or "").lower()
         req_path = parts.path or "/"
@@ -338,14 +431,14 @@ def _fetch_one(
         sent = cookies_for(
             jar, host, req_path, now, secure=(parts.scheme or "").lower() == "https"
         )
-        if takes_proxy:
-            status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
-                cur, m, b, attempt, sent, proxy=proxy
+        status, ct, resp_body, redirect, after, e_out, l_out = (
+            resolve_validated(
+                cur, m, b, attempt, sent, proxy=proxy,
+                etag=etag if first_hop else None,
+                last_modified=last_modified if first_hop else None,
             )
-        else:
-            status, ct, resp_body, redirect, after = fetcher.resolve_with_cookies(
-                cur, m, b, attempt, sent
-            )
+        )
+        etag_out, lm_out = e_out, l_out
         jar_changed |= apply_response_cookies(jar, sent, after, host, req_path, now)
         return status, ct, resp_body, redirect
 
@@ -353,14 +446,14 @@ def _fetch_one(
         n_attempts += 1
         cur, cur_method, cur_body = url, method, body
         hops = []
-        status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt)
+        status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt, True)
         hop_count = 0
         while redirect is not None and hop_count < MAX_REDIRECT_HOPS:
             hops.append(cur)
             cur = urljoin(cur, redirect)
             cur_method, cur_body = "GET", ""  # 302 => GET, like faraday follow_redirects
             hop_count += 1
-            status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt)
+            status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt, False)
         final_url = cur
         if status is not None and (200 <= status < 500):
             error = None
@@ -369,7 +462,8 @@ def _fetch_one(
         if attempt < retries:
             # backoff capped at rate_limit (reference base.rb:233)
             time.sleep(min(rate_limit, backoff_base * (2**attempt)))
-    return status, ct, resp_body, final_url, n_attempts, hops, error, jar, jar_changed
+    return (status, ct, resp_body, final_url, n_attempts, hops, error, jar,
+            jar_changed, etag_out, lm_out)
 
 
 FETCH_PARSED_SCHEMA = T.StructType(
@@ -434,11 +528,12 @@ def make_fetch_fn(
         out = {
             "status": [], "content_type": [], "resp_body": [], "final_url": [],
             "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
-            "cookies": [],
+            "cookies": [], "etag": [], "last_modified": [],
         }
         if parse:
             out["spans"] = []
             out["links"] = []
+        has_validators = "prior_etag" in pdf.columns
         first = True
         for row in pdf.itertuples(index=False):
             if not first and effective > 0:
@@ -446,9 +541,18 @@ def make_fetch_fn(
             first = False
             # deterministic proxy rotation (replayable, unlike reference's rand)
             proxy = proxies[row.key % len(proxies)] if proxies else None
-            status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
+            p_etag = p_lm = None
+            if has_validators:
+                p_etag = row.prior_etag if isinstance(row.prior_etag, str) else None
+                p_lm = (
+                    row.prior_last_modified
+                    if isinstance(row.prior_last_modified, str)
+                    else None
+                )
+            (status, ct, body, final_url, n_att, hops, error, jar, jar_chg,
+             e_out, lm_out) = _fetch_one(
                 fetcher, row.url, row.method or "GET", row.body or "", retries, effective,
-                cookies=jar, proxy=proxy,
+                cookies=jar, proxy=proxy, etag=p_etag, last_modified=p_lm,
             )
             out["status"].append(status)
             out["content_type"].append(ct)
@@ -462,6 +566,8 @@ def make_fetch_fn(
             out["cookies"].append(
                 dump_jar(own_records(jar, group_host)) if jar_chg else None
             )
+            out["etag"].append(e_out)
+            out["last_modified"].append(lm_out)
             if parse:
                 ok = status is not None and 200 <= status < 400 and body
                 if ok:
@@ -479,7 +585,12 @@ def make_fetch_fn(
                     out["spans"].append([])
                     out["links"].append([])
         pdf = pdf.drop(
-            columns=[c for c in ("host_cookies", "host_delay") if c in pdf.columns]
+            columns=[
+                c
+                for c in ("host_cookies", "host_delay", "prior_etag",
+                          "prior_last_modified")
+                if c in pdf.columns
+            ]
         )
         for c, v in out.items():
             pdf[c] = v
@@ -522,9 +633,12 @@ def make_fetch_arrow_fn(
             d = rb.to_pydict()
             n = len(d["url"])
             host_cookies = d.get("host_cookies", [None] * n)
+            prior_etag = d.get("prior_etag", [None] * n)
+            prior_lm = d.get("prior_last_modified", [None] * n)
             jars: dict = {}  # per-host jar threading within this batch (C11)
             status_c, ct_c, body_c, final_c = [], [], [], []
             natt_c, hops_c, err_c, ts_c, proxy_c, cookies_c = [], [], [], [], [], []
+            etag_c, lm_c = [], []
             spans_c, links_c = [], []
             first = True
             for i in range(n):
@@ -535,9 +649,11 @@ def make_fetch_arrow_fn(
                 if host not in jars:
                     jars[host] = normalize_jar(host_cookies[i], host)
                 proxy = proxies[key % len(proxies)] if proxies else None
-                status, ct, body, final_url, n_att, hops, error, jar, jar_chg = _fetch_one(
+                (status, ct, body, final_url, n_att, hops, error, jar, jar_chg,
+                 e_out, lm_out) = _fetch_one(
                     fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
-                    cookies=jars[host], proxy=proxy,
+                    cookies=jars[host], proxy=proxy, etag=prior_etag[i],
+                    last_modified=prior_lm[i],
                 )
                 jars[host] = jar
                 status_c.append(status)
@@ -552,6 +668,8 @@ def make_fetch_arrow_fn(
                 cookies_c.append(
                     dump_jar(own_records(jar, host)) if jar_chg else None
                 )
+                etag_c.append(e_out)
+                lm_c.append(lm_out)
                 if parse:
                     if status is not None and 200 <= status < 400 and body:
                         spans, links = extract_spans_and_links(
@@ -583,6 +701,8 @@ def make_fetch_arrow_fn(
                 pa.array(ts_c, type=pa.float64()),
                 pa.array(proxy_c, type=pa.string()),
                 pa.array(cookies_c, type=pa.string()),
+                pa.array(etag_c, type=pa.string()),
+                pa.array(lm_c, type=pa.string()),
             ]
             if parse:
                 cols += [
@@ -602,6 +722,7 @@ def fetch_rows(
     proxies: list[str] | None = None,
     parse: bool = False,
     host_delays: DataFrame | None = None,
+    validators: DataFrame | None = None,
 ) -> DataFrame:
     """Run the fetch stage.
 
@@ -622,6 +743,13 @@ def fetch_rows(
     the grouped path (delayed hosts need in-task serialization even when
     the global limit is 0).
 
+    validators: optional (key, etag, last_modified) table of prior-fetch
+    HTTP validators (conditional revalidation). Equi-joined on key — the
+    same hash partitioning the frontier already has, so in the unpaced
+    path the join co-locates with the dedup shuffle; a small validator
+    side broadcasts under AQE. Rows with a validator send If-None-Match /
+    If-Modified-Since; a 304 answer costs no body transfer and no parse.
+
     Input columns: key, url, canonical_url, method, body, priority, depth,
     seq, attempt, host. Output: FETCHED_SCHEMA.
     """
@@ -634,6 +762,16 @@ def fetch_rows(
             "host",
             "left",
         )
+    if validators is not None:
+        frontier = frontier.join(
+            validators.select(
+                "key",
+                F.col("etag").alias("prior_etag"),
+                F.col("last_modified").alias("prior_last_modified"),
+            ),
+            "key",
+            "left",
+        )
     if rate_limit > 0 or host_delays is not None:
         fn = make_fetch_fn(fetcher, rate_limit, retries, proxies, parse=parse)
         return frontier.groupBy("host").applyInPandas(fn, schema)
@@ -641,5 +779,7 @@ def fetch_rows(
     cols = [f.name for f in FRONTIER_ORDER]
     if "host_cookies" in frontier.columns:
         cols.append("host_cookies")
+    if "prior_etag" in frontier.columns:
+        cols += ["prior_etag", "prior_last_modified"]
     afn = make_fetch_arrow_fn(fetcher, rate_limit, retries, proxies, parse=parse)
     return frontier.select(cols).mapInArrow(afn, schema)

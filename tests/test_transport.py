@@ -67,6 +67,21 @@ class _Recorder(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/etag":
+            # conditional GET: strong validator; 304 when it matches
+            if self.headers.get("If-None-Match") == '"v1"':
+                self.send_response(304)
+                self.send_header("ETag", '"v1"')
+                self.end_headers()
+                return
+            body = b"fresh content"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("ETag", '"v1"')
+            self.send_header("Last-Modified", "Mon, 01 Jan 2024 00:00:00 GMT")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path == "/setsecure":
             body = b"set"
             self.send_response(200)
@@ -107,7 +122,7 @@ def test_proxy_is_actually_routed(loopback):
     host, so only real ProxyHandler routing can succeed."""
     proxy_url, seen = loopback
     f = HttpFetcher(timeout=5.0)
-    status, ct, text, redirect, _sc = f._request(
+    status, ct, text, redirect, _sc, _e, _lm = f._request(
         "http://origin-that-does-not-resolve.invalid/proxied",
         "GET", "", None, proxy=proxy_url,
     )
@@ -122,7 +137,7 @@ def test_proxy_is_actually_routed(loopback):
 def test_no_proxy_goes_direct(loopback):
     base, seen = loopback
     f = HttpFetcher(timeout=5.0)
-    status, _ct, text, _r, _sc = f._request(base + "/direct", "GET", "", None)
+    status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/direct", "GET", "", None)
     assert status == 200 and text == "plain"
     assert seen[0]["path"] == "/direct"  # origin-form: no proxy in the path
 
@@ -132,7 +147,7 @@ def test_fetch_one_threads_proxy_to_transport(loopback):
     the transport — end-to-end through resolve_with_cookies."""
     proxy_url, seen = loopback
     f = HttpFetcher(timeout=5.0)
-    status, ct, body, final_url, n_att, hops, err, jar, chg = _fetch_one(
+    status, ct, body, final_url, n_att, hops, err, jar, chg, _e, _lm = _fetch_one(
         f, "http://unresolvable-origin.invalid/proxied", "GET", "", 0, 0.0,
         proxy=proxy_url,
     )
@@ -157,7 +172,7 @@ def test_fetch_one_without_proxy_kwarg_transport():
 def test_gzip_negotiated_and_decoded(loopback):
     base, seen = loopback
     f = HttpFetcher(timeout=5.0)
-    status, _ct, text, _r, _sc = f._request(base + "/gz", "GET", "", None)
+    status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/gz", "GET", "", None)
     assert status == 200 and text == "hello gzip é"
     assert "gzip" in seen[0]["headers"].get("accept-encoding", "")
 
@@ -165,14 +180,14 @@ def test_gzip_negotiated_and_decoded(loopback):
 def test_deflate_decoded(loopback):
     base, _seen = loopback
     f = HttpFetcher(timeout=5.0)
-    status, _ct, text, _r, _sc = f._request(base + "/deflate", "GET", "", None)
+    status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/deflate", "GET", "", None)
     assert status == 200 and text == "hello deflate"
 
 
 def test_caller_pinned_accept_encoding_wins(loopback):
     base, seen = loopback
     f = HttpFetcher(timeout=5.0, headers={"Accept-Encoding": "identity"})
-    status, _ct, _text, _r, _sc = f._request(base + "/direct", "GET", "", None)
+    status, _ct, _text, _r, _sc, _e, _lm = f._request(base + "/direct", "GET", "", None)
     assert status == 200
     assert seen[0]["headers"]["accept-encoding"] == "identity"
 
@@ -203,6 +218,63 @@ def test_secure_cookie_not_replayed_over_http(loopback):
     _fetch_one(f, base + "/direct", "GET", "", 0, 0.0, cookies=jar)
     sent = seen[0]["headers"].get("cookie", "")
     assert "plain=ok" in sent and "sid" not in sent
+
+
+def test_conditional_get_roundtrip(loopback):
+    """Real-network revalidation: first fetch stores the validators; a
+    refetch presenting them gets 304 with no body transfer (RFC 9110
+    §13.1) — the recrawl-scale bandwidth saver."""
+    base, seen = loopback
+    f = HttpFetcher(timeout=5.0)
+    (status, _ct, body, _fu, _n, _h, err, _jar, _chg, etag, lm) = _fetch_one(
+        f, base + "/etag", "GET", "", 0, 0.0
+    )
+    assert status == 200 and body == "fresh content" and err is None
+    assert etag == '"v1"' and lm == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert "if-none-match" not in seen[0]["headers"]
+
+    seen.clear()
+    (status, _ct, body, _fu, _n, _h, err, _jar, _chg, etag2, _lm2) = _fetch_one(
+        f, base + "/etag", "GET", "", 0, 0.0, etag=etag, last_modified=lm
+    )
+    assert status == 304 and body is None and err is None
+    assert etag2 == '"v1"'  # origin re-sent it; stored for next time
+    assert seen[0]["headers"]["if-none-match"] == '"v1"'
+    assert seen[0]["headers"]["if-modified-since"] == lm
+
+
+def test_conditional_get_mismatch_refetches(loopback):
+    """A stale validator (content changed) falls through to a full 200."""
+    base, seen = loopback
+    f = HttpFetcher(timeout=5.0)
+    (status, _ct, body, *_rest) = _fetch_one(
+        f, base + "/etag", "GET", "", 0, 0.0, etag='"stale"'
+    )
+    assert status == 200 and body == "fresh content"
+    assert seen[0]["headers"]["if-none-match"] == '"stale"'
+
+
+def test_fixture_fetcher_304_on_matching_etag():
+    """FixtureFetcher's deterministic validator: ETag = md5(body); a
+    matching conditional request answers 304 with no body."""
+    import hashlib
+
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    f = FixtureFetcher(seed=42, synthetic=True, synthetic_links=2)
+    url = "http://h0.synth.test/p/1"
+    (status, _ct, body, _fu, _n, _h, err, _jar, _chg, etag, _lm) = _fetch_one(
+        f, url, "GET", "", 0, 0.0
+    )
+    assert status == 200 and err is None
+    assert etag == '"' + hashlib.md5(body.encode()).hexdigest() + '"'
+    (status2, _ct2, body2, _fu2, _n2, _h2, _e2, _j2, _c2, etag2, _lm2) = _fetch_one(
+        f, url, "GET", "", 0, 0.0, etag=etag
+    )
+    assert status2 == 304 and body2 is None and etag2 == etag
+    # different validator -> full response again
+    (status3, _ct3, body3, *_r3) = _fetch_one(f, url, "GET", "", 0, 0.0, etag='"x"')
+    assert status3 == 200 and body3 == body
 
 
 def test_cookies_for_secure_gate_unit():
