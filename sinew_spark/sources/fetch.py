@@ -138,13 +138,19 @@ class FixtureFetcher(Fetcher):
     host -> k: return 500 for the first k-1 attempts then succeed (models
     webmock retry tests, /root/reference/test/test_base.rb:57-61)."""
 
-    def __init__(self, seed: int = 42, extra_pages: dict | None = None, flaky: dict | None = None, synthetic: bool = False, synthetic_links: int = 8, synthetic_hosts: int = 1000):
+    def __init__(self, seed: int = 42, extra_pages: dict | None = None, flaky: dict | None = None, synthetic: bool = False, synthetic_links: int = 8, synthetic_hosts: int = 1000, synthetic_epoch: int = 0, synthetic_change_frac: float = 0.0):
         self.seed = seed
         self.extra_pages = extra_pages or {}
         self.flaky = flaky or {}
         self.synthetic = synthetic
         self.synthetic_links = synthetic_links
         self.synthetic_hosts = synthetic_hosts
+        # deterministic content churn for recrawl benchmarks: at epoch e>0
+        # a stable change_frac of URLs (keyed on sha256(url)) serve a body
+        # generated from a different seed — the origin "changed" exactly
+        # that fraction of its pages since epoch 0
+        self.synthetic_epoch = synthetic_epoch
+        self.synthetic_change_frac = synthetic_change_frac
         self._web = None  # built lazily on the executor
 
     def _ensure(self):
@@ -161,12 +167,19 @@ class FixtureFetcher(Fetcher):
         if host in self.flaky and attempt < self.flaky[host] - 1:
             return (500, "text/plain", "flaky", None)
         if self.synthetic:
+            import hashlib as _h
+
             from sinew_spark.sources.web_fixture import synthetic_body
 
+            seed = self.seed
+            if self.synthetic_epoch and self.synthetic_change_frac > 0:
+                hv = int(_h.sha256(f"chg|{url}".encode()).hexdigest()[:8], 16)
+                if hv % 10000 < int(self.synthetic_change_frac * 10000):
+                    seed = self.seed + 1000003 * self.synthetic_epoch
             return (
                 200,
                 "text/html",
-                synthetic_body(url, self.seed, self.synthetic_links, self.synthetic_hosts),
+                synthetic_body(url, seed, self.synthetic_links, self.synthetic_hosts),
                 None,
             )
         return self._web.resolve(url, method, body)

@@ -106,6 +106,29 @@ def test_revalidate_off_by_default(spark, first_crawl):
     assert rnd2.where(F.col("status") == 200).count() == len(URLS)
 
 
+def test_synthetic_epoch_churn_deterministic():
+    """FixtureFetcher.synthetic_epoch: a stable ~frac of URLs change body
+    between epoch 0 and epoch 1; the rest are byte-identical (the recrawl
+    bench's deterministic origin churn)."""
+    f0 = FixtureFetcher(seed=42, synthetic=True)
+    f1 = FixtureFetcher(seed=42, synthetic=True, synthetic_epoch=1,
+                        synthetic_change_frac=0.1)
+    urls = [f"http://h{i % 50}.test/p/{i}" for i in range(2000)]
+    changed = [
+        u for u in urls
+        if f0.resolve(u, "GET", "", 0)[2] != f1.resolve(u, "GET", "", 0)[2]
+    ]
+    assert 120 < len(changed) < 280  # ~10% +/- sampling noise
+    # determinism: same fetcher params -> same changed set
+    f1b = FixtureFetcher(seed=42, synthetic=True, synthetic_epoch=1,
+                         synthetic_change_frac=0.1)
+    changed_b = [
+        u for u in urls
+        if f0.resolve(u, "GET", "", 0)[2] != f1b.resolve(u, "GET", "", 0)[2]
+    ]
+    assert changed == changed_b
+
+
 def test_validator_refresh_uses_latest(spark, tmp_path):
     """After content changes once (round 2 refetch), round 3 revalidates
     against the NEW etag and 304s again — max_by(fetched_at) picks the
