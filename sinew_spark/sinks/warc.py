@@ -114,6 +114,98 @@ def _record_bytes(
     return headers + http + b"\r\n\r\n", digest
 
 
+def _conversion_bytes(url: str, date_iso: str, text: bytes) -> tuple[bytes, str]:
+    """Serialize one WARC **conversion** record (the WET convention:
+    extracted plain text re-archived alongside the response archive).
+    Block digest over the text, no HTTP envelope."""
+    digest = "sha256:" + hashlib.sha256(text).hexdigest()
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"wet {url} {date_iso}")
+    headers = (
+        f"{WARC_VERSION}\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"WARC-Block-Digest: {digest}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode("utf-8")
+    return headers + text + b"\r\n\r\n", digest
+
+
+def _member_writer(out_dir: str, suffix: str, rec_fn):
+    """Shared per-partition gzip-member writer: one file per partition,
+    one gzip member per record (byte-range random access), atomic
+    publish, CDX-style index rows returned per record. ``rec_fn`` maps an
+    itertuples row -> (record_bytes, digest)."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.{suffix}"
+        path = os.path.join(out_dir, fname)
+        tmp = path + ".inprogress"
+        offset = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if fh is None:
+                    fh = open(tmp, "wb")
+                rows = {
+                    "url": [], "filename": [], "offset": [],
+                    "length": [], "digest": [], "date": [],
+                }
+                for r in pdf.itertuples(index=False):
+                    rec, digest = rec_fn(r)
+                    member = gzip.compress(rec, mtime=0)  # mtime=0: replayable bytes
+                    fh.write(member)
+                    rows["url"].append(r.url)
+                    rows["filename"].append(fname)
+                    rows["offset"].append(offset)
+                    rows["length"].append(len(member))
+                    rows["digest"].append(digest)
+                    rows["date"].append(r.date)
+                    offset += len(member)
+                yield pd.DataFrame(rows)
+        finally:
+            if fh is not None:
+                fh.close()
+                os.replace(tmp, path)  # atomic publish per partition
+
+    return emit
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str = "date",
+) -> DataFrame:
+    """Write extracted plain text as WET (.warc.wet.gz — WARC conversion
+    records, the Common Crawl text-extraction layout). Same shuffle-free
+    per-partition member layout and lazy CDX-index return as write_warc;
+    compose with operators/interleave.linearize_spans to turn span
+    documents into the text blocks. Completes the Common Crawl interop
+    trio: WARC (responses) + CDX (index) + WET (extracted text)."""
+    os.makedirs(out_dir, exist_ok=True)
+    text = F.col(text_col)
+    if dict(df.dtypes)[text_col] != "binary":
+        text = F.encode(text.cast("string"), "UTF-8")
+    slim = df.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("date"),
+        text.alias("text"),
+    )
+
+    def rec(r):
+        b = r.text if isinstance(r.text, (bytes, bytearray)) else b""
+        return _conversion_bytes(r.url, r.date, bytes(b))
+
+    return slim.mapInPandas(_member_writer(out_dir, "warc.wet.gz", rec), INDEX_SCHEMA)
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -172,46 +264,15 @@ def write_warc(
     else:
         slim = slim.withColumn("revisit", F.lit(False))
 
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+    def rec(r):
+        b = r.body if isinstance(r.body, (bytes, bytearray)) else b""
+        return _record_bytes(
+            r.url, r.date, int(r.status or 200),
+            r.content_type or "text/plain", bytes(b),
+            revisit=bool(r.revisit),
+        )
 
-        pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}.warc.gz"
-        path = os.path.join(out_dir, fname)
-        tmp = path + ".inprogress"
-        offset = 0
-        fh = None
-        try:
-            for pdf in batches:
-                if fh is None:
-                    fh = open(tmp, "wb")
-                rows = {
-                    "url": [], "filename": [], "offset": [],
-                    "length": [], "digest": [], "date": [],
-                }
-                for r in pdf.itertuples(index=False):
-                    b = r.body if isinstance(r.body, (bytes, bytearray)) else b""
-                    rec, digest = _record_bytes(
-                        r.url, r.date, int(r.status or 200),
-                        r.content_type or "text/plain", bytes(b),
-                        revisit=bool(r.revisit),
-                    )
-                    member = gzip.compress(rec, mtime=0)  # mtime=0: replayable bytes
-                    fh.write(member)
-                    rows["url"].append(r.url)
-                    rows["filename"].append(fname)
-                    rows["offset"].append(offset)
-                    rows["length"].append(len(member))
-                    rows["digest"].append(digest)
-                    rows["date"].append(r.date)
-                    offset += len(member)
-                yield pd.DataFrame(rows)
-        finally:
-            if fh is not None:
-                fh.close()
-                os.replace(tmp, path)  # atomic publish per partition
-
-    return slim.mapInPandas(emit, INDEX_SCHEMA)
+    return slim.mapInPandas(_member_writer(out_dir, "warc.gz", rec), INDEX_SCHEMA)
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -242,11 +303,15 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         content = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
         wtype = head.get("warc-type")
-        if wtype not in ("response", "revisit"):
+        if wtype not in ("response", "revisit", "conversion"):
             continue
+        # conversion (WET) records carry the block directly — no HTTP
+        # envelope; content type comes from the WARC header itself
         status, ctype, body = 0, "", content
+        if wtype == "conversion":
+            ctype = head.get("content-type", "")
         http_end = content.find(b"\r\n\r\n")
-        if content.startswith(b"HTTP/") and http_end >= 0:
+        if wtype != "conversion" and content.startswith(b"HTTP/") and http_end >= 0:
             http_head = content[:http_end]
             body = content[http_end + 4 :]
             first = http_head.split(b"\r\n", 1)[0].split()
@@ -258,17 +323,18 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
             "status": status,
             "content_type": ctype,
             "body": body,
-            "digest": head.get("warc-payload-digest", ""),
+            "digest": head.get("warc-payload-digest")
+            or head.get("warc-block-digest", ""),
             "warc_type": wtype,
         }
 
 
-def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
+def read_warc(spark: SparkSession, in_dir: str, glob: str = "*.warc.gz") -> DataFrame:
     """Read .warc.gz files into RECORD_SCHEMA rows. File-parallel binary
     scan; python's gzip reads concatenated members as one stream, so
     per-member and whole-file compression both parse."""
     files = spark.read.format("binaryFile").load(
-        os.path.join(in_dir, "*.warc.gz")
+        os.path.join(in_dir, glob)
     ).select("content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,6 +347,13 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def read_wet(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Read .warc.wet.gz conversion records: (url, date, body=text block,
+    digest, warc_type='conversion'). Same file-parallel scan as
+    read_warc."""
+    return read_warc(spark, in_dir, glob="*.warc.wet.gz")
 
 
 def read_warc_record(in_dir: str, filename: str, offset: int, length: int) -> dict:

@@ -103,6 +103,61 @@ def test_binary_body_column(spark, tmp_path):
     assert bytes(back.loc[0, "body"]) == b"\x00\x01\xff"
 
 
+def test_wet_roundtrip(spark, src, tmp_path):
+    """WET (conversion-record) export: text blocks round-trip with block
+    digests; WET parts live beside WARC parts without glob collision."""
+    from sinew_spark.sinks.warc import read_wet, write_wet
+
+    out = str(tmp_path / "wet")
+    texts = src.select(
+        "url", "date", F.concat(F.lit("extracted: "), F.col("body")).alias("text")
+    )
+    idx = write_wet(texts, out).toPandas()
+    assert len(idx) == 4
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.wet.gz") for f in files)
+    back = read_wet(spark, out).toPandas().set_index("url")
+    assert (back["warc_type"] == "conversion").all()
+    assert (back["content_type"] == "text/plain").all()
+    assert bytes(back.loc["http://a.test/1", "body"]) == b"extracted: hello world"
+    assert bytes(back.loc["http://b.test/3", "body"]).decode() == "extracted: héllo ünïcode"
+    for u, r in back.iterrows():
+        assert r["digest"] == "sha256:" + hashlib.sha256(bytes(r["body"])).hexdigest()
+    # deterministic bytes (replay-stable like write_warc)
+    out2 = str(tmp_path / "wet2")
+    write_wet(texts, out2).count()
+    for f in files:
+        a = open(os.path.join(out, f), "rb").read()
+        b = open(os.path.join(out2, f), "rb").read()
+        assert a == b
+
+
+def test_wet_and_warc_coexist(spark, src, tmp_path):
+    """WARC responses and WET conversions in the SAME directory: each
+    reader picks up only its own parts (Common Crawl layout)."""
+    from sinew_spark.sinks.warc import read_wet, write_wet
+
+    out = str(tmp_path / "both")
+    write_warc(src, out).count()
+    write_wet(src.withColumn("text", F.col("body")), out).count()
+    warc = read_warc(spark, out).toPandas()
+    wet = read_wet(spark, out).toPandas()
+    assert set(warc["warc_type"]) == {"response"} and len(warc) == 4
+    assert set(wet["warc_type"]) == {"conversion"} and len(wet) == 4
+
+
+def test_wet_point_lookup(spark, src, tmp_path):
+    """CDX index rows from write_wet support single-member point reads."""
+    out = str(tmp_path / "wet")
+    from sinew_spark.sinks.warc import write_wet
+
+    idx = write_wet(src.withColumn("text", F.col("body")), out).toPandas()
+    row = idx[idx["url"] == "http://b.test/4"].iloc[0]
+    rec = read_warc_record(out, row["filename"], int(row["offset"]), int(row["length"]))
+    assert rec["url"] == "http://b.test/4" and rec["warc_type"] == "conversion"
+    assert rec["body"] == b"x" * 10000
+
+
 def test_revisit_records_dedup_storage(spark, src, tmp_path):
     """Second crawl against the first crawl's CDX index: unchanged pages
     become revisit records (payload not re-stored — identical-payload-
