@@ -1430,6 +1430,53 @@ def q_css_extract_links(spark, sf_dir):
     return out.orderBy("seq", "match_idx")
 
 
+def q_nofollow_links(spark, sf_dir):
+    """Robots link gating (functions/htmlparse.py rel=nofollow +
+    <meta name=robots> handling, beyond-reference REP parity): pages are
+    synthesized with four anchors — plain, rel=nofollow, rel='ugc
+    nofollow', rel=author — and every 7th page carries a page-level
+    <meta name=robots content=nofollow>. The parse stage
+    (operators/parse.py, same extract path the crawl loop fuses) must
+    expand ONLY the followable hrefs into the link list while the span
+    sequence keeps all four anchors; the SQL oracle re-derives the kept
+    set from the construction predicate."""
+    from sinew_spark.operators.parse import parse_documents
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    head = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<head><meta name="robots" content="nofollow"></head>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html>"), head, F.lit('<body><a href="/n/'), did,
+        F.lit('/1">t1</a><a href="/n/'), did,
+        F.lit('/2" rel="nofollow">t2</a><a href="/n/'), did,
+        F.lit('/3" rel="ugc nofollow">t3</a><a href="/n/'), did,
+        F.lit('/4" rel="author">t4</a></body></html>'),
+    )
+    fetched = d.select(
+        F.concat(F.lit("http://docs.test/"), did).alias("canonical_url"),
+        F.concat(F.lit("http://docs.test/"), did).alias("final_url"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        html.alias("resp_body"),
+        F.col("doc_id").alias("seq"),
+        F.lit(0).alias("depth"),
+    )
+    parsed = parse_documents(fetched)
+    out = parsed.select(
+        "seq",
+        F.size("spans").cast("int").alias("n_spans"),  # anchors all archived
+        F.posexplode_outer("links").alias("link_idx", "href"),
+    ).select(
+        "seq", "n_spans",
+        F.coalesce(F.col("link_idx"), F.lit(-1)).cast("int").alias("link_idx"),
+        F.coalesce(F.col("href"), F.lit("")).alias("href"),
+    )
+    return out.orderBy("seq", "link_idx")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2566,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_host_cap": q_per_host_cap,
         "warc_roundtrip": q_warc_roundtrip,
         # --- end of the 50-slot driver-sample prefix ---
+        "nofollow_links": q_nofollow_links,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3362,6 +3410,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes, "
             "'sha256:' || sha256(COALESCE(text, '')) AS digest "
             "FROM documents WHERE doc_id < 2000 ORDER BY url"
+        ),
+        # robots link gating: kept-link set re-derived from the construction
+        # predicate (meta-nofollow pages keep zero links, others keep the
+        # two followable anchors of four; spans archive all four either way)
+        "nofollow_links": (
+            "WITH d AS (SELECT doc_id FROM documents), "
+            "k AS ("
+            "SELECT doc_id, 0 AS link_idx, "
+            "'http://docs.test/n/' || CAST(doc_id AS VARCHAR) || '/1' AS href "
+            "FROM d WHERE doc_id % 7 <> 0 "
+            "UNION ALL SELECT doc_id, 1, "
+            "'http://docs.test/n/' || CAST(doc_id AS VARCHAR) || '/4' "
+            "FROM d WHERE doc_id % 7 <> 0 "
+            "UNION ALL SELECT doc_id, -1, '' FROM d WHERE doc_id % 7 = 0) "
+            "SELECT doc_id AS seq, CAST(4 AS INTEGER) AS n_spans, "
+            "CAST(link_idx AS INTEGER) AS link_idx, href "
+            "FROM k ORDER BY seq, link_idx"
         ),
         # WET round trip: the linear text re-derived from first principles
         # (same construction as interleave_linearize), then length + sha256

@@ -463,18 +463,53 @@ def _make_link_resolver(base_url: str):
 
 
 def extract_spans_and_links(
-    body: str, content_type: str = "text/html", base_url: str = ""
+    body: str, content_type: str = "text/html", base_url: str = "",
+    nofollow: bool = True,
 ) -> tuple[list[tuple], list[str]]:
     """Single-parse extraction of both the span sequence and resolved
-    outlinks (one tree walk; parsing twice doubles the hot-path cost)."""
-    spans = extract_spans(body, content_type)
-    links = []
-    if body and content_type and ("html" in content_type or "xml" in content_type):
+    outlinks (one tree walk; parsing twice doubles the hot-path cost).
+
+    ``nofollow=True`` (the crawler default) honors ``rel=nofollow`` on
+    the anchor and page-level ``<meta name=robots content=nofollow|none>``
+    when building the OUTLINK list — gated hrefs never reach the frontier.
+    The span sequence is untouched either way (the anchor text/href span
+    still archives; only FOLLOWING is gated), so the golden span contract
+    and the BASELINE span-equality invariant are unaffected. Set False to
+    harvest every href (link-graph analysis)."""
+    if body is None:
+        return [], []
+    if content_type and "json" in content_type:
+        return [("text", html_cleanup_str(body), "", 0)], []
+    p = _SpanStream()
+    p.feed(html_cleanup_str(body))
+    p.close()
+    spans = [(k, t, m, i) for i, (k, t, m) in enumerate(p.spans)]
+    links: list[str] = []
+    if content_type and ("html" in content_type or "xml" in content_type):
         resolve = _make_link_resolver(base_url)
-        for k, _t, m, _o in spans:
+        gate_all = nofollow and p.meta_nofollow
+        for k, _t, m, o in spans:
             if k == "link" and m and not m.startswith(("javascript:", "mailto:", "#")):
+                if gate_all or (nofollow and o in p.nofollow_idx):
+                    continue
                 links.append(resolve(m))
     return spans, links
+
+
+def page_robots_flags(body: str, content_type: str = "text/html") -> tuple[bool, bool]:
+    """(noindex, nofollow) from ``<meta name=robots>`` (``none`` implies
+    both). ``noindex`` is surfaced for pipeline-side filtering (exclude
+    the page's content from training exports while its links still
+    expand); ``nofollow`` is what extract_spans_and_links already honors
+    in the crawl loop."""
+    if not body or not content_type or (
+        "html" not in content_type and "xml" not in content_type
+    ):
+        return False, False
+    p = _SpanStream()
+    p.feed(html_cleanup_str(body))
+    p.close()
+    return p.meta_noindex, p.meta_nofollow
 
 
 class _SpanStream(HTMLParser):
@@ -509,6 +544,13 @@ class _SpanStream(HTMLParser):
         self.a_buf: list[str] = []
         self.a_href = None
         self.a_imgs: list[tuple] = []
+        # robots link-gating metadata (REP §2.5 / rel=nofollow microformat).
+        # Never alters the span sequence — the crawl's link expansion reads
+        # it to exclude hrefs from the frontier while the anchor span stays.
+        self.a_nofollow = False
+        self.nofollow_idx: set[int] = set()  # span indexes of nofollow links
+        self.meta_nofollow = False  # <meta name=robots content=...nofollow...>
+        self.meta_noindex = False
 
     def _start(self, tag, attrs, self_closing):
         if self.skip_depth:
@@ -544,14 +586,27 @@ class _SpanStream(HTMLParser):
             d = dict(attrs)
             if d.get("href"):
                 self.a_href = d["href"]
+                self.a_nofollow = "nofollow" in (d.get("rel") or "").lower().split()
                 self.a_buf = []
                 self.a_imgs = []
                 if self_closing:
+                    if self.a_nofollow:
+                        self.nofollow_idx.add(len(self.spans))
                     self.spans.append(("link", "", self.a_href))
                     self.a_href = None
                 else:
                     self.a_depth = 1
                 return
+        if tag == "meta":
+            d = dict(attrs)
+            if (d.get("name") or "").lower() == "robots":
+                toks = {
+                    t.strip()
+                    for t in (d.get("content") or "").lower().replace(";", ",").split(",")
+                }
+                self.meta_nofollow |= bool(toks & {"nofollow", "none"})
+                self.meta_noindex |= bool(toks & {"noindex", "none"})
+            return
         if tag == "img":
             d = dict(attrs)
             if d.get("src"):
@@ -580,9 +635,12 @@ class _SpanStream(HTMLParser):
         if self.a_depth:
             self.a_depth -= 1
             if self.a_depth == 0:
+                if self.a_nofollow:
+                    self.nofollow_idx.add(len(self.spans))
                 self.spans.append(("link", "".join(self.a_buf).strip(), self.a_href))
                 self.spans.extend(self.a_imgs)
                 self.a_href = None
+                self.a_nofollow = False
             return
         # mirror the tree builder's pop-to-matching-tag rule
         for i in range(len(self.stack) - 1, 0, -1):
@@ -610,6 +668,8 @@ class _SpanStream(HTMLParser):
             self.spans.append(("title", "".join(self.title_buf).strip(), ""))
             self.title_tag = None
         if self.a_depth:
+            if self.a_nofollow:
+                self.nofollow_idx.add(len(self.spans))
             self.spans.append(("link", "".join(self.a_buf).strip(), self.a_href))
             self.spans.extend(self.a_imgs)
             self.a_depth = 0

@@ -253,3 +253,57 @@ def test_xml_mode_no_void_tags():
     # self-closing still works
     root2 = parse_html("<A><B/><C>x</C></A>", clean=False, xml=True)
     assert [n.tag for n in css_select(root2, "A *", xml=True)] == ["B", "C"]
+
+
+# --- robots link gating (rel=nofollow / <meta name=robots>) ---
+
+NOFOLLOW_DOC = """<html><body>
+<a href="/keep">follow me</a>
+<a href="/drop" rel="nofollow">paid link</a>
+<a href="/drop2" rel="ugc NOFOLLOW sponsored">ugc</a>
+<a href="/keep2" rel="author">fine</a>
+</body></html>"""
+
+
+def test_rel_nofollow_gates_links_not_spans():
+    from sinew_spark.functions.htmlparse import extract_spans_and_links
+
+    spans, links = extract_spans_and_links(NOFOLLOW_DOC, "text/html", "http://h.test/")
+    # spans unchanged: all four anchors archive (text + href)
+    link_spans = [(t, m) for k, t, m, _o in spans if k == "link"]
+    assert link_spans == [
+        ("follow me", "/keep"), ("paid link", "/drop"),
+        ("ugc", "/drop2"), ("fine", "/keep2"),
+    ]
+    # links gated: nofollow hrefs never reach the frontier
+    assert links == ["http://h.test/keep", "http://h.test/keep2"]
+    # harvest mode: everything
+    _s, all_links = extract_spans_and_links(
+        NOFOLLOW_DOC, "text/html", "http://h.test/", nofollow=False
+    )
+    assert len(all_links) == 4
+
+
+def test_meta_robots_nofollow_gates_all_links():
+    from sinew_spark.functions.htmlparse import (
+        extract_spans_and_links,
+        page_robots_flags,
+    )
+
+    doc = ('<html><head><meta name="ROBOTS" content="NOINDEX, NOFOLLOW"></head>'
+           '<body><a href="/x">x</a><a href="/y">y</a></body></html>')
+    spans, links = extract_spans_and_links(doc, "text/html", "http://h.test/")
+    assert links == []
+    assert [m for k, _t, m, _o in spans if k == "link"] == ["/x", "/y"]
+    assert page_robots_flags(doc) == (True, True)
+    # 'none' implies both; other directives do not gate
+    assert page_robots_flags(
+        '<meta name="robots" content="none"><a href="/x">x</a>'
+    ) == (True, True)
+    assert page_robots_flags(
+        '<meta name="robots" content="noarchive, max-snippet:-1"><a href="/x">x</a>'
+    ) == (False, False)
+    # name=description etc. untouched; missing meta -> no gating
+    assert page_robots_flags('<meta name="description" content="nofollow">') == (
+        False, False,
+    )
