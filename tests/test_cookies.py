@@ -347,10 +347,11 @@ def test_http_fetcher_cookie_round_trip_no_network():
     seen = {}
 
     class Stub(HttpFetcher):
-        def _request(self, url, method, body, cookie_hdr, proxy=None):
+        def _request(self, url, method, body, cookie_hdr, proxy=None,
+                     etag=None, last_modified=None):
             seen["cookie_hdr"] = cookie_hdr
             return (200, "text/html", "ok", None,
-                    ["fresh=1; Domain=ex.test; Max-Age=60", "bad"])
+                    ["fresh=1; Domain=ex.test; Max-Age=60", "bad"], None, None)
 
     f = Stub()
     status, ct, text, redirect, after = f.resolve_with_cookies(
