@@ -1477,6 +1477,65 @@ def q_nofollow_links(spark, sf_dir):
     return out.orderBy("seq", "link_idx")
 
 
+def q_url_scope(spark, sf_dir):
+    """Crawl scoping (operators/frontier.py apply_url_scope — regex
+    allow/deny lists over the canonical URL, zero-shuffle Catalyst rlike
+    folds; generalizes reference README.md:147-155 url_prefix). URLs are
+    minted from events with four deterministic path shapes; the scope
+    keeps /docs/ pages that are not PDFs. The SQL oracle replays the
+    same predicate with regexp_matches."""
+    from sinew_spark.operators.frontier import apply_url_scope
+
+    e = _t(spark, sf_dir, "events")
+    path = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("/docs/a"))
+        .when(F.col("event_id") % 4 == 1, F.lit("/blog/b"))
+        .when(F.col("event_id") % 4 == 2, F.lit("/login"))
+        .otherwise(F.lit("/docs/x.pdf"))
+    )
+    urls = e.select(
+        "event_id",
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".test"), path,
+        ).alias("canonical_url"),
+    )
+    out = apply_url_scope(urls, allow=(r"/docs/",), deny=(r"\.pdf$",))
+    return out.select("event_id", F.col("canonical_url").alias("url")).orderBy(
+        "event_id"
+    )
+
+
+def q_host_budget(spark, sf_dir):
+    """Lifetime per-host fetch budget end-to-end (CrawlOptions.host_budget
+    + per_host_cap(host_remaining=) — O(hosts) spend ledger broadcast into
+    the politeness window): 40 URLs on 8 hosts, 2/round politeness cap,
+    3 lifetime budget. Each host must fetch exactly its 3 lowest-seq URLs
+    — two in round 0, one in round 1 — and the frontier must drain. The
+    SQL oracle re-derives (url, round) from the ordering alone."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    urls = [f"http://site{i % 8}.test/p/{i}" for i in range(40)]
+    workdir = tempfile.mkdtemp(prefix="sinew_q_budget_")
+    try:
+        c = Crawler(
+            spark, workdir, FixtureFetcher(seed=42),
+            CrawlOptions(retries=0, per_host_cap=2, host_budget=3, max_rounds=5),
+        )
+        c.seed(urls)
+        c.run()
+        rows = (
+            c.seen_t.read().select("url", "round").orderBy("url").collect()
+        )
+        return spark.createDataFrame(rows, "url string, round int")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2614,6 +2673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         # --- end of the 50-slot driver-sample prefix ---
         "nofollow_links": q_nofollow_links,
+        "url_scope": q_url_scope,
+        "host_budget": q_host_budget,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3410,6 +3471,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes, "
             "'sha256:' || sha256(COALESCE(text, '')) AS digest "
             "FROM documents WHERE doc_id < 2000 ORDER BY url"
+        ),
+        # crawl scoping: the allow/deny predicate replayed with
+        # regexp_matches over the same URL construction
+        "url_scope": (
+            "WITH u AS (SELECT event_id, 'http://h' || CAST(user_id % 20 AS VARCHAR) "
+            "|| '.test' || CASE CAST(event_id % 4 AS INTEGER) "
+            "WHEN 0 THEN '/docs/a' WHEN 1 THEN '/blog/b' "
+            "WHEN 2 THEN '/login' ELSE '/docs/x.pdf' END AS url FROM events) "
+            "SELECT event_id, url FROM u "
+            "WHERE regexp_matches(url, '/docs/') AND NOT regexp_matches(url, '\\.pdf$') "
+            "ORDER BY event_id"
+        ),
+        # lifetime host budget: (url, round) re-derived from the per-host
+        # seq order alone — rank 1-2 fetch in round 0, rank 3 in round 1,
+        # rank >3 never
+        "host_budget": (
+            "WITH u AS (SELECT i, 'http://site' || CAST(i % 8 AS VARCHAR) "
+            "|| '.test/p/' || CAST(i AS VARCHAR) AS url, "
+            "CAST(i % 8 AS VARCHAR) AS host FROM generate_series(0, 39) t(i)), "
+            "r AS (SELECT url, ROW_NUMBER() OVER (PARTITION BY host ORDER BY i) AS rn "
+            "FROM u) "
+            "SELECT url, CAST(CASE WHEN rn <= 2 THEN 0 ELSE 1 END AS INTEGER) AS round "
+            "FROM r WHERE rn <= 3 ORDER BY url"
         ),
         # robots link gating: kept-link set re-derived from the construction
         # predicate (meta-nofollow pages keep zero links, others keep the

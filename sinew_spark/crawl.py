@@ -67,6 +67,7 @@ from sinew_spark.operators.frontier import (
     SEEN_SCHEMA,
     anti_join_seen,
     apply_robots,
+    apply_url_scope,
     dedup_within_round,
     per_host_cap,
     prepare_frontier,
@@ -96,6 +97,14 @@ HOST_STATE_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
         T.StructField("cookies", T.StringType()),  # JSON jar (C11)
+        T.StructField("round", T.IntegerType()),
+    ]
+)
+
+HOST_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("n", T.LongType()),  # pages fetched this round
         T.StructField("round", T.IntegerType()),
     ]
 )
@@ -157,6 +166,19 @@ class CrawlOptions:
     revalidate: bool = False
     ignore_params: tuple = ()
     url_prefix: str | None = None
+    # crawl scoping beyond url_prefix: regex allow/deny lists over the
+    # canonical URL (operators/frontier.py apply_url_scope — zero-shuffle
+    # Catalyst rlike folds applied both to the round's candidates and to
+    # discovered links, so out-of-scope URLs never persist in the frontier)
+    url_allow: tuple = ()
+    url_deny: tuple = ()
+    # lifetime per-host fetch budget (None = unlimited): a host stops
+    # drawing fetch slots once `host_budget` pages were ever fetched from
+    # it — domain fairness at corpus scale. Spend is tracked as an
+    # O(hosts) per-round append (host_counts table), aggregated + broadcast
+    # at round start; exhausted hosts' rows leave the frontier like
+    # robots-blocked ones.
+    host_budget: int | None = None
     params: dict = field(default_factory=dict)
     headers: dict = field(default_factory=dict)  # default headers per request
     insecure: bool = False  # skip SSL verification (README.md:150)
@@ -222,6 +244,12 @@ class Crawler:
         self.documents_t = _DocumentsView(self.fetched_t)
         self.metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"), METRICS_SCHEMA)
         self.host_state_t = SnapshotTable(spark, os.path.join(workdir, "host_state"), HOST_STATE_SCHEMA)
+        # lifetime per-host spend ledger (host_budget): one O(hosts) row
+        # group appended per round; written/read only when the budget knob
+        # is on
+        self.host_counts_t = SnapshotTable(
+            spark, os.path.join(workdir, "host_counts"), HOST_COUNTS_SCHEMA
+        )
         # executor-side sharded bloom sidecar (operators/bloom.py),
         # snapshot-synced against seen like the key store; a lost/legacy
         # sidecar is rebuilt by its first sync() — a distributed pass (one
@@ -341,6 +369,8 @@ class Crawler:
         cand = dedup_within_round(frontier.repartition(par * 2, F.col("key")))
         if self.opts.max_depth is not None:
             cand = cand.where(F.col("depth") <= self.opts.max_depth)
+        if self.opts.url_allow or self.opts.url_deny:
+            cand = apply_url_scope(cand, self.opts.url_allow, self.opts.url_deny)
 
         # 2. exactly-once filter. Normal path at scale: EXACT shard-local
         # key probe (SeenKeyShardStore) with the bloom fused in as a
@@ -399,12 +429,31 @@ class Crawler:
         # 4. politeness cap + global budget
         # cap=None skips the host window+sort entirely — an unpaced bulk
         # crawl has no per-round politeness budget, and key-hash
-        # partitioning from the dedup already bounds fetch skew
-        selected = (
-            per_host_cap(cand, self.opts.per_host_cap)
-            if self.opts.per_host_cap is not None
-            else cand
-        )
+        # partitioning from the dedup already bounds fetch skew.
+        # host_budget adds a lifetime per-host limit: spend-so-far is an
+        # O(hosts) aggregate of the per-round ledger, broadcast into the
+        # same window the per-round cap uses (one window either way).
+        host_remaining = None
+        if (
+            self.opts.host_budget is not None
+            and self.host_counts_t.current_snapshot() is not None
+        ):
+            host_remaining = (
+                self.host_counts_t.read()
+                .groupBy("host")
+                .agg(
+                    (F.lit(self.opts.host_budget) - F.sum("n")).alias("remaining")
+                )
+            )
+        if self.opts.per_host_cap is not None or self.opts.host_budget is not None:
+            selected = per_host_cap(
+                cand,
+                self.opts.per_host_cap,
+                host_remaining=host_remaining,
+                default_remaining=self.opts.host_budget,
+            )
+        else:
+            selected = cand
         selected = take_round_budget(selected, round_budget)
         n_candidates = cand.count() if round_budget else None
 
@@ -639,6 +688,18 @@ class Crawler:
             self._bloom.sync(self.seen_t)
         mark("keys+bloom")
 
+        # host_budget spend ledger: one O(hosts) append per round (pruned
+        # 1-column scan of the round's delta; 304 revalidations count —
+        # they are requests against the host's politeness budget)
+        if self.opts.host_budget is not None:
+            self.host_counts_t.append(
+                fetched.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("round", F.lit(rnd))
+                .repartition(1),
+                {"round": rnd},
+            )
+
         # C11: persist each host's final cookie jar for the next round as a
         # distributed DataFrame append (never an O(hosts) driver collect —
         # at 10^7 cookie-bearing hosts that pull is exactly the O(rows)
@@ -765,6 +826,25 @@ class Crawler:
                 next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
             if self.robots is not None:
                 next_frontier = apply_robots(next_frontier, self.robots)
+            if self.opts.url_allow or self.opts.url_deny:
+                # out-of-scope URLs can never be fetched — they leave the
+                # frontier here, same rule as robots/seen/depth
+                next_frontier = apply_url_scope(
+                    next_frontier, self.opts.url_allow, self.opts.url_deny
+                )
+            if self.opts.host_budget is not None:
+                # budget-exhausted hosts leave the frontier too (this
+                # round's spend included) — O(hosts) broadcast anti-join
+                exhausted = (
+                    self.host_counts_t.read()
+                    .groupBy("host")
+                    .agg(F.sum("n").alias("spent"))
+                    .where(F.col("spent") >= self.opts.host_budget)
+                    .select("host")
+                )
+                next_frontier = next_frontier.join(
+                    F.broadcast(exhausted), "host", "left_anti"
+                )
             self.frontier_t.overwrite(dedup_within_round(next_frontier), {"round": rnd})
             mark("next_frontier")
         finally:

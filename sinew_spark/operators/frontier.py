@@ -113,13 +113,68 @@ def anti_join_seen(
     return frontier.join(live.select("key"), "key", "left_anti")
 
 
-def per_host_cap(frontier: DataFrame, cap: int) -> DataFrame:
+def apply_url_scope(
+    frontier: DataFrame,
+    allow: tuple | list | None = None,
+    deny: tuple | list | None = None,
+    col: str = "canonical_url",
+) -> DataFrame:
+    """Crawl scoping: keep rows matching ANY ``allow`` regex (all rows when
+    allow is empty), then drop rows matching any ``deny`` regex. Pure
+    Catalyst ``rlike`` folds — zero shuffle, zero Python; at scale it's a
+    map-side filter that prunes before the fetch stage ever sees the row.
+    Generalizes the reference's ``url_prefix`` runtime option
+    (/root/reference/README.md:147-155) to regex allow/deny lists."""
+    out = frontier
+    c = F.col(col)
+    if allow:
+        keep = None
+        for pat in allow:
+            m = c.rlike(pat)
+            keep = m if keep is None else (keep | m)
+        out = out.where(keep)
+    for pat in deny or ():
+        out = out.where(~c.rlike(pat))
+    return out
+
+
+def per_host_cap(
+    frontier: DataFrame,
+    cap: int | None,
+    host_remaining: DataFrame | None = None,
+    default_remaining: int | None = None,
+) -> DataFrame:
     """Politeness/skew guard: at most `cap` URLs per host per round, chosen
     by (priority, seq). A host with 20% of the frontier gets the same
     per-round budget as any other — the rest waits, keeping fetch-task skew
-    bounded at cap rows."""
+    bounded at cap rows.
+
+    ``host_remaining``: optional (host, remaining) table of TOTAL-crawl
+    budget left per host (CrawlOptions.host_budget) — O(hosts) rows,
+    broadcast; hosts absent from it get ``default_remaining``. The round's
+    effective limit is min(cap, remaining), so a host stops drawing fetch
+    slots forever once its lifetime budget is spent while per-round skew
+    stays bounded."""
     w = F.row_number().over(Window.partitionBy("host").orderBy("priority", "seq"))
-    return frontier.withColumn("_rn", w).where(F.col("_rn") <= cap).drop("_rn")
+    out = frontier
+    lim = F.lit(cap) if cap is not None else None
+    if host_remaining is not None:
+        out = out.join(
+            F.broadcast(host_remaining.select("host", "remaining")), "host", "left"
+        )
+        rem = F.coalesce(F.col("remaining"), F.lit(default_remaining))
+        lim = rem if lim is None else F.least(lim, rem)
+    elif default_remaining is not None:
+        # budget mode before any spend ledger exists: every host has the
+        # full budget remaining
+        d = F.lit(default_remaining)
+        lim = d if lim is None else F.least(lim, d)
+    if lim is None:
+        return frontier
+    out = out.withColumn("_rn", w).where(F.col("_rn") <= lim).drop("_rn")
+    if host_remaining is not None:
+        out = out.drop("remaining")
+    return out
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:

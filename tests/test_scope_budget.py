@@ -1,0 +1,125 @@
+"""Crawl scoping (url_allow/url_deny regex lists) and lifetime per-host
+fetch budgets (host_budget) — both zero-shuffle frontier guards:
+apply_url_scope is a Catalyst rlike fold, the budget is an O(hosts)
+broadcast ledger folded into the per-host cap window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinew_spark.crawl import Crawler, CrawlOptions
+from sinew_spark.operators.frontier import apply_url_scope, per_host_cap
+from sinew_spark.sources.fetch import FixtureFetcher
+
+
+def test_apply_url_scope_unit(spark):
+    df = spark.createDataFrame(
+        [(f"http://h.test/{p}",) for p in
+         ("docs/a", "docs/b", "login?next=1", "cart/3", "docs/c.pdf")],
+        "canonical_url string",
+    )
+    kept = apply_url_scope(df, allow=(r"/docs/",), deny=(r"\.pdf$",))
+    assert sorted(r.canonical_url for r in kept.collect()) == [
+        "http://h.test/docs/a", "http://h.test/docs/b",
+    ]
+    # no allow list = allow everything, deny still applies
+    kept2 = apply_url_scope(df, deny=(r"login", r"cart"))
+    assert kept2.count() == 3
+    # no filters = identity
+    assert apply_url_scope(df).count() == 5
+
+
+def test_per_host_cap_with_remaining(spark):
+    rows = [
+        (f"http://{h}.test/{i}", h + ".test", 0.0, i)
+        for h in ("a", "b", "c") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "canonical_url string, host string, priority double, seq long")
+    remaining = spark.createDataFrame(
+        [("a.test", 2), ("b.test", 0)], "host string, remaining int"
+    )
+    # c.test absent from the ledger -> default_remaining (full budget)
+    out = per_host_cap(df, 3, host_remaining=remaining, default_remaining=10)
+    got = {h: n for h, n in out.groupBy("host").count().collect()}
+    assert got == {"a.test": 2, "c.test": 3}  # b exhausted, a clipped, c per-round cap
+    # budget-only (cap=None) first round: default_remaining limits
+    out2 = per_host_cap(df, None, host_remaining=None, default_remaining=4)
+    assert {h: n for h, n in out2.groupBy("host").count().collect()} == {
+        "a.test": 4, "b.test": 4, "c.test": 4,
+    }
+    # neither cap nor budget: identity
+    assert per_host_cap(df, None) is df
+
+
+URLS = [f"http://site{i % 2}.test/p/{i}" for i in range(12)]
+
+
+def test_url_deny_scopes_crawl(spark, tmp_path):
+    c = Crawler(
+        spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+        CrawlOptions(retries=0, url_deny=(r"/p/(3|7|11)$",)),
+    )
+    c.seed(URLS)
+    stats = c.run_round()
+    assert stats["selected"] == 9
+    seen = {r.url for r in c.seen_t.read().select("url").collect()}
+    assert not any(u.endswith(("/p/3", "/p/7", "/p/11")) for u in seen)
+
+
+def test_url_allow_scopes_links(spark, tmp_path):
+    """follow_links + allow list: discovered links outside the scope never
+    enter the frontier, so the crawl drains within scope."""
+    pages = {
+        "http://a.test/docs/start": (
+            '<a href="/docs/next">in</a><a href="http://other.test/x">out</a>'
+            '<a href="/blog/y">out2</a>'
+        ),
+        "http://a.test/docs/next": "<p>leaf</p>",
+    }
+    c = Crawler(
+        spark, str(tmp_path / "c"), FixtureFetcher(seed=42, extra_pages=pages),
+        CrawlOptions(retries=0, follow_links=True, max_rounds=4,
+                     url_allow=(r"^http://a\.test/docs/",)),
+    )
+    c.seed(["http://a.test/docs/start"])
+    c.run()
+    seen = sorted(r.url for r in c.seen_t.read().select("url").collect())
+    assert seen == ["http://a.test/docs/next", "http://a.test/docs/start"]
+    assert c.frontier_t.read().count() == 0  # out-of-scope rows left the frontier
+
+
+def test_host_budget_lifetime_cap(spark, tmp_path):
+    """Budget 3/host across rounds: 12 URLs on 2 hosts fetch exactly 3
+    each, the rest leave the frontier and the crawl drains."""
+    c = Crawler(
+        spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+        CrawlOptions(retries=0, host_budget=3, max_rounds=5),
+    )
+    c.seed(URLS)
+    out = c.run()
+    fetched = c.seen_t.read()
+    per_host = {
+        r.host: r.n
+        for r in fetched.withColumn(
+            "host", F.regexp_extract("url", r"^http://([^/]+)", 1)
+        ).groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_host == {"site0.test": 3, "site1.test": 3}
+    assert out[-1]["done"] or c.frontier_t.read().count() == 0
+    # selection is deterministic: lowest seq per host wins the budget
+    seen = sorted(r.url for r in fetched.select("url").collect())
+    assert seen == sorted(f"http://site{i % 2}.test/p/{i}" for i in range(6))
+
+
+def test_host_budget_composes_with_per_round_cap(spark, tmp_path):
+    """per_host_cap 2/round + budget 3 lifetime: rounds fetch 2 then 1."""
+    c = Crawler(
+        spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+        CrawlOptions(retries=0, host_budget=3, per_host_cap=2, max_rounds=5),
+    )
+    c.seed(URLS)
+    c.run()
+    m = c.metrics_t.read().orderBy("round").toPandas()
+    assert list(m["selected"][:2]) == [4, 2]  # 2 hosts x (2 then 1)
+    assert c.seen_t.read().count() == 6
