@@ -1536,6 +1536,55 @@ def q_host_budget(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_warc_bootstrap(spark, sf_dir):
+    """Crawl bootstrap from a WARC archive (sinks/warc.py
+    bootstrap_crawl_from_warc — Common Crawl migration): crawl 40 pages,
+    export them as WARC, import the archive into a FRESH crawler, then
+    seed 60 URLs (the 40 archived plus 20 new). The archive must extend
+    exactly-once across the boundary: imported pages appear as round -1
+    seen entries and only the 20 new URLs fetch in round 0. The SQL
+    oracle re-derives (url, round) from the overlap predicate alone."""
+    import shutil
+    import tempfile
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sinks.warc import bootstrap_crawl_from_warc, write_warc
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    urls = [f"http://site{i % 8}.test/p/{i}" for i in range(60)]
+    root = tempfile.mkdtemp(prefix="sinew_q_boot_")
+    try:
+        a = Crawler(
+            spark, os.path.join(root, "a"), FixtureFetcher(seed=42),
+            CrawlOptions(retries=0),
+        )
+        a.seed(urls[:40])
+        a.run_round()
+        warc_dir = os.path.join(root, "warc")
+        write_warc(
+            a.fetched_t.read().select(
+                F.col("canonical_url").alias("url"),
+                F.col("resp_body").alias("body"),
+                F.lit("2024-01-01T00:00:00Z").alias("date"),
+                "status",
+                "content_type",
+            ).repartition(4, "url").sortWithinPartitions("url"),
+            warc_dir,
+        ).count()
+
+        b = Crawler(
+            spark, os.path.join(root, "b"), FixtureFetcher(seed=42),
+            CrawlOptions(retries=0),
+        )
+        bootstrap_crawl_from_warc(b, warc_dir)
+        b.seed(urls)
+        b.run_round()
+        rows = b.seen_t.read().select("url", "round").orderBy("url").collect()
+        return spark.createDataFrame(rows, "url string, round int")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2675,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nofollow_links": q_nofollow_links,
         "url_scope": q_url_scope,
         "host_budget": q_host_budget,
+        "warc_bootstrap": q_warc_bootstrap,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3494,6 +3544,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM u) "
             "SELECT url, CAST(CASE WHEN rn <= 2 THEN 0 ELSE 1 END AS INTEGER) AS round "
             "FROM r WHERE rn <= 3 ORDER BY url"
+        ),
+        # WARC bootstrap: archived URLs import at round -1, only the
+        # non-archived remainder fetches at round 0
+        "warc_bootstrap": (
+            "SELECT 'http://site' || CAST(i % 8 AS VARCHAR) || '.test/p/' "
+            "|| CAST(i AS VARCHAR) AS url, "
+            "CAST(CASE WHEN i < 40 THEN -1 ELSE 0 END AS INTEGER) AS round "
+            "FROM generate_series(0, 59) t(i) ORDER BY url"
         ),
         # robots link gating: kept-link set re-derived from the construction
         # predicate (meta-nofollow pages keep zero links, others keep the

@@ -356,6 +356,97 @@ def read_wet(spark: SparkSession, in_dir: str) -> DataFrame:
     return read_warc(spark, in_dir, glob="*.warc.wet.gz")
 
 
+def bootstrap_crawl_from_warc(crawler, in_dir: str, glob: str = "*.warc.gz") -> int:
+    """Seed a Crawler's seen/fetched state from an existing WARC archive
+    (Common Crawl migration / crawl resume from archival storage): every
+    response record becomes a fetched row (spans + links parsed through
+    the same extract path the live crawl fuses) and a seen entry, so a
+    subsequent crawl treats archived pages as already fetched — the
+    exactly-once guarantee extends across the archive boundary — while
+    the documents view serves their span documents immediately.
+
+    Imported rows carry round = -1 (archive-import marker), seq = the
+    request-identity key (no global sort — the archive's emit order is
+    not meaningful), and no HTTP validators (the archive stores content
+    digests, not origin ETags; a revalidating recrawl simply refetches).
+    Duplicate URLs in the archive resolve to the latest WARC-Date. One
+    key-shuffle for the dedup + one join to attach parsed spans —
+    bootstrap is a one-time O(archive) job, file-parallel on the read
+    side. Returns the number of pages imported."""
+    from pyspark.sql.window import Window
+
+    from sinew_spark.functions.urls import host_expr, request_key_expr
+    from sinew_spark.operators.parse import parse_documents
+
+    recs = (
+        read_warc(crawler.spark, in_dir, glob=glob)
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.col("url"),
+            F.col("status").cast("int").alias("status"),
+            F.col("content_type"),
+            F.decode(F.col("body"), "UTF-8").alias("resp_body"),
+            F.unix_timestamp(F.to_timestamp("date")).cast("double").alias("fetched_at"),
+        )
+    )
+    base = (
+        recs.withColumn("canonical_url", crawler.canonicalize(F.col("url")))
+        .withColumn("method", F.lit("GET"))
+        .withColumn("body", F.lit(""))
+        .withColumn(
+            "key",
+            request_key_expr(F.col("method"), F.col("canonical_url"), F.col("body")),
+        )
+        .withColumn("host", host_expr(F.col("canonical_url")))
+    )
+    # latest record per identity wins (re-crawled pages appear twice in
+    # incremental archives); deterministic via (fetched_at, url) order
+    w = Window.partitionBy("key").orderBy(F.desc("fetched_at"), F.desc("url"))
+    base = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    fetch_like = base.select(
+        "key",
+        F.col("url"),
+        "canonical_url",
+        "method",
+        "body",
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("key").alias("seq"),
+        F.lit(0).alias("attempt"),
+        "host",
+        "status",
+        "content_type",
+        "resp_body",
+        F.col("canonical_url").alias("final_url"),
+        F.lit(1).alias("n_attempts"),
+        F.array().cast("array<string>").alias("hops"),
+        F.lit(None).cast("string").alias("error"),
+        "fetched_at",
+        F.lit(None).cast("string").alias("proxy"),
+        F.lit(None).cast("string").alias("cookies"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
+    )
+    parsed = parse_documents(fetch_like).select("seq", "spans", "links")
+    full = fetch_like.join(parsed, "seq").withColumn("round", F.lit(-1))
+    snap = crawler.fetched_t.append(full, {"op": "warc_bootstrap"})
+    imported = crawler.fetched_t.read_delta(snap)
+    n = imported.count()
+    crawler.seen_t.append(
+        imported.select(
+            "key",
+            F.col("canonical_url").alias("url"),
+            "method",
+            "status",
+            "fetched_at",
+            F.lit(None).cast("string").alias("hop_of"),
+            F.lit(-1).alias("round"),
+        ),
+        {"op": "warc_bootstrap"},
+    )
+    return n
+
+
 def read_warc_record(in_dir: str, filename: str, offset: int, length: int) -> dict:
     """Point lookup via a CDX index row: seek + decompress ONE gzip member.
     O(record) regardless of archive size — the random-access path the
