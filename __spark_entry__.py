@@ -2668,8 +2668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pricing_summary, pure relational and lowest-risk, yielded their
     # slots to the new revalidate_crawl and wet_export), then r3-green
     # queries whose code round 4 touched -- so slot 50 ends exactly at
-    # the highest-information boundary. Remaining 45 are r3-green/
-    # unchanged or low-risk.
+    # the highest-information boundary. The 49 past the marker are
+    # r3-green/unchanged, low-risk relational, or new round-4 queries
+    # that are locally oracle-mirrored (nofollow_links, url_scope,
+    # host_budget, warc_bootstrap).
         "cookie_scope": q_cookie_scope,
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_dedup": q_streaming_dedup,
