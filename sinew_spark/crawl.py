@@ -113,6 +113,31 @@ _FETCHED_WITH_ROUND = T.StructType(FETCH_PARSED_SCHEMA.fields + [T.StructField("
 _PARSED_WITH_ROUND = T.StructType(PARSED_SCHEMA.fields + [T.StructField("round", T.IntegerType())])
 
 
+def latest_validators(fetched: DataFrame) -> DataFrame:
+    """Per-key HTTP validators for conditional revalidation: the latest
+    NON-NULL value of each validator independently (not the latest row's
+    pair). RFC 9110 §15.4.5: a 304 may re-send only one validator — e.g.
+    Last-Modified without ETag — and the omitted one stays valid, so
+    taking the newest row's (etag, last_modified) struct would silently
+    drop a still-valid ETag and degrade every later revalidation of that
+    page to If-Modified-Since-only. max_by ignores rows whose ordering
+    expression is null, which yields exactly latest-non-null per field."""
+    return (
+        fetched.where(F.col("etag").isNotNull() | F.col("last_modified").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.col("etag"),
+                F.when(F.col("etag").isNotNull(), F.col("fetched_at")),
+            ).alias("etag"),
+            F.max_by(
+                F.col("last_modified"),
+                F.when(F.col("last_modified").isNotNull(), F.col("fetched_at")),
+            ).alias("last_modified"),
+        )
+    )
+
+
 class _DocumentsView:
     """The documents table as a zero-copy projection of the fused fetched
     table. One physical copy of the span data exists; this view is the
@@ -524,19 +549,7 @@ class Crawler:
             and semantic
             and self.fetched_t.current_snapshot() is not None
         ):
-            validators = (
-                self.fetched_t.read()
-                .where(
-                    F.col("etag").isNotNull() | F.col("last_modified").isNotNull()
-                )
-                .groupBy("key")
-                .agg(
-                    F.max_by(
-                        F.struct("etag", "last_modified"), "fetched_at"
-                    ).alias("v")
-                )
-                .select("key", "v.etag", "v.last_modified")
-            )
+            validators = latest_validators(self.fetched_t.read())
 
         # 5. fetch + parse, FUSED into one UDF pass (one Arrow crossing; the
         # body never re-enters Python just to be parsed). The whole

@@ -480,9 +480,7 @@ def extract_spans_and_links(
         return [], []
     if content_type and "json" in content_type:
         return [("text", html_cleanup_str(body), "", 0)], []
-    p = _SpanStream()
-    p.feed(html_cleanup_str(body))
-    p.close()
+    p = _stream_spans(body)
     spans = [(k, t, m, i) for i, (k, t, m) in enumerate(p.spans)]
     links: list[str] = []
     if content_type and ("html" in content_type or "xml" in content_type):
@@ -506,9 +504,7 @@ def page_robots_flags(body: str, content_type: str = "text/html") -> tuple[bool,
         "html" not in content_type and "xml" not in content_type
     ):
         return False, False
-    p = _SpanStream()
-    p.feed(html_cleanup_str(body))
-    p.close()
+    p = _stream_spans(body)
     return p.meta_noindex, p.meta_nofollow
 
 
@@ -675,6 +671,18 @@ class _SpanStream(HTMLParser):
             self.a_depth = 0
 
 
+def _stream_spans(body: str) -> "_SpanStream":
+    """Feed one document through the streaming span parser and return the
+    parser (spans + nofollow/meta-robots metadata). The ONE shared parse
+    used by extract_spans, extract_spans_and_links, and page_robots_flags
+    — the span sequence those three see must stay identical (golden
+    contract), so there is exactly one copy of the feed logic."""
+    p = _SpanStream()
+    p.feed(html_cleanup_str(body))
+    p.close()
+    return p
+
+
 def extract_spans(body: str, content_type: str = "text/html") -> list[tuple]:
     """Extract the interleaved (kind, text, media_ref, offset) span sequence
     from one document (BASELINE.json input_hint shape).
@@ -687,10 +695,7 @@ def extract_spans(body: str, content_type: str = "text/html") -> list[tuple]:
         return []
     if content_type and "json" in content_type:
         return [("text", html_cleanup_str(body), "", 0)]
-    p = _SpanStream()
-    p.feed(html_cleanup_str(body))
-    p.close()
-    return [(k, t, m, i) for i, (k, t, m) in enumerate(p.spans)]
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(_stream_spans(body).spans)]
 
 
 def extract_links(body: str, base_url: str) -> list[str]:

@@ -73,16 +73,25 @@ RECORD_SCHEMA = T.StructType(
 
 def _record_bytes(
     url: str, date_iso: str, status: int, content_type: str, body: bytes,
-    revisit: bool = False,
+    revisit: bool = False, digest: str | None = None,
+    refers_date: str | None = None,
 ) -> tuple[bytes, str]:
     """Serialize one WARC record (uncompressed). ``revisit=True`` emits a
     WARC revisit record (profile identical-payload-digest — the Common
     Crawl storage-dedup convention: the payload is NOT re-stored, only
     its digest, so an unchanged page costs ~200 bytes instead of its
-    body). Returns (record_bytes, payload_digest)."""
-    digest = "sha256:" + hashlib.sha256(body).hexdigest()
+    body). ``digest`` skips re-hashing when the caller already computed
+    it (Catalyst sha2 in revisit mode); ``refers_date`` fills the
+    WARC-Refers-To-Date header replay tooling (pywb/warcio) uses to
+    resolve a revisit to its original record. Returns
+    (record_bytes, payload_digest)."""
+    if digest is None:
+        digest = "sha256:" + hashlib.sha256(body).hexdigest()
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date_iso}")
     if revisit:
+        refers = f"WARC-Refers-To-Target-URI: {url}\r\n"
+        if refers_date:
+            refers += f"WARC-Refers-To-Date: {refers_date}\r\n"
         headers = (
             f"{WARC_VERSION}\r\n"
             f"WARC-Type: revisit\r\n"
@@ -90,6 +99,7 @@ def _record_bytes(
             f"WARC-Target-URI: {url}\r\n"
             f"WARC-Date: {date_iso}\r\n"
             f"WARC-Payload-Digest: {digest}\r\n"
+            f"{refers}"
             "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
             "identical-payload-digest\r\n"
             f"Content-Type: application/http; msgtype=response\r\n"
@@ -222,15 +232,20 @@ def write_warc(
     for a canonical layout. ``body`` may be string (UTF-8-encoded) or
     binary; missing status/content_type default to 200/text/plain.
 
-    ``revisit_index``: a prior crawl's (url, digest) table — e.g. the
-    previous write's CDX index. Rows whose (url, sha256-of-body) match it
-    are archived as WARC **revisit** records (identical-payload-digest
-    profile): the payload is not re-stored, which is how incremental
-    crawls keep archive growth proportional to CHANGED content. The match
-    is a plain equi-join on url (hash-shuffle both sides at scale; AQE
-    broadcasts a small index) — the digest comparison is Catalyst-side
-    (F.sha2), so unchanged pages never cross into Python as stored
-    payloads twice."""
+    ``revisit_index``: a prior crawl's (url, digest[, date]) table — e.g.
+    the previous write's CDX index, or a union of several. Rows whose
+    (url, sha256-of-body) matches ANY index entry are archived as WARC
+    **revisit** records (identical-payload-digest profile): the payload
+    is not re-stored, which is how incremental crawls keep archive growth
+    proportional to CHANGED content. The match is an equi-join on
+    (url, digest) — membership semantics, so a multi-crawl index with
+    several digests per url stays deterministic — with the digest
+    computed Catalyst-side (F.sha2); matched rows have their body NULLED
+    before the Python writer, so unchanged payloads never cross the Arrow
+    boundary. The join reshuffles, so revisit mode re-establishes a
+    canonical layout (hash(url) into the input's partition count, sorted
+    by url within partitions) — output bytes stay replay-deterministic;
+    the index's ``date`` (when present) becomes WARC-Refers-To-Date."""
     os.makedirs(out_dir, exist_ok=True)
     cols = [F.col(url_col).alias("url"), F.col(date_col).alias("date")]
     cols.append(
@@ -250,19 +265,50 @@ def write_warc(
     cols.append(body.alias("body"))
     slim = df.select(cols)
     if revisit_index is not None:
-        prior = revisit_index.select(
-            F.col("url").alias("url"), F.col("digest").alias("_prior_digest")
-        ).dropDuplicates(["url"])
-        slim = slim.join(prior, "url", "left").withColumn(
-            "revisit",
-            F.col("_prior_digest").isNotNull()
-            & (
-                F.concat(F.lit("sha256:"), F.sha2(F.col("body"), 256))
-                == F.col("_prior_digest")
+        n_parts = slim.rdd.getNumPartitions()  # pre-join layout to restore
+        prior_date = (
+            F.col("date") if "date" in revisit_index.columns
+            else F.lit(None).cast("string")
+        )
+        # membership on (url, digest): a multi-crawl index may hold several
+        # digests per url — any exact payload match is a revisit, and the
+        # latest matching date wins deterministically
+        prior = (
+            revisit_index.select(
+                F.col("url").alias("url"),
+                F.col("digest").alias("rv_digest"),
+                prior_date.alias("rv_refers_date"),
+            )
+            .groupBy("url", "rv_digest")
+            .agg(F.max("rv_refers_date").alias("rv_refers_date"))
+            # join-success sentinel: an index date may legitimately be NULL,
+            # so the revisit flag can't be derived from rv_refers_date
+            .withColumn("rv_hit", F.lit(True))
+        )
+        slim = slim.withColumn(
+            "rv_digest", F.concat(F.lit("sha256:"), F.sha2(F.col("body"), 256))
+        )
+        slim = (
+            slim.join(prior, ["url", "rv_digest"], "left")
+            .withColumn("revisit", F.coalesce(F.col("rv_hit"), F.lit(False)))
+            .drop("rv_hit")
+        )
+        # unchanged payloads never cross into Python: null the body, the
+        # precomputed digest rides along instead
+        slim = slim.withColumn(
+            "body",
+            F.when(F.col("revisit"), F.lit(None).cast("binary")).otherwise(
+                F.col("body")
             ),
-        ).drop("_prior_digest")
+        )
+        # the join reshuffled — re-establish a deterministic canonical layout
+        slim = slim.repartition(n_parts, "url").sortWithinPartitions("url")
     else:
-        slim = slim.withColumn("revisit", F.lit(False))
+        slim = (
+            slim.withColumn("revisit", F.lit(False))
+            .withColumn("rv_digest", F.lit(None).cast("string"))
+            .withColumn("rv_refers_date", F.lit(None).cast("string"))
+        )
 
     def rec(r):
         b = r.body if isinstance(r.body, (bytes, bytearray)) else b""
@@ -270,6 +316,10 @@ def write_warc(
             r.url, r.date, int(r.status or 200),
             r.content_type or "text/plain", bytes(b),
             revisit=bool(r.revisit),
+            digest=r.rv_digest if isinstance(r.rv_digest, str) else None,
+            refers_date=(
+                r.rv_refers_date if isinstance(r.rv_refers_date, str) else None
+            ),
         )
 
     return slim.mapInPandas(_member_writer(out_dir, "warc.gz", rec), INDEX_SCHEMA)
@@ -356,7 +406,18 @@ def read_wet(spark: SparkSession, in_dir: str) -> DataFrame:
     return read_warc(spark, in_dir, glob="*.warc.wet.gz")
 
 
-def bootstrap_crawl_from_warc(crawler, in_dir: str, glob: str = "*.warc.gz") -> int:
+TEXTUAL_CONTENT_TYPES = (
+    "text/", "application/json", "application/xml", "application/xhtml",
+    "application/rss", "application/atom",
+)
+
+
+def bootstrap_crawl_from_warc(
+    crawler,
+    in_dir: str,
+    glob: str = "*.warc.gz",
+    content_types: tuple = TEXTUAL_CONTENT_TYPES,
+) -> int:
     """Seed a Crawler's seen/fetched state from an existing WARC archive
     (Common Crawl migration / crawl resume from archival storage): every
     response record becomes a fetched row (spans + links parsed through
@@ -372,15 +433,32 @@ def bootstrap_crawl_from_warc(crawler, in_dir: str, glob: str = "*.warc.gz") -> 
     Duplicate URLs in the archive resolve to the latest WARC-Date. One
     key-shuffle for the dedup + one join to attach parsed spans —
     bootstrap is a one-time O(archive) job, file-parallel on the read
-    side. Returns the number of pages imported."""
+    side. Returns the number of pages imported.
+
+    ``content_types``: only records whose Content-Type starts with one of
+    these prefixes are imported (default: the textual types). The
+    engine's resp_body is text — importing an image/PDF record would
+    mojibake its payload through the UTF-8 decode AND mark the URL seen
+    at round -1, making the corruption permanent under exactly-once.
+    Binary records are SKIPPED (not imported, not marked seen), so a
+    later crawl can still fetch them live. Pass () to disable the gate
+    (archives known to be all-text)."""
     from pyspark.sql.window import Window
 
     from sinew_spark.functions.urls import host_expr, request_key_expr
     from sinew_spark.operators.parse import parse_documents
 
+    recs = read_warc(crawler.spark, in_dir, glob=glob).where(
+        F.col("warc_type") == "response"
+    )
+    if content_types:
+        gate = None
+        for p in content_types:
+            m = F.col("content_type").startswith(p)
+            gate = m if gate is None else (gate | m)
+        recs = recs.where(F.coalesce(gate, F.lit(False)))
     recs = (
-        read_warc(crawler.spark, in_dir, glob=glob)
-        .where(F.col("warc_type") == "response")
+        recs
         .select(
             F.col("url"),
             F.col("status").cast("int").alias("status"),

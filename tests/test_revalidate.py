@@ -106,6 +106,31 @@ def test_revalidate_off_by_default(spark, first_crawl):
     assert rnd2.where(F.col("status") == 200).count() == len(URLS)
 
 
+def test_latest_validators_per_field_non_null(spark):
+    """RFC 9110 §15.4.5: a 304 may re-send only one validator — the other
+    stored one stays valid. latest_validators must keep the latest
+    NON-NULL value per field, not the latest row's (etag, lm) pair."""
+    from sinew_spark.crawl import latest_validators
+
+    rows = [
+        # key 1: full pair at t=10, then a 304 that re-sent only LM at t=20
+        (1, '"e1"', "Mon, 01 Jan 2024 00:00:00 GMT", 10.0),
+        (1, None, "Tue, 02 Jan 2024 00:00:00 GMT", 20.0),
+        # key 2: etag-only origin
+        (2, '"e2"', None, 5.0),
+        # key 3: no validators at all -> filtered out entirely
+        (3, None, None, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, etag string, last_modified string, fetched_at double"
+    )
+    got = {r.key: (r.etag, r.last_modified) for r in latest_validators(df).collect()}
+    assert got == {
+        1: ('"e1"', "Tue, 02 Jan 2024 00:00:00 GMT"),  # etag survives the LM-only 304
+        2: ('"e2"', None),
+    }
+
+
 def test_synthetic_epoch_churn_deterministic():
     """FixtureFetcher.synthetic_epoch: a stable ~frac of URLs change body
     between epoch 0 and epoch 1; the rest are byte-identical (the recrawl

@@ -201,3 +201,66 @@ def test_revisit_records_dedup_storage(spark, src, tmp_path):
     big = idx1_pd.set_index("url").loc["http://b.test/4", "length"]
     small_len = idx2.set_index("url").loc["http://b.test/4", "length"]
     assert small_len < big / 5
+
+
+def test_revisit_multi_digest_index_is_deterministic(spark, tmp_path):
+    """A multi-crawl index holds several digests per url; membership on
+    (url, digest) means the CURRENT payload matching ANY stored digest is
+    a revisit — no arbitrary dropDuplicates pick. Refers-to headers point
+    at the latest matching prior date."""
+    import gzip as _gz
+    import hashlib as _h
+
+    def digest(s):
+        return "sha256:" + _h.sha256(s.encode()).hexdigest()
+
+    # index: url U seen with body v1 (old) and v2 (newer crawl)
+    idx = spark.createDataFrame(
+        [
+            ("http://u.test/", digest("v1"), "2024-01-01T00:00:00Z"),
+            ("http://u.test/", digest("v2"), "2024-02-01T00:00:00Z"),
+            ("http://w.test/", digest("w1"), "2024-01-01T00:00:00Z"),
+        ],
+        "url string, digest string, date string",
+    )
+    # current crawl: U serves v1 again (matches the OLDER digest), W changed
+    src = spark.createDataFrame(
+        [
+            ("http://u.test/", "v1", "2024-03-01T00:00:00Z", 200, "text/plain"),
+            ("http://w.test/", "w2", "2024-03-01T00:00:00Z", 200, "text/plain"),
+        ],
+        "url string, body string, date string, status int, content_type string",
+    ).repartition(1)
+    out = str(tmp_path / "w")
+    write_warc(src, out, revisit_index=idx).count()
+    back = read_warc(spark, out).toPandas().set_index("url")
+    assert back.loc["http://u.test/", "warc_type"] == "revisit"
+    assert back.loc["http://u.test/", "digest"] == digest("v1")
+    assert back.loc["http://w.test/", "warc_type"] == "response"
+    # refers-to headers present on the raw revisit record
+    raw = b""
+    for f in sorted(os.listdir(out)):
+        raw += _gz.decompress(open(os.path.join(out, f), "rb").read())
+    assert b"WARC-Refers-To-Target-URI: http://u.test/\r\n" in raw
+    assert b"WARC-Refers-To-Date: 2024-01-01T00:00:00Z\r\n" in raw
+
+
+def test_revisit_mode_output_is_deterministic(spark, tmp_path):
+    """The digest join reshuffles; revisit mode re-establishes a canonical
+    layout so two identical writes produce byte-identical archives."""
+    rows = [(f"http://h{i % 3}.test/p/{i}", f"body {i}", "2024-01-01T00:00:00Z",
+             200, "text/plain") for i in range(30)]
+    src = spark.createDataFrame(
+        rows, "url string, body string, date string, status int, content_type string"
+    ).repartition(4, "url").sortWithinPartitions("url")
+    idx_dir = str(tmp_path / "first")
+    idx = write_warc(src, idx_dir).toPandas()
+    out1, out2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    for out in (out1, out2):
+        write_warc(src, out, revisit_index=spark.createDataFrame(idx)).count()
+    files1, files2 = sorted(os.listdir(out1)), sorted(os.listdir(out2))
+    assert files1 == files2
+    for f in files1:
+        a = open(os.path.join(out1, f), "rb").read()
+        b = open(os.path.join(out2, f), "rb").read()
+        assert a == b

@@ -72,6 +72,34 @@ def test_bootstrap_serves_documents(spark, archive, tmp_path):
     assert one == 10
 
 
+def test_bootstrap_skips_binary_records(spark, tmp_path):
+    """Non-textual records (image/PDF) are skipped entirely — neither
+    imported (string resp_body would mojibake them) nor marked seen (a
+    live crawl can still fetch them)."""
+    rows = [
+        ("http://a.test/page", "hello", "2024-01-01T00:00:00Z", 200, "text/html"),
+        ("http://a.test/pic.png", "\x89PNG\x00fake", "2024-01-01T00:00:00Z", 200,
+         "image/png"),
+        ("http://a.test/doc.pdf", "%PDF-fake", "2024-01-01T00:00:00Z", 200,
+         "application/pdf"),
+    ]
+    src = spark.createDataFrame(
+        rows, "url string, body string, date string, status int, content_type string"
+    ).repartition(1)
+    out = str(tmp_path / "warc")
+    write_warc(src, out).count()
+    b = Crawler(spark, str(tmp_path / "b"), FixtureFetcher(seed=42),
+                CrawlOptions(retries=0))
+    n = bootstrap_crawl_from_warc(b, out)
+    assert n == 1
+    assert b.cached("http://a.test/page")
+    assert not b.cached("http://a.test/pic.png")  # still live-fetchable
+    # gate off: everything imports
+    c = Crawler(spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+                CrawlOptions(retries=0))
+    assert bootstrap_crawl_from_warc(c, out, content_types=()) == 3
+
+
 def test_bootstrap_dedups_archive_duplicates(spark, tmp_path):
     """Incremental archives re-store changed pages; the latest WARC-Date
     wins the import."""
