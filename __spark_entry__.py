@@ -1585,6 +1585,68 @@ def q_warc_bootstrap(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_archive(spark, sf_dir):
+    """Streaming WARC archival (streaming/archive.py — AvailableNow file
+    stream over a fetched-table layout, each micro-batch landing as its
+    own WARC epoch + CDX parquet): 1500 documents staged as fetched pages
+    stream into the archive, every epoch reads back through read_warc,
+    and the union re-emits (url, n_bytes, digest). The oracle re-derives
+    all three from the source table (octet_length + sha256), so the
+    stream checkpointing, epoch layout, record framing, and CDX
+    bookkeeping must compose exactly. Output is tz-independent (no date
+    column crosses the compare)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from sinew_spark.sinks.warc import read_warc
+    from sinew_spark.streaming.archive import (
+        read_fetched_pages_stream,
+        read_stream_cdx,
+        stream_warc_archive,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
+    root = tempfile.mkdtemp(prefix="sinew_q_sarc_")
+    try:
+        staged = _os.path.join(root, "fetched", "data", "round-0")
+        d.select(
+            F.concat(F.lit("http://corpus.test/sa/"), F.col("doc_id").cast("string")).alias("canonical_url"),
+            F.coalesce(F.col("text"), F.lit("")).alias("resp_body"),
+            F.lit(200).alias("status"),
+            F.lit("text/plain").alias("content_type"),
+            F.lit(1704067200.0).alias("fetched_at"),
+        ).repartition(4).write.parquet(staged)
+        out = _os.path.join(root, "archive")
+        q = stream_warc_archive(
+            read_fetched_pages_stream(spark, _os.path.join(root, "fetched")),
+            out,
+            _os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        epochs = sorted(
+            set(r.epoch for r in read_stream_cdx(spark, out).select("epoch").collect())
+        )
+        parts = [
+            read_warc(spark, _os.path.join(out, f"epoch={e}")) for e in epochs
+        ]
+        back = parts[0]
+        for p in parts[1:]:
+            back = back.unionByName(p)
+        rows = (
+            back.select(
+                "url",
+                F.octet_length("body").alias("n_bytes"),
+                "digest",
+            )
+            .orderBy("url")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "url string, n_bytes int, digest string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2727,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_scope": q_url_scope,
         "host_budget": q_host_budget,
         "warc_bootstrap": q_warc_bootstrap,
+        "streaming_archive": q_streaming_archive,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3546,6 +3609,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM u) "
             "SELECT url, CAST(CASE WHEN rn <= 2 THEN 0 ELSE 1 END AS INTEGER) AS round "
             "FROM r WHERE rn <= 3 ORDER BY url"
+        ),
+        # streaming archive: every column re-derived from the source table
+        "streaming_archive": (
+            "SELECT 'http://corpus.test/sa/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes, "
+            "'sha256:' || sha256(COALESCE(text, '')) AS digest "
+            "FROM documents WHERE doc_id < 1500 ORDER BY url"
         ),
         # WARC bootstrap: archived URLs import at round -1, only the
         # non-archived remainder fetches at round 0
