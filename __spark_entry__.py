@@ -1647,6 +1647,34 @@ def q_streaming_archive(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (operators/quality.py c4_clean —
+    Raffel et al. 2020 heuristics; complements paragraph_dedup which is
+    C4's cross-document line-dedup rule). Multi-line pages are
+    synthesized from document tokens with one line per rule (kept /
+    too-short / javascript / no-punctuation / kept-question), every 11th
+    page gets a brace line and every 13th a lorem-ipsum line; the SQL
+    oracle replays BOTH the construction and the full rule set
+    (list_filter + regexp in DuckDB vs Catalyst array exprs), so line
+    filtering, page gating, and reassembly must agree exactly."""
+    from sinew_spark.operators.quality import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    j = lambda a, b: F.array_join(F.slice(toks, a, b), " ")  # noqa: E731
+    text = F.concat(
+        j(1, 5), F.lit("."), F.lit("\n"),
+        j(6, 2), F.lit("."), F.lit("\n"),
+        j(8, 5), F.lit(" javascript."), F.lit("\n"),
+        j(1, 5), F.lit("\n"),
+        j(1, 5), F.lit("?"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\ncode {brace} line.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nthis has lorem ipsum inside it.")).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    return c4_clean(pages).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2790,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "warc_bootstrap": q_warc_bootstrap,
         "streaming_archive": q_streaming_archive,
+        "c4_clean": q_c4_clean,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3609,6 +3638,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM u) "
             "SELECT url, CAST(CASE WHEN rn <= 2 THEN 0 ELSE 1 END AS INTEGER) AS round "
             "FROM r WHERE rn <= 3 ORDER BY url"
+        ),
+        # C4 cleaning: construction AND rules replayed generically
+        "c4_clean": (
+            "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents), "
+            "built AS (SELECT doc_id, "
+            "array_to_string(toks[1:5], ' ') || '.' || chr(10) || "
+            "array_to_string(toks[6:7], ' ') || '.' || chr(10) || "
+            "array_to_string(toks[8:12], ' ') || ' javascript.' || chr(10) || "
+            "array_to_string(toks[1:5], ' ') || chr(10) || "
+            "array_to_string(toks[1:5], ' ') || '?' || "
+            "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code {brace} line.' ELSE '' END || "
+            "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'this has lorem ipsum inside it.' ELSE '' END "
+            "AS text FROM d), "
+            "k AS (SELECT doc_id, text, "
+            "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+            "x -> regexp_matches(x, '[.!?][\"'']?$') "
+            "AND len(regexp_split_to_array(x, '\\s+')) >= 5 "
+            "AND NOT contains(lower(x), 'javascript')) AS kl FROM built), "
+            "g AS (SELECT doc_id, kl, "
+            "(len(kl) >= 3 AND NOT contains(text, '{') "
+            "AND NOT contains(lower(text), 'lorem ipsum')) AS kept FROM k) "
+            "SELECT doc_id, kept, CAST(len(kl) AS INTEGER) AS n_lines_kept, "
+            "CASE WHEN kept THEN array_to_string(kl, chr(10)) END AS clean_text "
+            "FROM g ORDER BY doc_id"
         ),
         # streaming archive: every column re-derived from the source table
         "streaming_archive": (

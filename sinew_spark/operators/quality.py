@@ -202,3 +202,47 @@ def repetition_stats(
             & (mwl <= 10.0)
         ).alias("keep"),
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the rules behind
+    the C4 corpus; complements drop_duplicate_paragraphs, which is the
+    C4 cross-document line-DEDUP rule):
+
+    - keep a line only if it ends in terminal punctuation (. ! ? or a
+      closing quote after one), has >= ``min_words_per_line`` words, and
+      does not mention javascript (boilerplate cookie/JS banners);
+    - drop the whole page if fewer than ``min_lines`` lines survive, or
+      the page contains '{' (code/templating) or 'lorem ipsum'.
+
+    Output: (id, kept boolean, n_lines_kept, clean_text). Pure Catalyst
+    array expressions over split lines — zero shuffle, zero Python,
+    whole-stage codegen; at 100 TB this is a map-only pass."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?]["' + "'" + r']?$')
+        & (F.size(F.split(l, r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(kept_lines)
+    page_ok = (
+        (n_kept >= min_lines)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+    return docs.select(
+        F.col(id_col),
+        page_ok.alias("kept"),
+        n_kept.cast("int").alias("n_lines_kept"),
+        F.when(page_ok, F.array_join(kept_lines, "\n")).otherwise(F.lit(None)).alias(
+            "clean_text"
+        ),
+    )

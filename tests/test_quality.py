@@ -138,3 +138,45 @@ def test_repetition_stats_exact_fractions(spark):
     df = _docs(spark, [(1, "x x x y")])
     r = repetition_stats(df).collect()[0]
     assert r.top2_frac == pytest.approx(2 / 3, abs=1e-6)
+
+
+# --- C4 line-level cleaning ---
+
+def test_c4_clean_line_rules(spark):
+    from sinew_spark.operators.quality import c4_clean
+
+    text = "\n".join([
+        "This is a proper sentence with enough words.",   # kept
+        "Too short.",                                      # < 5 words
+        "No terminal punctuation in this line here",       # no punct
+        "Please enable JavaScript to view this content.",  # javascript
+        'He said "this quoted line has enough words."',    # kept (quote after .)
+        "Another good line that ends with a question?",    # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_clean(df).collect()[0]
+    assert r.kept and r.n_lines_kept == 3
+    lines = r.clean_text.split("\n")
+    assert lines[0].startswith("This is a proper")
+    assert lines[1].startswith('He said')
+    assert lines[2].endswith("question?")
+
+
+def test_c4_clean_page_rules(spark):
+    from sinew_spark.operators.quality import c4_clean
+
+    good = "\n".join(["A fine sentence with plenty of words here."] * 4)
+    rows = [
+        (1, good),                                   # kept
+        (2, good + "\nvar x = {a: 1};"),             # brace -> dropped
+        (3, good + "\nLorem Ipsum dolor sit amet."), # lorem ipsum -> dropped
+        (4, "One good line with enough words here.\nShort."),  # < 3 lines
+        (5, None),                                   # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.kept, r.clean_text) for r in c4_clean(df).collect()}
+    assert got[1][0] is True and got[1][1].count("\n") == 3
+    assert got[2][0] is False and got[2][1] is None
+    assert got[3][0] is False
+    assert got[4][0] is False
+    assert got[5][0] is False
