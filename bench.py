@@ -321,6 +321,14 @@ def headline_queries(spark) -> dict:
         "cms_heavy_hitters",
         "weighted_sample",
         "sample_k",
+        # round-4 late additions (cheap operator queries; the e2e crawl
+        # queries — revalidate_crawl, host_budget, warc_bootstrap — and
+        # streaming_archive stay out like other crawl/streaming machinery,
+        # which crawl_100k / dedup_round / recrawl_revalidate already time)
+        "url_scope",
+        "nofollow_links",
+        "c4_clean",
+        "wet_export",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
