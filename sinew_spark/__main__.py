@@ -64,6 +64,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--output", help="output CSV path (default: <recipe_dir>/<basename>.csv)")
     p.add_argument("--rate-limit", type=float, help="seconds between requests per host")
+    # beyond-reference crawl governance (round 4)
+    p.add_argument(
+        "--revalidate", action="store_true",
+        help="send stored HTTP validators on recrawls (304 = no body transfer)",
+    )
+    p.add_argument(
+        "--url-allow", action="append", default=None, metavar="REGEX",
+        help="crawl scope: keep only URLs matching any of these (repeatable)",
+    )
+    p.add_argument(
+        "--url-deny", action="append", default=None, metavar="REGEX",
+        help="crawl scope: drop URLs matching any of these (repeatable)",
+    )
+    p.add_argument(
+        "--host-budget", type=int, default=None, metavar="N",
+        help="lifetime cap on pages fetched per host",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[*])")
     p.add_argument("--version", action="version", version=f"sinew-spark {__version__}")
     return p
@@ -119,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
         opt_kwargs["rate_limit"] = args.rate_limit
     if args.proxy:
         opt_kwargs["proxies"] = tuple(x.strip() for x in args.proxy.split(",") if x.strip())
+    if args.revalidate:
+        opt_kwargs["revalidate"] = True
+    if args.url_allow:
+        opt_kwargs["url_allow"] = tuple(args.url_allow)
+    if args.url_deny:
+        opt_kwargs["url_deny"] = tuple(args.url_deny)
+    if args.host_budget is not None:
+        opt_kwargs["host_budget"] = args.host_budget
     options = CrawlOptions(
         force=args.force, force_errors=args.force_errors, **opt_kwargs
     )

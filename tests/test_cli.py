@@ -115,3 +115,23 @@ def test_http_fetcher_options_plumbing():
 
     o = CrawlOptions(headers={"X-A": "1"}, insecure=True)
     assert o.headers == {"X-A": "1"} and o.insecure
+
+
+def test_governance_flags_parse():
+    """Round-4 crawl-governance flags: repeatable scope regexes, budget,
+    revalidate — parsed into the shapes CrawlOptions expects."""
+    from sinew_spark.__main__ import build_parser
+
+    p = build_parser()
+    a = p.parse_args([
+        "r.py", "--revalidate", "--host-budget", "500",
+        "--url-allow", "^http://a", "--url-allow", "^http://b",
+        "--url-deny", r"\.pdf$",
+    ])
+    assert a.revalidate is True and a.host_budget == 500
+    assert a.url_allow == ["^http://a", "^http://b"]
+    assert a.url_deny == ["\\.pdf$"]
+    # defaults: all off
+    d = p.parse_args(["r.py"])
+    assert d.revalidate is False and d.host_budget is None
+    assert d.url_allow is None and d.url_deny is None
