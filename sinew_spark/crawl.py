@@ -204,6 +204,14 @@ class CrawlOptions:
     # at round start; exhausted hosts' rows leave the frontier like
     # robots-blocked ones.
     host_budget: int | None = None
+    # adaptive throttling (None = off): hosts that answered 429 or 5xx in
+    # the PREVIOUS round are paced at `auto_throttle` seconds per request
+    # this round — the cross-round generalization of the in-attempt retry
+    # backoff (a server saying "slow down" keeps saying it across rounds).
+    # Composes with robots Crawl-delay through the same host_delays
+    # mechanism (per-host max of all asks); derived from an O(delta)
+    # pruned scan of last round's fetched delta, never the full history.
+    auto_throttle: float | None = None
     params: dict = field(default_factory=dict)
     headers: dict = field(default_factory=dict)  # default headers per request
     insecure: bool = False  # skip SSL verification (README.md:150)
@@ -359,6 +367,42 @@ class Crawler:
         self.frontier_t.overwrite(prepared, {"op": "seed_df"})
 
     # --- the round ---------------------------------------------------------------
+
+    def _throttle_delays(self, rnd: int):
+        """host_delays for this round: robots Crawl-delay asks unioned with
+        adaptive throttling (opts.auto_throttle) — hosts that answered 429
+        or 5xx (or transport errors) in the previous round get paced at
+        auto_throttle sec/request this round, per-host max of all asks.
+        O(delta) pruned scan of last round's fetched rows (host + status
+        columns only); returns None when nothing needs pacing so the
+        unpaced shuffle-free fetch path stays available."""
+        if self.opts.auto_throttle is None:
+            return self.crawl_delays
+        if self.fetched_t.current_snapshot() is None:
+            return self.crawl_delays
+        bad = (
+            (F.col("status") == 429)
+            | (F.col("status") >= 500)
+            | (F.col("status") < 0)
+        )
+        throttled = (
+            self.fetched_t.read()
+            .where(F.col("round") == rnd - 1)
+            .where(bad)
+            .select("host")
+            .distinct()
+            .withColumn("crawl_delay", F.lit(float(self.opts.auto_throttle)))
+        )
+        if self.crawl_delays is None:
+            # empty throttle set -> keep the unpaced fast path (one small
+            # pruned agg job; only paid when auto_throttle is on)
+            return throttled if throttled.limit(1).count() > 0 else None
+        return (
+            self.crawl_delays.select("host", "crawl_delay")
+            .unionByName(throttled)
+            .groupBy("host")
+            .agg(F.max("crawl_delay").alias("crawl_delay"))
+        )
 
     def current_round(self) -> int:
         if self._round is None:
@@ -565,7 +609,7 @@ class Crawler:
             retries=self.opts.retries,
             proxies=list(self.opts.proxies),
             parse=True,
-            host_delays=self.crawl_delays,
+            host_delays=self._throttle_delays(rnd),
             validators=validators,
         )
 

@@ -123,3 +123,68 @@ def test_host_budget_composes_with_per_round_cap(spark, tmp_path):
     m = c.metrics_t.read().orderBy("round").toPandas()
     assert list(m["selected"][:2]) == [4, 2]  # 2 hosts x (2 then 1)
     assert c.seen_t.read().count() == 6
+
+
+# --- adaptive throttling (auto_throttle) ---
+
+def test_throttle_delays_unit(spark, tmp_path):
+    """Hosts with 429/5xx/errors last round get the throttle delay; robots
+    Crawl-delay asks compose via per-host max."""
+    c = Crawler(
+        spark, str(tmp_path / "c"),
+        FixtureFetcher(seed=42, flaky={"err.test": 999}),
+        CrawlOptions(retries=0, auto_throttle=0.5),
+    )
+    # round 0: err.test always 500s; ok.test fine
+    c.seed(["http://err.test/a", "http://err.test/b", "http://ok.test/a"])
+    c.run_round()
+    d = c._throttle_delays(1).toPandas().set_index("host")
+    assert list(d.index) == ["err.test"] and d.loc["err.test", "crawl_delay"] == 0.5
+    # robots ask composes: the larger delay wins per host
+    c.crawl_delays = spark.createDataFrame(
+        [("err.test", 2.0), ("slow.test", 1.0)], "host string, crawl_delay double"
+    )
+    d2 = c._throttle_delays(1).toPandas().set_index("host")
+    assert d2.loc["err.test", "crawl_delay"] == 2.0
+    assert d2.loc["slow.test", "crawl_delay"] == 1.0
+
+
+def test_throttle_off_and_empty_keep_fast_path(spark, tmp_path):
+    c = Crawler(
+        spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+        CrawlOptions(retries=0, auto_throttle=0.5),
+    )
+    assert c._throttle_delays(0) is None  # no fetched history yet
+    c.seed(["http://ok.test/a", "http://ok.test/b"])
+    c.run_round()
+    assert c._throttle_delays(1) is None  # clean round -> unpaced path
+    c2 = Crawler(spark, str(tmp_path / "c2"), FixtureFetcher(seed=42),
+                 CrawlOptions(retries=0))
+    assert c2._throttle_delays(1) is None  # knob off
+
+
+def test_throttle_paces_next_round_end_to_end(spark, tmp_path):
+    """Round 1 re-offers of a 500-ing host are actually PACED (grouped
+    fetch path with the per-host delay), like the robots crawl-delay."""
+    import time as _t
+
+    c = Crawler(
+        spark, str(tmp_path / "c"),
+        FixtureFetcher(seed=42, flaky={"err.test": 999}),
+        CrawlOptions(retries=0, auto_throttle=0.2, force_errors=True,
+                     max_rounds=1),
+    )
+    c.seed([f"http://err.test/p{i}" for i in range(4)])
+    c.run_round()
+    # re-offer the same errored URLs: force_errors lets them through, and
+    # the throttle paces 4 requests at 0.2s -> >= 0.6s wall
+    c2 = Crawler(
+        spark, str(tmp_path / "c"),
+        FixtureFetcher(seed=42, flaky={"err.test": 999}),
+        CrawlOptions(retries=0, auto_throttle=0.2, force_errors=True,
+                     max_rounds=1),
+    )
+    c2.seed([f"http://err.test/p{i}" for i in range(4)])
+    t0 = _t.time()
+    c2.run_round()
+    assert _t.time() - t0 >= 0.6
