@@ -1675,6 +1675,47 @@ def q_c4_clean(spark, sf_dir):
     return c4_clean(pages).orderBy("doc_id")
 
 
+def q_wat_export(spark, sf_dir):
+    """WAT export end-to-end (sinks/warc.py write_wat/read_wat — WARC
+    metadata records carrying Common Crawl's JSON envelope, built
+    Catalyst-side with to_json): deterministic per-doc outlink arrays are
+    archived as per-partition .warc.wat.gz metadata records, read back
+    through the file-parallel scan, and re-emitted as (url, wat_json,
+    n_bytes, digest). The oracle reconstructs the envelope string
+    character-for-character from first principles and recomputes length +
+    sha256, so the to_json field order, the record framing, the
+    per-member compression, and the stream parser must all round-trip
+    exactly. With WARC (responses) + CDX (index) + WET (text) this
+    completes the Common Crawl interop set."""
+    import tempfile
+
+    from sinew_spark.sinks.warc import read_wat, write_wat
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    url = F.concat(F.lit("http://corpus.test/wat/"), F.col("doc_id").cast("string"))
+    link = lambda m: F.concat(  # noqa: E731
+        F.lit("http://corpus.test/wat/"), ((F.col("doc_id") * m) % 2000).cast("string")
+    )
+    src = d.select(
+        url.alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("date"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        # every 7th page has no outlinks — pins the empty-array encoding
+        F.when(F.col("doc_id") % 7 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(link(2), link(3))).alias("links"),
+    ).repartition(8, "url").sortWithinPartitions("url")
+    out = tempfile.mkdtemp(prefix="sinew_wat_")
+    write_wat(src, out).count()  # materializing the index performs the write
+    back = read_wat(spark, out)
+    return back.select(
+        "url",
+        F.col("body").cast("string").alias("wat_json"),
+        F.octet_length("body").alias("n_bytes"),
+        "digest",
+    ).orderBy("url")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2819,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_bootstrap": q_warc_bootstrap,
         "streaming_archive": q_streaming_archive,
         "c4_clean": q_c4_clean,
+        "wat_export": q_wat_export,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3663,6 +3705,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, kept, CAST(len(kl) AS INTEGER) AS n_lines_kept, "
             "CASE WHEN kept THEN array_to_string(kl, chr(10)) END AS clean_text "
             "FROM g ORDER BY doc_id"
+        ),
+        # WAT round trip: the JSON envelope reconstructed character-for-
+        # character from first principles (to_json field order is the
+        # struct order), then length + sha256 recomputed — metadata-record
+        # framing must round-trip exactly
+        "wat_export": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000), "
+            "w AS (SELECT 'http://corpus.test/wat/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END AS status, "
+            "CASE WHEN doc_id % 7 = 0 THEN '[]' "
+            "ELSE '[\"http://corpus.test/wat/' || CAST((doc_id * 2) % 2000 AS VARCHAR) "
+            "|| '\",\"http://corpus.test/wat/' || CAST((doc_id * 3) % 2000 AS VARCHAR) "
+            "|| '\"]' END AS links_json FROM d), "
+            "j AS (SELECT url, "
+            "'{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\"' || url "
+            "|| '\",\"WARC-Date\":\"2024-01-01T00:00:00Z\"},\"Payload-Metadata\":"
+            "{\"HTTP-Response-Metadata\":{\"Status\":' || CAST(status AS VARCHAR) "
+            "|| ',\"Content-Type\":\"text/html\",\"HTML-Metadata\":{\"Links\":' "
+            "|| links_json || '}}}}}' AS wat_json FROM w) "
+            "SELECT url, wat_json, "
+            "CAST(octet_length(encode(wat_json)) AS INTEGER) AS n_bytes, "
+            "'sha256:' || sha256(wat_json) AS digest FROM j ORDER BY url"
         ),
         # streaming archive: every column re-derived from the source table
         "streaming_archive": (

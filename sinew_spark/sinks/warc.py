@@ -143,6 +143,30 @@ def _conversion_bytes(url: str, date_iso: str, text: bytes) -> tuple[bytes, str]
     return headers + text + b"\r\n\r\n", digest
 
 
+def _metadata_bytes(url: str, date_iso: str, payload: bytes) -> tuple[bytes, str]:
+    """Serialize one WARC **metadata** record (the WAT convention: a JSON
+    envelope describing a response record — links, HTTP metadata —
+    archived alongside the response archive). Block digest over the JSON;
+    WARC-Refers-To points at the response record's deterministic id (the
+    same UUIDv5 write_warc assigns), so WAT rows resolve to their WARC
+    records without a join."""
+    digest = "sha256:" + hashlib.sha256(payload).hexdigest()
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"wat {url} {date_iso}")
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, f"{url} {date_iso}")
+    headers = (
+        f"{WARC_VERSION}\r\n"
+        f"WARC-Type: metadata\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"WARC-Refers-To: <urn:uuid:{refers}>\r\n"
+        f"WARC-Block-Digest: {digest}\r\n"
+        f"Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("utf-8")
+    return headers + payload + b"\r\n\r\n", digest
+
+
 def _member_writer(out_dir: str, suffix: str, rec_fn):
     """Shared per-partition gzip-member writer: one file per partition,
     one gzip member per record (byte-range random access), atomic
@@ -214,6 +238,63 @@ def write_wet(
         return _conversion_bytes(r.url, r.date, bytes(b))
 
     return slim.mapInPandas(_member_writer(out_dir, "warc.wet.gz", rec), INDEX_SCHEMA)
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    date_col: str = "date",
+    status_col: str = "status",
+    content_type_col: str = "content_type",
+    links_col: str = "links",
+) -> DataFrame:
+    """Write per-response metadata as WAT (.warc.wat.gz — WARC metadata
+    records carrying a JSON envelope, the Common Crawl link-graph /
+    metadata layout). The envelope is built CATALYST-SIDE with
+    ``to_json`` (codegen, zero Python string work — the pandas stage only
+    frames bytes), shaped like Common Crawl's::
+
+        {"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":…,
+         "WARC-Date":…},"Payload-Metadata":{"HTTP-Response-Metadata":{
+         "Status":…,"Content-Type":…,"HTML-Metadata":{"Links":[…]}}}}}
+
+    ``links_col`` is an ``array<string>`` (the crawl's outlinks column).
+    Same shuffle-free per-partition member layout and lazy CDX-index
+    return as write_warc/write_wet; byte-deterministic, so replays and
+    oracles hash-match. Completes the Common Crawl interop set:
+    WARC (responses) + CDX (index) + WET (text) + WAT (metadata)."""
+    os.makedirs(out_dir, exist_ok=True)
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col(url_col).alias("WARC-Target-URI"),
+                    F.col(date_col).alias("WARC-Date"),
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.col(status_col).cast("int").alias("Status"),
+                        F.col(content_type_col).cast("string").alias("Content-Type"),
+                        F.struct(
+                            F.col(links_col).cast("array<string>").alias("Links"),
+                        ).alias("HTML-Metadata"),
+                    ).alias("HTTP-Response-Metadata"),
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    slim = df.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("date"),
+        F.encode(envelope, "UTF-8").alias("payload"),
+    )
+
+    def rec(r):
+        b = r.payload if isinstance(r.payload, (bytes, bytearray)) else b"{}"
+        return _metadata_bytes(r.url, r.date, bytes(b))
+
+    return slim.mapInPandas(_member_writer(out_dir, "warc.wat.gz", rec), INDEX_SCHEMA)
 
 
 def write_warc(
@@ -353,12 +434,13 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         content = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
         wtype = head.get("warc-type")
-        if wtype not in ("response", "revisit", "conversion"):
+        if wtype not in ("response", "revisit", "conversion", "metadata"):
             continue
-        # conversion (WET) records carry the block directly — no HTTP
-        # envelope; content type comes from the WARC header itself
+        # conversion (WET) and metadata (WAT) records carry the block
+        # directly — no HTTP envelope; content type comes from the WARC
+        # header itself
         status, ctype, body = 0, "", content
-        if wtype == "conversion":
+        if wtype in ("conversion", "metadata"):
             ctype = head.get("content-type", "")
         http_end = content.find(b"\r\n\r\n")
         if wtype != "conversion" and content.startswith(b"HTTP/") and http_end >= 0:
@@ -404,6 +486,16 @@ def read_wet(spark: SparkSession, in_dir: str) -> DataFrame:
     digest, warc_type='conversion'). Same file-parallel scan as
     read_warc."""
     return read_warc(spark, in_dir, glob="*.warc.wet.gz")
+
+
+def read_wat(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Read .warc.wat.gz metadata records: (url, date, body=JSON envelope,
+    digest, warc_type='metadata'). Downstream, parse the envelope with
+    Catalyst ``from_json``/``get_json_object`` — e.g. extract
+    ``$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    .Links`` to rebuild the link graph without touching response
+    bodies."""
+    return read_warc(spark, in_dir, glob="*.warc.wat.gz")
 
 
 TEXTUAL_CONTENT_TYPES = (

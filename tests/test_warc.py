@@ -264,3 +264,69 @@ def test_revisit_mode_output_is_deterministic(spark, tmp_path):
         a = open(os.path.join(out1, f), "rb").read()
         b = open(os.path.join(out2, f), "rb").read()
         assert a == b
+
+
+def test_wat_roundtrip(spark, src, tmp_path):
+    """WAT (metadata-record) export: Catalyst-built JSON envelopes round-
+    trip with block digests; Links arrays parse back via get_json_object;
+    WARC-Refers-To matches the deterministic response-record id."""
+    import json
+    import uuid as uuidlib
+
+    from sinew_spark.sinks.warc import read_wat, write_wat
+
+    out = str(tmp_path / "wat")
+    meta = src.withColumn(
+        "links",
+        F.array(F.concat(F.col("url"), F.lit("/next")), F.lit("http://c.test/")),
+    )
+    idx = write_wat(meta, out).toPandas()
+    assert len(idx) == 4
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.wat.gz") for f in files)
+    back = read_wat(spark, out).toPandas().set_index("url")
+    assert (back["warc_type"] == "metadata").all()
+    assert (back["content_type"] == "application/json").all()
+    env = json.loads(bytes(back.loc["http://a.test/1", "body"]).decode())["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://a.test/1"
+    http = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert http["Status"] == 200
+    assert http["HTML-Metadata"]["Links"] == [
+        "http://a.test/1/next", "http://c.test/",
+    ]
+    for u, r in back.iterrows():
+        assert r["digest"] == "sha256:" + hashlib.sha256(bytes(r["body"])).hexdigest()
+    # the raw record's WARC-Refers-To resolves to the write_warc record id
+    raw = gzip.decompress(open(os.path.join(out, files[0]), "rb").read())
+    head = raw.split(b"\r\n\r\n", 1)[0].decode()
+    uri = [l for l in head.splitlines() if l.startswith("WARC-Target-URI: ")][0][17:]
+    date = [l for l in head.splitlines() if l.startswith("WARC-Date: ")][0][11:]
+    want = uuidlib.uuid5(uuidlib.NAMESPACE_URL, f"{uri} {date}")
+    assert f"WARC-Refers-To: <urn:uuid:{want}>" in head
+    # deterministic bytes
+    out2 = str(tmp_path / "wat2")
+    write_wat(meta, out2).count()
+    for f in files:
+        assert (
+            open(os.path.join(out, f), "rb").read()
+            == open(os.path.join(out2, f), "rb").read()
+        )
+
+
+def test_wat_coexists_and_point_lookup(spark, src, tmp_path):
+    """WARC + WET + WAT in one directory: each reader picks only its own
+    parts; WAT CDX rows support single-member point reads."""
+    from sinew_spark.sinks.warc import read_wat, read_wet, write_wat, write_wet
+
+    out = str(tmp_path / "all3")
+    write_warc(src, out).count()
+    write_wet(src.withColumn("text", F.col("body")), out).count()
+    meta = src.withColumn("links", F.array().cast("array<string>"))
+    idx = write_wat(meta, out).toPandas()
+    assert set(read_warc(spark, out).toPandas()["warc_type"]) == {"response"}
+    assert set(read_wet(spark, out).toPandas()["warc_type"]) == {"conversion"}
+    wat = read_wat(spark, out).toPandas()
+    assert set(wat["warc_type"]) == {"metadata"} and len(wat) == 4
+    r0 = idx.iloc[0]
+    rec = read_warc_record(out, r0["filename"], int(r0["offset"]), int(r0["length"]))
+    assert rec["warc_type"] == "metadata" and rec["url"] == r0["url"]
