@@ -1716,6 +1716,51 @@ def q_wat_export(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_canonical_collapse(spark, sf_dir):
+    """rel=canonical URL-identity collapse (functions/htmlparse.py
+    page_canonical + operators/extract.py extract_canonical +
+    operators/dedup.py collapse_by_canonical — RFC 6596): every doc_id%5
+    group synthesizes one canonical page, one absolute-canonical variant
+    and one RELATIVE-canonical variant (resolution against the page URL
+    exercised), plus two self-identity pages. The oracle re-derives the
+    identity grouping, the representative pick (canonical page itself
+    first, else min url), and the variant counts from the construction
+    predicate, so HTML link extraction, relative resolution, and the
+    single-shuffle min_by collapse must all agree."""
+    from sinew_spark.operators.dedup import collapse_by_canonical
+    from sinew_spark.operators.extract import extract_canonical
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 3000)
+    base = (F.col("doc_id") - F.col("doc_id") % 5).cast("string")
+    url = F.concat(F.lit("http://c.test/p/"), F.col("doc_id").cast("string"))
+    body = (
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="http://c.test/p/'),
+                base, F.lit('"></head><p>v</p>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="/p/'),
+                base, F.lit('"></head><p>v</p>'),
+            ),
+        )
+        .otherwise(F.lit("<p>self</p>"))
+    )
+    src = d.select(
+        url.alias("final_url"),
+        body.alias("resp_body"),
+        F.lit("text/html").alias("content_type"),
+    )
+    return (
+        collapse_by_canonical(extract_canonical(src))
+        .orderBy("canonical_identity")
+    )
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2861,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_archive": q_streaming_archive,
         "c4_clean": q_c4_clean,
         "wat_export": q_wat_export,
+        "canonical_collapse": q_canonical_collapse,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3727,6 +3773,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, wat_json, "
             "CAST(octet_length(encode(wat_json)) AS INTEGER) AS n_bytes, "
             "'sha256:' || sha256(wat_json) AS digest FROM j ORDER BY url"
+        ),
+        # canonical collapse: identity grouping + representative pick +
+        # variant counts re-derived from the construction predicate
+        "canonical_collapse": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 3000), "
+            "m AS (SELECT 'http://c.test/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE WHEN doc_id % 5 IN (1, 2) "
+            "THEN 'http://c.test/p/' || CAST(doc_id - doc_id % 5 AS VARCHAR) "
+            "ELSE 'http://c.test/p/' || CAST(doc_id AS VARCHAR) END AS ident "
+            "FROM d) "
+            "SELECT ident AS canonical_identity, "
+            "COALESCE(MIN(CASE WHEN url = ident THEN url END), MIN(url)) AS url, "
+            "COUNT(*) AS n_variants "
+            "FROM m GROUP BY ident ORDER BY canonical_identity"
         ),
         # streaming archive: every column re-derived from the source table
         "streaming_archive": (

@@ -508,6 +508,26 @@ def page_robots_flags(body: str, content_type: str = "text/html") -> tuple[bool,
     return p.meta_noindex, p.meta_nofollow
 
 
+def page_canonical(
+    body: str, base_url: str = "", content_type: str = "text/html"
+) -> str | None:
+    """The page's declared canonical URL (``<link rel=canonical href=…>``,
+    RFC 6596), resolved against ``base_url`` when relative. ``None`` when
+    absent or non-HTML. The first declaration wins (conflicting
+    canonicals are treated as untrustworthy by consumers; taking the
+    first keeps extraction deterministic). Feeds
+    operators/dedup.collapse_by_canonical — the crawl-side URL-identity
+    collapse real corpora need before content-level dedup."""
+    if not body or not content_type or (
+        "html" not in content_type and "xml" not in content_type
+    ):
+        return None
+    p = _stream_spans(body)
+    if p.canonical is None:
+        return None
+    return _make_link_resolver(base_url)(p.canonical) if base_url else p.canonical
+
+
 class _SpanStream(HTMLParser):
     """Single-pass span extraction — no tree, no Node allocation.
 
@@ -547,6 +567,7 @@ class _SpanStream(HTMLParser):
         self.nofollow_idx: set[int] = set()  # span indexes of nofollow links
         self.meta_nofollow = False  # <meta name=robots content=...nofollow...>
         self.meta_noindex = False
+        self.canonical = None  # first <link rel=canonical href=...>, raw
 
     def _start(self, tag, attrs, self_closing):
         if self.skip_depth:
@@ -593,6 +614,14 @@ class _SpanStream(HTMLParser):
                 else:
                     self.a_depth = 1
                 return
+        if tag == "link":
+            d = dict(attrs)
+            rel = (d.get("rel") or "").lower().split()
+            # first canonical wins (conflicting declarations: search engines
+            # distrust later ones; deterministic either way)
+            if "canonical" in rel and d.get("href") and self.canonical is None:
+                self.canonical = d["href"]
+            return
         if tag == "meta":
             d = dict(attrs)
             if (d.get("name") or "").lower() == "robots":

@@ -53,6 +53,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def collapse_by_canonical(
+    docs: DataFrame, url_col: str = "url", canonical_col: str = "canonical"
+) -> DataFrame:
+    """Collapse URL identity by declared canonical (RFC 6596): pages that
+    point at the same ``<link rel=canonical>`` target are one logical
+    document. Returns one row per identity —
+    (canonical_identity, url=representative, n_variants) — where identity
+    is ``coalesce(canonical, url)`` and the representative prefers the
+    canonical page itself (url == identity) over the lexicographically
+    smallest variant, deterministically.
+
+    One hash shuffle on the identity key (min_by carries a (is-not-self,
+    url) struct, so the pick is a map-side-combinable aggregate — no
+    window, no second shuffle). At 100 TB this is the same safe shape as
+    exact_dedup; compose AFTER extract_canonical and BEFORE content-level
+    dedup so near-dup never pays for pages that already declare
+    themselves duplicates."""
+    ident = F.coalesce(F.col(canonical_col), F.col(url_col))
+    return (
+        docs.select(
+            ident.alias("canonical_identity"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("canonical_identity")
+        .agg(
+            F.min_by(
+                "url",
+                F.struct(
+                    (F.col("url") != F.col("canonical_identity")).alias("not_self"),
+                    F.col("url").alias("u"),
+                ),
+            ).alias("url"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
 # --- shingles + minhash -----------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -98,6 +98,44 @@ def css_extract(
     return fetched.select("seq", "final_url", "resp_body").mapInPandas(batch, schema)
 
 
+def extract_canonical(
+    fetched: DataFrame,
+    url_col: str = "final_url",
+    body_col: str = "resp_body",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """Per-page declared canonical URL (``<link rel=canonical>``, RFC 6596)
+    — (url, canonical) with canonical NULL when the page declares none.
+    Arrow-batched mapInPandas over the span parser (one Python crossing
+    per batch, same shape as css_extract); relative canonicals resolve
+    against the page URL. Feeds collapse_by_canonical."""
+    has_ct = content_type_col in fetched.columns
+    cols = [F.col(url_col).alias("url"), F.col(body_col).alias("body")]
+    cols.append(
+        (F.col(content_type_col) if has_ct else F.lit("text/html")).alias("ct")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+        ]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sinew_spark.functions.htmlparse import page_canonical
+
+        for pdf in it:
+            out = {"url": [], "canonical": []}
+            for r in pdf.itertuples(index=False):
+                out["url"].append(r.url)
+                out["canonical"].append(
+                    page_canonical(r.body or "", r.url or "", r.ct or "text/html")
+                )
+            yield pd.DataFrame(out)
+
+    return fetched.select(cols).mapInPandas(batch, schema)
+
+
 def row_project(fetched: DataFrame, columns: dict) -> DataFrame:
     """One output row per fetched document (url.sinew semantics)."""
     cols = [_project(spec).alias(name) for name, spec in columns.items()]

@@ -307,3 +307,86 @@ def test_meta_robots_nofollow_gates_all_links():
     assert page_robots_flags('<meta name="description" content="nofollow">') == (
         False, False,
     )
+
+
+class TestCanonical:
+    """<link rel=canonical> extraction (RFC 6596) — page_canonical."""
+
+    def test_absolute_and_relative(self):
+        from sinew_spark.functions.htmlparse import page_canonical
+
+        html = '<html><head><link rel="canonical" href="http://x.test/a"></head><body>b</body></html>'
+        assert page_canonical(html, "http://x.test/a?utm=1") == "http://x.test/a"
+        rel = '<head><link rel=canonical href="/base"></head><p>x</p>'
+        assert page_canonical(rel, "http://y.test/deep/page") == "http://y.test/base"
+        assert page_canonical(rel) == "/base"  # no base: raw href
+
+    def test_first_wins_and_rel_token_list(self):
+        from sinew_spark.functions.htmlparse import page_canonical
+
+        html = (
+            '<link rel="alternate canonical" href="http://x.test/1">'
+            '<link rel="canonical" href="http://x.test/2">'
+        )
+        assert page_canonical(html, "http://x.test/") == "http://x.test/1"
+
+    def test_absent_or_non_html(self):
+        from sinew_spark.functions.htmlparse import page_canonical
+
+        assert page_canonical("<p>no link</p>", "http://x.test/") is None
+        assert page_canonical('<link rel="stylesheet" href="/s.css">', "http://x.test/") is None
+        assert page_canonical('<link rel=canonical href="/a">', "http://x.test/", "application/json") is None
+
+    def test_spans_unchanged_by_link_elements(self):
+        from sinew_spark.functions.htmlparse import extract_spans
+
+        with_link = '<head><link rel="canonical" href="/c"></head><body><p>hello</p><a href="/n">n</a></body>'
+        without = "<head></head><body><p>hello</p><a href=\"/n\">n</a></body>"
+        assert extract_spans(with_link) == extract_spans(without)
+
+
+def test_extract_canonical_and_collapse(spark):
+    """extract_canonical (Arrow batch) -> collapse_by_canonical (one
+    shuffle): variants pointing at one canonical target fold to one
+    identity whose representative is the canonical page itself."""
+    from sinew_spark.operators.dedup import collapse_by_canonical
+    from sinew_spark.operators.extract import extract_canonical
+
+    rows = [
+        # canonical page: declares nothing
+        ("http://c.test/p/0", "<p>base</p>", "text/html"),
+        # absolute canonical to /p/0
+        ("http://c.test/p/1", '<link rel="canonical" href="http://c.test/p/0"><p>v1</p>', "text/html"),
+        # relative canonical to /p/0
+        ("http://c.test/p/2", '<link rel="canonical" href="/p/0"><p>v2</p>', "text/html"),
+        # self-identity singleton
+        ("http://c.test/q", "<p>q</p>", "text/html"),
+    ]
+    df = spark.createDataFrame(rows, "final_url string, resp_body string, content_type string")
+    got = extract_canonical(df).toPandas().set_index("url")
+    assert got.loc["http://c.test/p/1", "canonical"] == "http://c.test/p/0"
+    assert got.loc["http://c.test/p/2", "canonical"] == "http://c.test/p/0"
+    assert got.loc["http://c.test/p/0", "canonical"] is None
+    out = (
+        collapse_by_canonical(extract_canonical(df))
+        .toPandas().set_index("canonical_identity").sort_index()
+    )
+    assert out.loc["http://c.test/p/0", "url"] == "http://c.test/p/0"
+    assert int(out.loc["http://c.test/p/0", "n_variants"]) == 3
+    assert out.loc["http://c.test/q", "url"] == "http://c.test/q"
+    assert len(out) == 2
+
+
+def test_collapse_representative_without_self(spark):
+    """When the canonical target itself is absent, the smallest variant
+    URL represents the identity (deterministic min_by struct order)."""
+    from sinew_spark.operators.dedup import collapse_by_canonical
+
+    rows = [
+        ("http://c.test/b", "http://c.test/gone"),
+        ("http://c.test/a", "http://c.test/gone"),
+    ]
+    df = spark.createDataFrame(rows, "url string, canonical string")
+    out = collapse_by_canonical(df).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "http://c.test/a" and out[0]["n_variants"] == 2
