@@ -1761,6 +1761,38 @@ def q_canonical_collapse(spark, sf_dir):
     )
 
 
+def q_charset_detect(spark, sf_dir):
+    """Charset detection + tolerant decode (functions/charset.py — the
+    bytes-without-live-headers path WARC import runs on): per doc_id%4
+    the body is encoded as plain UTF-8 / ISO-8859-1 with a meta
+    declaration (alias `latin1` exercises normalization) / UTF-8 with a
+    BOM / UTF-16LE declared by the Content-Type header. The Catalyst
+    sniff must pick the right label in WHATWG order and the decode UDF
+    must round-trip the non-ASCII text exactly (BOM stripped); the
+    oracle re-derives both from the construction predicate."""
+    from sinew_spark.functions.charset import decode_auto, detect_charset_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 3000)
+    base = F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" caf\xe9"))
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.encode(base, "UTF-8"))
+        .when(m == 1, F.encode(F.concat(F.lit("<meta charset=latin1><p>"), base), "ISO-8859-1"))
+        .when(m == 2, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(base, "UTF-8")))
+        .otherwise(F.encode(base, "UTF-16LE"))
+    )
+    ct = (
+        F.when(m == 3, F.lit("text/html; charset=utf-16le"))
+        .otherwise(F.lit("text/html"))
+    )
+    src = d.select(F.col("doc_id"), body.alias("body"), ct.alias("ct"))
+    return src.select(
+        "doc_id",
+        detect_charset_expr(F.col("body"), F.col("ct")).alias("charset"),
+        decode_auto(F.col("body"), F.col("ct")).alias("text"),
+    ).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2907,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "wat_export": q_wat_export,
         "canonical_collapse": q_canonical_collapse,
+        "charset_detect": q_charset_detect,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3787,6 +3820,18 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(MIN(CASE WHEN url = ident THEN url END), MIN(url)) AS url, "
             "COUNT(*) AS n_variants "
             "FROM m GROUP BY ident ORDER BY canonical_identity"
+        ),
+        # charset detection: label + decoded round-trip text re-derived
+        # from the construction predicate (é survives every encoding leg)
+        "charset_detect": (
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "WHEN 1 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16le' "
+            "ELSE 'utf-8' END AS charset, "
+            "CASE WHEN doc_id % 4 = 1 "
+            "THEN '<meta charset=latin1><p>doc ' || CAST(doc_id AS VARCHAR) || ' café' "
+            "ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' café' END AS text "
+            "FROM documents WHERE doc_id < 3000 ORDER BY doc_id"
         ),
         # streaming archive: every column re-derived from the source table
         "streaming_archive": (

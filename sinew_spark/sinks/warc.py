@@ -537,6 +537,7 @@ def bootstrap_crawl_from_warc(
     (archives known to be all-text)."""
     from pyspark.sql.window import Window
 
+    from sinew_spark.functions.charset import decode_auto
     from sinew_spark.functions.urls import host_expr, request_key_expr
     from sinew_spark.operators.parse import parse_documents
 
@@ -555,7 +556,12 @@ def bootstrap_crawl_from_warc(
             F.col("url"),
             F.col("status").cast("int").alias("status"),
             F.col("content_type"),
-            F.decode(F.col("body"), "UTF-8").alias("resp_body"),
+            # charset-aware tolerant decode (functions/charset.py): archives
+            # carry whatever encoding the origin served — BOM / header-param /
+            # meta-declaration sniff, malformed bytes degrade to U+FFFD.
+            # (A blanket decode(body,'UTF-8') THROWS on the first mojibake
+            # page under Spark 4's strict coding-error behavior.)
+            decode_auto(F.col("body"), F.col("content_type")).alias("resp_body"),
             F.unix_timestamp(F.to_timestamp("date")).cast("double").alias("fetched_at"),
         )
     )
