@@ -30,6 +30,7 @@ per-batch with no shuffle — both survive 100× scale-up unchanged.
 from __future__ import annotations
 
 import codecs
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -131,6 +132,38 @@ _BOMS = (
     (codecs.BOM_UTF16_LE, ("utf-16le",)),
     (codecs.BOM_UTF16_BE, ("utf-16be",)),
 )
+
+_META_RE = re.compile(rb"<meta[^>]*charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)", re.I)
+_XML_RE = re.compile(rb"<\?xml[^>]*encoding\s*=\s*[\"']([a-zA-Z0-9_\-]+)", re.I)
+
+
+def sniff_charset(
+    raw: bytes,
+    header_charset: str | None = None,
+    default: str = "utf-8",
+    sniff_bytes: int = 1024,
+) -> str:
+    """Python twin of detect_charset_expr for single in-flight responses
+    (the live transport, where bytes are already driver/worker-local):
+    BOM > header param > meta/XML declaration > default, same
+    normalization. Lets header-less pages decode like a browser would
+    instead of defaulting blind."""
+    if raw:
+        if raw[:3] == codecs.BOM_UTF8:
+            return "utf-8"
+        if raw[:2] == codecs.BOM_UTF16_LE:
+            return "utf-16le"
+        if raw[:2] == codecs.BOM_UTF16_BE:
+            return "utf-16be"
+    if header_charset:
+        low = header_charset.lower().strip()
+        return CHARSET_ALIASES.get(low, low)
+    win = raw[:sniff_bytes] if raw else b""
+    m = _META_RE.search(win) or _XML_RE.search(win)
+    if m:
+        low = m.group(1).decode("latin-1").lower()
+        return CHARSET_ALIASES.get(low, low)
+    return default
 
 
 def decode_text(raw: bytes, charset: str) -> str:

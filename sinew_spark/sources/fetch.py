@@ -371,9 +371,16 @@ class HttpFetcher(Fetcher):
         try:
             with opener.open(req, timeout=self.timeout) as resp:
                 ct = resp.headers.get("Content-Type", "")
-                charset = resp.headers.get_content_charset() or "utf-8"
                 raw = self._decode_body(resp.read(), resp.headers)
-                text = raw.decode(charset, errors="replace").replace("�", "?")
+                # browser-order charset pick: BOM > header param > in-body
+                # <meta>/XML declaration > utf-8 (functions/charset.py) —
+                # header-less pages no longer decode blind
+                from sinew_spark.functions.charset import decode_text, sniff_charset
+
+                charset = sniff_charset(raw, resp.headers.get_content_charset())
+                # decode_text: BOM stripped, unknown labels fall back,
+                # malformed -> U+FFFD -> '?' (reference parity)
+                text = decode_text(raw, charset).replace("�", "?")
                 return (
                     resp.status, ct, text, None,
                     resp.headers.get_all("Set-Cookie") or [],

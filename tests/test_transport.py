@@ -93,6 +93,21 @@ class _Recorder(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/latin1meta":
+            # no charset in the header; declaration only in the body
+            body = "<meta charset=latin1><p>caf\xe9</p>".encode("iso-8859-1")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/utf8bom":
+            body = b"\xef\xbb\xbf" + "bom caf\xe9".encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             body = b"plain"
             self.send_response(200)
@@ -299,3 +314,19 @@ def test_etld_supercookie_rejected():
     # the registrable domain itself is fine
     assert set_cookie(jar, "x", {"v": "1", "domain": "example.co.uk"}, "shop.example.co.uk", "/", 0.0)
     assert ("example.co.uk", "/", "x") in jar
+
+
+def test_meta_charset_sniffed_when_header_silent(loopback):
+    """Header-less charset: the transport sniffs the in-body <meta>
+    declaration (browser order) instead of decoding blind as utf-8."""
+    base, _seen = loopback
+    f = HttpFetcher(timeout=5.0)
+    status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/latin1meta", "GET", "", None)
+    assert status == 200 and text == "<meta charset=latin1><p>caf\xe9</p>"
+
+
+def test_bom_stripped_and_wins(loopback):
+    base, _seen = loopback
+    f = HttpFetcher(timeout=5.0)
+    status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/utf8bom", "GET", "", None)
+    assert status == 200 and text == "bom caf\xe9"
