@@ -329,6 +329,9 @@ def headline_queries(spark) -> dict:
         "nofollow_links",
         "c4_clean",
         "wet_export",
+        "wat_export",
+        "canonical_collapse",
+        "charset_detect",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
