@@ -1793,6 +1793,41 @@ def q_charset_detect(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sitemap_lastmod(spark, sf_dir):
+    """Sitemap-driven recrawl gating (sources/sitemap.py sitemap_entries
+    + sitemap_stale — the sitemap protocol's change-discovery path):
+    per-doc one-entry sitemaps carry <lastmod> on 2 of every 3 docs;
+    half the URLs are already seen at a synthetic fetch day. The gate
+    must keep exactly the new / unknown-freshness / modified entries
+    (same-day = modified, conservative) and drop provably-unchanged
+    ones; the oracle re-derives entry parsing, the day arithmetic
+    (timezone-free on both sides), and the reason labels from the
+    construction predicate."""
+    from sinew_spark.sources.sitemap import sitemap_entries, sitemap_stale
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 4000)
+    loc = F.concat(F.lit("http://e.test/p/"), F.col("doc_id").cast("string"))
+    lm = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 50).cast("int")),
+        "yyyy-MM-dd",
+    )
+    body = F.concat(
+        F.lit("<urlset><url><loc>"), loc, F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit("<lastmod>"), lm, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url></urlset>"),
+    )
+    sm = d.select(F.col("doc_id").alias("seq"), body.alias("resp_body"))
+    seen = d.where(F.col("doc_id") % 2 == 0).select(
+        loc.alias("url"),
+        ((F.col("doc_id") % 40 + 19723) * F.lit(86400.0)).alias("fetched_at"),
+    )
+    out = sitemap_stale(sitemap_entries(sm), seen)
+    return out.select("loc", "lastmod", "reason").orderBy("loc")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2940,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "canonical_collapse": q_canonical_collapse,
         "charset_detect": q_charset_detect,
+        "sitemap_lastmod": q_sitemap_lastmod,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3832,6 +3868,23 @@ def oracle_sql() -> dict[str, str]:
             "THEN '<meta charset=latin1><p>doc ' || CAST(doc_id AS VARCHAR) || ' café' "
             "ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' café' END AS text "
             "FROM documents WHERE doc_id < 3000 ORDER BY doc_id"
+        ),
+        # sitemap lastmod gate: parsing + tz-free day arithmetic + reason
+        # labels all re-derived from the construction predicate
+        "sitemap_lastmod": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 4000), "
+            "e AS (SELECT doc_id, "
+            "'http://e.test/p/' || CAST(doc_id AS VARCHAR) AS loc, "
+            "CASE WHEN doc_id % 3 = 0 THEN NULL "
+            "ELSE strftime(DATE '2024-01-01' + CAST(doc_id % 50 AS INTEGER), '%Y-%m-%d') "
+            "END AS lastmod FROM d), "
+            "r AS (SELECT loc, lastmod, "
+            "CASE WHEN doc_id % 2 = 1 THEN 'new' "
+            "WHEN doc_id % 3 = 0 THEN 'unknown' "
+            "WHEN doc_id % 50 >= doc_id % 40 THEN 'modified' END AS reason "
+            "FROM e) "
+            "SELECT loc, lastmod, reason FROM r "
+            "WHERE reason IS NOT NULL ORDER BY loc"
         ),
         # streaming archive: every column re-derived from the source table
         "streaming_archive": (

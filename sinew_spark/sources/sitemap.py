@@ -50,6 +50,83 @@ def sitemap_locs(
     ).select(*id_cols, "loc_idx", _xml_unescape(F.col("_raw")).alias("loc"))
 
 
+_URL_BLOCK = r"(?is)<(?:[\w.-]+:)?url\s*>(.*?)</(?:[\w.-]+:)?url\s*>"
+_LOC_IN = r"(?is)<(?:[\w.-]+:)?loc\s*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</"
+_LASTMOD_IN = r"(?is)<(?:[\w.-]+:)?lastmod\s*>\s*(.*?)\s*</"
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, body_col: str = "resp_body", id_cols: tuple = ("seq",)
+) -> DataFrame:
+    """One row per ``<url>`` block, in document order: ``(*id_cols,
+    loc_idx, loc, lastmod)`` with ``lastmod`` NULL when the block omits
+    it. Catalyst-only — block regexp + per-block transform + posexplode,
+    no Python. Feeds sitemap_stale: the sitemap protocol's change-
+    discovery path (fetch only what ``<lastmod>`` says moved)."""
+    blocks = F.regexp_extract_all(F.col(body_col), F.lit(_URL_BLOCK), F.lit(1))
+    ent = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, _LOC_IN, 1).alias("loc"),
+            F.regexp_extract(b, _LASTMOD_IN, 1).alias("lastmod"),
+        ),
+    )
+    out = sitemaps.select(
+        *[F.col(c) for c in id_cols], F.posexplode(ent).alias("loc_idx", "_e")
+    )
+    return out.select(
+        *id_cols,
+        "loc_idx",
+        _xml_unescape(F.col("_e.loc")).alias("loc"),
+        F.when(F.col("_e.lastmod") != "", F.col("_e.lastmod")).alias("lastmod"),
+    )
+
+
+def sitemap_stale(
+    entries: DataFrame,
+    seen: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    seen_url_col: str = "url",
+    fetched_at_col: str = "fetched_at",
+) -> DataFrame:
+    """Sitemap-driven recrawl gate: of the sitemap's entries, the ones
+    worth (re)fetching — never seen (``reason='new'``), no lastmod
+    claim (``'unknown'`` — the sitemap can't prove freshness), or
+    lastmod on/after the stored fetch DAY (``'modified'``). Same-day
+    collisions refetch (conservative: date-granularity lastmod can't
+    order within a day). Entries provably unchanged are dropped — the
+    fetch that conditional revalidation would have 304'd is never made
+    at all.
+
+    Day arithmetic is timezone-free on both sides: lastmod's leading
+    ``yyyy-MM-dd`` through ``to_date``/``unix_date`` (pure calendar),
+    fetched_at (epoch seconds) through floor-div 86400 (UTC days) — no
+    session-timezone dependence, so replay and oracles agree anywhere.
+
+    One aggregate + one equi-join on the URL (the seen side pre-shrinks
+    to max(fetched_at) per url, so the join ships one row per seen URL);
+    at frontier scale both sides are url-hashed — the same safe shape as
+    anti_join_seen. Compose: ``crawler.seed_df(sitemap_stale(...))``
+    with ``expires``/``force`` crawl options for the refetch."""
+    lm_day = F.unix_date(F.to_date(F.substring(F.col(lastmod_col), 1, 10)))
+    s = seen.groupBy(F.col(seen_url_col).alias("_u")).agg(
+        F.max(fetched_at_col).alias("_fa")
+    )
+    j = entries.join(s, entries[loc_col] == s["_u"], "left")
+    fetched_day = F.floor(F.col("_fa") / 86400)
+    reason = (
+        F.when(F.col("_fa").isNull(), F.lit("new"))
+        .when(lm_day.isNull(), F.lit("unknown"))
+        .when(lm_day >= fetched_day, F.lit("modified"))
+    )
+    return (
+        j.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .drop("_u", "_fa")
+    )
+
+
 def is_sitemap_index(body_col: F.Column) -> F.Column:
     """True when the document is a sitemap INDEX (its locs are sitemaps).
     Case-insensitive; accepts a namespace prefix (<sm:sitemapindex>)."""

@@ -134,3 +134,59 @@ def test_expand_sitemap_frontier_index_to_pages(spark, tmpdir_path):
     assert sorted(r.canonical_url for r in fetched) == [
         "http://ex.test/s1.xml", "http://ex.test/s2.xml", "http://ex.test/sitemap.xml",
     ]
+
+
+def test_sitemap_entries_lastmod_optional(spark):
+    """<url> blocks parse to (loc, lastmod) with lastmod NULL when
+    absent; CDATA, namespace prefixes, and entity escapes still apply."""
+    from sinew_spark.sources.sitemap import sitemap_entries
+
+    body = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://e.test/a&amp;x</loc><lastmod>2024-02-01</lastmod></url>"
+        "<url><loc><![CDATA[http://e.test/b]]></loc></url>"
+        "<sm:url><sm:loc>http://e.test/c</sm:loc>"
+        "<sm:lastmod>2024-03-05T10:00:00+00:00</sm:lastmod></sm:url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(0, body)], "seq long, resp_body string")
+    rows = sitemap_entries(df).orderBy("loc_idx").collect()
+    assert [(r.loc, r.lastmod) for r in rows] == [
+        ("http://e.test/a&x", "2024-02-01"),
+        ("http://e.test/b", None),
+        ("http://e.test/c", "2024-03-05T10:00:00+00:00"),
+    ]
+
+
+def test_sitemap_stale_gate(spark):
+    """new / unknown / modified refetch; provably-unchanged dropped;
+    same-day lastmod refetches (conservative)."""
+    from sinew_spark.sources.sitemap import sitemap_stale
+
+    day = 86400.0
+    entries = spark.createDataFrame(
+        [
+            ("http://e.test/new", "2024-01-01"),
+            ("http://e.test/nolm", None),
+            ("http://e.test/changed", "2024-01-10"),
+            ("http://e.test/sameday", "2024-01-05"),
+            ("http://e.test/unchanged", "2024-01-02"),
+        ],
+        "loc string, lastmod string",
+    )
+    seen = spark.createDataFrame(
+        [
+            ("http://e.test/nolm", 19700 * day),
+            ("http://e.test/changed", 19725 * day),   # 2024-01-03
+            ("http://e.test/sameday", 19727 * day),   # 2024-01-05
+            ("http://e.test/unchanged", 19730 * day), # 2024-01-08
+        ],
+        "url string, fetched_at double",
+    )
+    out = {r.loc: r.reason for r in sitemap_stale(entries, seen).collect()}
+    assert out == {
+        "http://e.test/new": "new",
+        "http://e.test/nolm": "unknown",
+        "http://e.test/changed": "modified",
+        "http://e.test/sameday": "modified",
+    }
