@@ -132,3 +132,14 @@ def test_bootstrap_imports_non_utf8_archive(spark, tmp_path):
     }
     assert got["http://l1.test/a"] == "<p>caf\xe9 and na\xefve</p>"
     assert "�" in got["http://l1.test/b"]
+
+
+def test_detect_charset_is_map_only(spark):
+    """The sniff is pure Catalyst: no Exchange, no Python in the plan."""
+    df = spark.createDataFrame([(b"x", "text/html")], "b binary, ct string")
+    plan = (
+        df.select(detect_charset_expr(F.col("b"), F.col("ct")).alias("cs"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

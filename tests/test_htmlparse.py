@@ -390,3 +390,16 @@ def test_collapse_representative_without_self(spark):
     out = collapse_by_canonical(df).collect()
     assert len(out) == 1
     assert out[0]["url"] == "http://c.test/a" and out[0]["n_variants"] == 2
+
+
+def test_collapse_by_canonical_single_shuffle(spark):
+    from sinew_spark.operators.dedup import collapse_by_canonical
+
+    df = spark.createDataFrame(
+        [("http://c.test/a", None)], "url string, canonical string"
+    )
+    plan = (
+        collapse_by_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash shuffle on the identity key; min_by partials combine map-side
+    assert plan.count("Exchange hashpartitioning") == 1

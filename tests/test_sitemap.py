@@ -190,3 +190,17 @@ def test_sitemap_stale_gate(spark):
         "http://e.test/changed": "modified",
         "http://e.test/sameday": "modified",
     }
+
+
+def test_sitemap_stale_plan_shape(spark):
+    """Seen side pre-aggregates (1 shuffle) then joins; entries side never
+    shuffles more than the join requires (<=2 exchanges total, and the
+    small seen side may broadcast instead)."""
+    from sinew_spark.sources.sitemap import sitemap_stale
+
+    entries = spark.createDataFrame([("u", "2024-01-01")], "loc string, lastmod string")
+    seen = spark.createDataFrame([("u", 0.0)], "url string, fetched_at double")
+    plan = (
+        sitemap_stale(entries, seen)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
