@@ -1828,6 +1828,35 @@ def q_sitemap_lastmod(spark, sf_dir):
     return out.select("loc", "lastmod", "reason").orderBy("loc")
 
 
+def q_host_report(spark, sf_dir):
+    """Per-host crawl ops report (crawl.py host_report — the monitoring
+    surface of a long crawl): synthetic fetched rows cover every outcome
+    class (2xx/3xx/4xx/transport-error), retry counts, rounds, and body
+    bytes; one map-side-combinable groupBy must reproduce the SQL
+    aggregation exactly (counts, byte sums over stored bodies only,
+    first/last round, recency)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5000)
+    m = F.col("doc_id") % 7
+    status = (
+        F.when(m == 0, F.lit(301))
+        .when(m == 1, F.lit(404))
+        .when(m == 2, F.lit(0))
+        .otherwise(F.lit(200))
+    )
+    rows = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")).alias("host"),
+        status.alias("status"),
+        F.when(status == 200, F.col("text")).alias("resp_body"),
+        F.when(m == 2, F.lit("timeout")).alias("error"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("n_attempts"),
+        (F.col("doc_id") % 4).cast("int").alias("round"),
+        (F.col("doc_id").cast("double") + 1000.0).alias("fetched_at"),
+    )
+    from sinew_spark.crawl import host_report
+
+    return host_report(rows).orderBy("host")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -2976,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": q_canonical_collapse,
         "charset_detect": q_charset_detect,
         "sitemap_lastmod": q_sitemap_lastmod,
+        "host_report": q_host_report,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3868,6 +3898,29 @@ def oracle_sql() -> dict[str, str]:
             "THEN '<meta charset=latin1><p>doc ' || CAST(doc_id AS VARCHAR) || ' café' "
             "ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' café' END AS text "
             "FROM documents WHERE doc_id < 3000 ORDER BY doc_id"
+        ),
+        # host report: every aggregate re-derived from the construction
+        # predicate (bytes only from stored 200-bodies)
+        "host_report": (
+            "WITH d AS (SELECT doc_id, text, CAST(doc_id % 7 AS INTEGER) AS m "
+            "FROM documents WHERE doc_id < 5000), "
+            "r AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS host, "
+            "CASE m WHEN 0 THEN 301 WHEN 1 THEN 404 WHEN 2 THEN 0 ELSE 200 END AS status, "
+            "CASE WHEN m NOT IN (0,1,2) THEN text END AS body, "
+            "(m = 2) AS is_terr, "
+            "CAST(doc_id % 3 + 1 AS INTEGER) AS n_attempts, "
+            "CAST(doc_id % 4 AS INTEGER) AS round, "
+            "CAST(doc_id AS DOUBLE) + 1000.0 AS fetched_at FROM d) "
+            "SELECT host, CAST(COUNT(*) AS BIGINT) AS pages, "
+            "CAST(SUM(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS ok, "
+            "CAST(SUM(CASE WHEN status BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS redirects, "
+            "CAST(SUM(CASE WHEN status BETWEEN 400 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS http_errors, "
+            "CAST(SUM(CASE WHEN is_terr THEN 1 ELSE 0 END) AS BIGINT) AS transport_errors, "
+            "CAST(SUM(COALESCE(octet_length(encode(body)), 0)) AS BIGINT) AS bytes, "
+            "CAST(SUM(n_attempts) AS BIGINT) AS attempts, "
+            "MIN(round) AS first_round, MAX(round) AS last_round, "
+            "MAX(fetched_at) AS last_fetched_at "
+            "FROM r GROUP BY host ORDER BY host"
         ),
         # sitemap lastmod gate: parsing + tz-free day arithmetic + reason
         # labels all re-derived from the construction predicate

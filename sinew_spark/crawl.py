@@ -138,6 +138,37 @@ def latest_validators(fetched: DataFrame) -> DataFrame:
     )
 
 
+def host_report(fetched: DataFrame) -> DataFrame:
+    """Per-host crawl operations report — the monitoring table an operator
+    watches during a long crawl: page counts by outcome class, body
+    bytes, retry pressure, and recency per host. One map-side-combinable
+    groupBy (a single hash shuffle carrying one row per host), safe at
+    any frontier scale.
+
+    Outcome classes: ok = 2xx, redirects = 3xx, http_errors = 4xx/5xx,
+    transport_errors = rows with a non-null ``error`` (DNS/timeout/TLS —
+    status 0). ``bytes`` sums stored body octets (post-decode); rows
+    whose body was never stored (304s, errors) contribute 0."""
+    status = F.col("status")
+    return (
+        fetched.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(status.between(200, 299).cast("long")).alias("ok"),
+            F.sum(status.between(300, 399).cast("long")).alias("redirects"),
+            F.sum(status.between(400, 599).cast("long")).alias("http_errors"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("transport_errors"),
+            F.sum(
+                F.coalesce(F.octet_length("resp_body"), F.lit(0)).cast("long")
+            ).alias("bytes"),
+            F.sum(F.col("n_attempts").cast("long")).alias("attempts"),
+            F.min("round").alias("first_round"),
+            F.max("round").alias("last_round"),
+            F.max("fetched_at").alias("last_fetched_at"),
+        )
+    )
+
+
 class _DocumentsView:
     """The documents table as a zero-copy projection of the fused fetched
     table. One physical copy of the span data exists; this view is the
@@ -1032,3 +1063,8 @@ class Crawler:
         search, which honors the tombstone."""
         key, _ = self._key_for(url, method, body)
         self.seen_t.delete_keys([key])
+
+    def host_report(self) -> DataFrame:
+        """Per-host ops report over everything fetched so far (module-level
+        ``host_report`` on the fetched table)."""
+        return host_report(self.fetched_t.read())

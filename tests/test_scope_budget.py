@@ -188,3 +188,23 @@ def test_throttle_paces_next_round_end_to_end(spark, tmp_path):
     t0 = _t.time()
     c2.run_round()
     assert _t.time() - t0 >= 0.6
+
+
+def test_host_report_after_crawl(spark, tmp_path):
+    """Crawler.host_report e2e: one row per fetched host, pages/ok counts
+    consistent with the round's fetch set."""
+    from sinew_spark.crawl import host_report as host_report_fn
+
+    c = Crawler(spark, str(tmp_path / "c"), FixtureFetcher(seed=42),
+                CrawlOptions(retries=0))
+    c.seed(URLS)
+    c.run_round()
+    rep = {r.host: r for r in c.host_report().collect()}
+    fetched = c.fetched_t.read()
+    assert sum(r.pages for r in rep.values()) == fetched.count()
+    for host, r in rep.items():
+        assert r.ok + r.redirects + r.http_errors + r.transport_errors <= r.pages + r.redirects
+        assert r.pages >= 1 and r.last_round >= r.first_round
+    # module function agrees with the method
+    direct = {r.host: r.pages for r in host_report_fn(fetched).collect()}
+    assert direct == {h: r.pages for h, r in rep.items()}
