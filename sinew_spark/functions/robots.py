@@ -221,6 +221,53 @@ def bootstrap_robots(crawler, hosts: DataFrame, agent: str = "*", scheme: str = 
     )
 
 
+def refresh_robots(
+    crawler, hosts: DataFrame, ttl: float, agent: str = "*", scheme: str = "http"
+) -> DataFrame:
+    """Long-crawl robots freshness: re-fetch ``robots.txt`` for hosts whose
+    stored copy is older than ``ttl`` seconds — copies still fresh are NOT
+    refetched (the frontier's TTL-expiry path, same machinery as
+    ``expires`` recrawls) — then parse the LATEST copy per host into the
+    broadcastable rules table. Call between rounds of a multi-day crawl:
+
+        rules = refresh_robots(crawler, hosts_df, ttl=86400.0)
+        crawler.robots = rules   # next rounds gate on current policy
+
+    RFC 9309 §2.4 allows caching robots for up to 24h ("crawlers SHOULD
+    NOT use the cached version for more than 24 hours") — ttl=86400 is
+    the compliant default posture. One exactly-once crawl round for the
+    stale set + one tiny latest-per-host aggregate; the rules output is
+    rows-per-host small — broadcast it."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    urls = hosts.select(
+        F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.xxhash64("host").alias("seq"),  # deterministic, order-free
+    )
+    old_opts = crawler.opts
+    crawler.opts = dataclasses.replace(old_opts, expires=ttl)
+    try:
+        crawler.seed_df(urls)
+        crawler.run_round()
+    finally:
+        crawler.opts = old_opts
+    robots_rows = crawler.fetched_t.read().where(
+        F.col("canonical_url").endswith("/robots.txt")
+    )
+    latest = (
+        robots_rows.groupBy("canonical_url")
+        .agg(
+            F.max_by(
+                F.struct("host", "status", "resp_body"), F.col("fetched_at")
+            ).alias("_r")
+        )
+        .select("_r.host", "_r.status", "_r.resp_body")
+    )
+    return robots_rules(latest, agent)
+
+
 SITEMAPS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),

@@ -283,3 +283,59 @@ def test_robots_sitemaps_df(spark):
     )
     rows = sorted((r.host, r.sitemap_url) for r in robots_sitemaps(df).collect())
     assert rows == [("a.test", "http://a.test/s.xml")]
+
+
+def test_refresh_robots_ttl(spark, tmpdir_path):
+    """refresh_robots: fresh copies are NOT refetched; stale copies are,
+    and the LATEST rules win (policy change between fetches applies)."""
+    import time as _time
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.functions.robots import bootstrap_robots, refresh_robots
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    pages = {
+        "http://a.test/robots.txt": (
+            200, "text/plain", "User-agent: *\nDisallow: /old\n", None,
+        ),
+    }
+    fetcher = FixtureFetcher(extra_pages=pages)
+    c = Crawler(
+        spark, f"{tmpdir_path}/c", fetcher, CrawlOptions(rate_limit=0, retries=0)
+    )
+    hosts = spark.createDataFrame([("a.test",)], "host string")
+    rules = bootstrap_robots(c, hosts)
+    assert [(r.host, r.disallow_prefix) for r in rules.collect()] == [
+        ("a.test", "/old")
+    ]
+
+    # fresh copy (huge ttl): no refetch, same rules
+    rules = refresh_robots(c, hosts, ttl=1e9)
+    n_rows = (
+        c.fetched_t.read()
+        .where("canonical_url LIKE '%robots.txt'")
+        .count()
+    )
+    assert n_rows == 1
+    assert [(r.host, r.disallow_prefix) for r in rules.collect()] == [
+        ("a.test", "/old")
+    ]
+
+    # stale copy (tiny ttl) + changed policy at the origin: refetched,
+    # latest rules win
+    pages["http://a.test/robots.txt"] = (
+        200, "text/plain", "User-agent: *\nDisallow: /new\n", None,
+    )
+    _time.sleep(0.05)
+    rules = refresh_robots(c, hosts, ttl=0.01)
+    n_rows = (
+        c.fetched_t.read()
+        .where("canonical_url LIKE '%robots.txt'")
+        .count()
+    )
+    assert n_rows == 2
+    assert [(r.host, r.disallow_prefix) for r in rules.collect()] == [
+        ("a.test", "/new")
+    ]
+    # options restored after the refresh round
+    assert c.opts.expires is None
