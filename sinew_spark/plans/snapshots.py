@@ -95,6 +95,38 @@ class SnapshotTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage as a queryable DataFrame (north rule):
+        one row per data file per snapshot — (snapshot_id, parent_id, op,
+        ts, file, rows, bytes, plus any caller meta like the crawl
+        round). Driver-local manifest read: O(snapshots × files) METADATA
+        only, no data scan — ``crawler.fetched_t.lineage()`` answers
+        "which write task produced which rows in which round" without
+        touching the table."""
+        rows = []
+        for s in self.snapshots():
+            meta = s.get("meta") or {}
+            rnd = meta.get("round")
+            for f in meta.get("files") or []:
+                rows.append(
+                    (
+                        int(s["id"]),
+                        int(s["parent"]) if s.get("parent") is not None else None,
+                        s.get("op"),
+                        str(meta.get("op") or ""),
+                        int(rnd) if rnd is not None else None,
+                        float(s.get("ts") or 0.0),
+                        f["file"],
+                        int(f["rows"]),
+                        int(f["bytes"]),
+                    )
+                )
+        schema = (
+            "snapshot_id long, parent_id long, op string, writer string, "
+            "round int, ts double, file string, rows long, bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # --- writes ---------------------------------------------------------------
 
     def _write_data(self, df: DataFrame) -> str:

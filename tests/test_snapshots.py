@@ -222,3 +222,28 @@ def test_crawl_with_periodic_seen_compaction(spark, tmpdir_path):
     )
     assert a == b
     assert len(compacted.seen_t._dirs()) < len(plain.seen_t._dirs())
+
+
+def test_lineage_dataframe(spark, tmp_path):
+    """lineage(): one row per data file per snapshot with rows/bytes from
+    the parquet footers and the caller's round meta — metadata only."""
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType())]),
+    )
+    assert t.lineage().count() == 0
+    t.append(spark.range(10).select(F.col("id").alias("k")).repartition(2), {"round": 0})
+    t.append(spark.range(5).select(F.col("id").alias("k")).repartition(1), {"round": 1})
+    lin = t.lineage().toPandas()
+    # 2 files for round 0, 1 for round 1 (one per write task)
+    assert lin.groupby("round")["file"].count().to_dict() == {0: 2, 1: 1}
+    assert lin.groupby("round")["rows"].sum().to_dict() == {0: 10, 1: 5}
+    assert (lin["bytes"] > 0).all()
+    assert set(lin["op"]) == {"append"}
+    # parent chain: second snapshot points at the first
+    sids = sorted(lin["snapshot_id"].unique())
+    assert len(sids) == 2
+    parents = lin.set_index("snapshot_id")["parent_id"].to_dict()
+    assert parents[sids[1]] == sids[0]
