@@ -1857,6 +1857,46 @@ def q_host_report(spark, sf_dir):
     return host_report(rows).orderBy("host")
 
 
+def q_frontier_opic(spark, sf_dir):
+    """On-line Page Importance Computation (operators/scheduler.py opic —
+    Abiteboul/Preda/Cobena WWW'03, the incremental frontier-priority
+    algorithm; 3 synchronous rounds in EXACT integer arithmetic: cash
+    ships as ``cash div deg`` per out-edge, remainders return to the
+    sender, dangling cash pools and redistributes ``pot div n`` next
+    round). Integer sums are order-independent, so (cash, history,
+    importance) are bit-identical across partitionings AND exactly
+    replayable by the unrolled-CTE SQL oracle. Graph: docs with
+    doc_id % 5 != 0 emit 2 md5-derived out-links; the rest only receive
+    (dangling when they never send)."""
+    from sinew_spark.operators.scheduler import opic
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .crossJoin(spark.range(2).select(F.col("id").alias("j")))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit("op"), F.col("doc_id"), F.col("j"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("dst"),
+        )
+    )
+    r = opic(e, iters=3)
+    return r.select(
+        F.col("v").alias("doc_id"), "cash", "history", "importance"
+    ).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3006,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "sitemap_lastmod": q_sitemap_lastmod,
         "host_report": q_host_report,
+        "frontier_opic": q_frontier_opic,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3174,6 +3215,49 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT v AS doc_id, CAST(rank AS BIGINT) AS rank FROM r{pr_iters} ORDER BY doc_id"
     )
     prd_sql = "".join(prd)
+
+    # frontier_opic: q_frontier_opic's integer cash/history update, 3
+    # rounds unrolled (c0..c3). Per round i: cur = cash + share of the
+    # previous round's dangling pot; contributions ship cash // deg;
+    # remainders return to the sender; history banks the in-play cash.
+    op_scale, op_iters = 10**12, 3
+    op = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('op|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1)) j(j) WHERE d.doc_id % 5 <> 0), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "nv AS (SELECT COUNT(*) AS nv FROM verts), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        f"c0 AS (SELECT v, ({op_scale} // (SELECT nv FROM nv)) AS cash, "
+        "0 AS hist FROM verts), "
+        "pot0 AS (SELECT 0 AS pot)"
+    ]
+    for i in range(1, op_iters + 1):
+        op.append(
+            f", cur{i} AS (SELECT v, cash + (SELECT pot FROM pot{i - 1}) // "
+            f"(SELECT nv FROM nv) AS cash, hist FROM c{i - 1})"
+            f", inc{i} AS (SELECT e.dst AS v, SUM(cur.cash // deg.deg) AS s "
+            f"FROM e JOIN cur{i} cur ON cur.v = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", pot{i} AS (SELECT COALESCE(SUM(cash), 0) AS pot FROM cur{i} "
+            f"WHERE v NOT IN (SELECT src FROM deg))"
+            f", c{i} AS (SELECT verts.v, "
+            f"COALESCE(i.s, 0) + CASE WHEN dg.deg IS NOT NULL "
+            f"THEN cur.cash - dg.deg * (cur.cash // dg.deg) ELSE 0 END AS cash, "
+            f"cur.hist + cur.cash AS hist "
+            f"FROM verts LEFT JOIN inc{i} i ON i.v = verts.v "
+            f"LEFT JOIN deg dg ON dg.src = verts.v "
+            f"JOIN cur{i} cur ON cur.v = verts.v)"
+        )
+    op.append(
+        f" SELECT v AS doc_id, CAST(cash AS BIGINT) AS cash, "
+        f"CAST(hist AS BIGINT) AS history, "
+        f"CAST(cash + hist AS BIGINT) AS importance "
+        f"FROM c{op_iters} ORDER BY doc_id"
+    )
+    op_sql = "".join(op)
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -3639,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT // and % replay Spark's div/% exactly on non-negative
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
+        "frontier_opic": op_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via

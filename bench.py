@@ -332,6 +332,9 @@ def headline_queries(spark) -> dict:
         "wat_export",
         "canonical_collapse",
         "charset_detect",
+        "sitemap_lastmod",
+        "host_report",
+        "frontier_opic",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

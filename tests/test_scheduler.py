@@ -77,3 +77,67 @@ def test_recrawl_priority_custom_columns(spark):
         df, current_round=2, key="u", round_col="r", fingerprint="fp"
     ).collect()
     assert len(got) == 1 and got[0].changes == 1 and got[0].priority == 1.0
+
+
+def _brute_opic(edges, iters, scale):
+    from collections import Counter
+
+    verts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(verts)
+    deg = Counter(s for s, _ in edges)
+    cash = {v: scale // n for v in verts}
+    hist = {v: 0 for v in verts}
+    pot = 0
+    for _ in range(iters):
+        share = pot // n
+        cur = {v: cash[v] + share for v in verts}
+        inc = {v: 0 for v in verts}
+        for s, d in edges:
+            inc[d] += cur[s] // deg[s]
+        pot = sum(cur[v] for v in verts if deg.get(v, 0) == 0)
+        nxt = {}
+        for v in verts:
+            r = cur[v] - deg[v] * (cur[v] // deg[v]) if deg.get(v, 0) else 0
+            nxt[v] = inc[v] + r
+            hist[v] += cur[v]
+        cash = nxt
+    return {v: (cash[v], hist[v], cash[v] + hist[v]) for v in verts}
+
+
+OPIC_EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (3, 1),
+    # 4 is dangling; 5 appears only as a source into the dangling node
+    (5, 4),
+]
+
+
+def test_opic_matches_bruteforce(spark):
+    from sinew_spark.operators.scheduler import opic
+
+    df = spark.createDataFrame(OPIC_EDGES, "src long, dst long")
+    got = {
+        r.v: (r.cash, r.history, r.importance)
+        for r in opic(df, iters=4).collect()
+    }
+    assert got == _brute_opic(OPIC_EDGES, 4, 10**12)
+    # mass accounting: conserved up to the documented DIV losses
+    total = sum(c for c, _h, _i in got.values())
+    assert 0 < total <= 10**12
+
+
+def test_opic_bit_identical_across_partitionings(spark):
+    from sinew_spark.operators.scheduler import opic
+
+    df1 = spark.createDataFrame(OPIC_EDGES, "src long, dst long").repartition(1)
+    df7 = spark.createDataFrame(OPIC_EDGES, "src long, dst long").repartition(7, "dst")
+    a = sorted(map(tuple, opic(df1, iters=3).collect()))
+    b = sorted(map(tuple, opic(df7, iters=3).collect()))
+    assert a == b
+
+
+def test_opic_rejects_bad_iters(spark):
+    from sinew_spark.operators.scheduler import opic
+
+    df = spark.createDataFrame(OPIC_EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        opic(df, iters=0)
