@@ -1897,6 +1897,51 @@ def q_frontier_opic(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 §2.2.3 wildcard rules end-to-end (functions/robots.py
+    rule_pattern_regex + operators/frontier.py
+    apply_robots_longest_match): '*' matches any sequence, trailing '$'
+    anchors, precedence = pattern length, tie -> Allow. Six path shapes
+    per event row run against a robots body mixing anchored, embedded-*
+    and re-permitting Allow rules; the oracle replays the matching with
+    its own regexes and the same length precedence, so the pattern
+    compiler, the broadcast fold, and the precedence arithmetic must all
+    agree."""
+    from sinew_spark.functions.robots import robots_rules_full
+    from sinew_spark.operators.frontier import apply_robots_longest_match
+
+    e = _t(spark, sf_dir, "events").select("event_id")
+    path = (
+        F.when(F.col("event_id") % 6 == 0, F.lit("/docs/a.pdf"))
+        .when(F.col("event_id") % 6 == 1, F.lit("/docs/a.pdfx"))
+        .when(F.col("event_id") % 6 == 2, F.lit("/files/1/private"))
+        .when(F.col("event_id") % 6 == 3, F.lit("/files/a/private"))
+        .when(F.col("event_id") % 6 == 4, F.lit("/img2.png"))
+        .otherwise(F.lit("/open/page"))
+    )
+    frontier = e.select(
+        "event_id",
+        F.concat(F.lit("http://w.test"), path).alias("canonical_url"),
+        F.lit("w.test").alias("host"),
+    )
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /files*private\n"
+        "Allow: /files/a*private\n"
+        "Disallow: /img*.png$\n"
+    )
+    rules = robots_rules_full(
+        spark.createDataFrame(
+            [("w.test", 200, robots)], "host string, status int, resp_body string"
+        )
+    )
+    out = apply_robots_longest_match(frontier, rules)
+    return out.select(
+        "event_id", F.substring("canonical_url", 14, 100).alias("path")
+    ).orderBy("event_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3047,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_lastmod": q_sitemap_lastmod,
         "host_report": q_host_report,
         "frontier_opic": q_frontier_opic,
+        "robots_wildcard": q_robots_wildcard,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3983,6 +4029,24 @@ def oracle_sql() -> dict[str, str]:
             "THEN '<meta charset=latin1><p>doc ' || CAST(doc_id AS VARCHAR) || ' café' "
             "ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' café' END AS text "
             "FROM documents WHERE doc_id < 3000 ORDER BY doc_id"
+        ),
+        # RFC 9309 wildcards: rule regexes + length precedence replayed
+        "robots_wildcard": (
+            "WITH u AS (SELECT event_id, CASE CAST(event_id % 6 AS INTEGER) "
+            "WHEN 0 THEN '/docs/a.pdf' WHEN 1 THEN '/docs/a.pdfx' "
+            "WHEN 2 THEN '/files/1/private' WHEN 3 THEN '/files/a/private' "
+            "WHEN 4 THEN '/img2.png' ELSE '/open/page' END AS path FROM events), "
+            "r AS (SELECT * FROM (VALUES "
+            "('^/.*\\.pdf$', 7, false), "
+            "('^/files.*private', 14, false), "
+            "('^/files/a.*private', 16, true), "
+            "('^/img.*\\.png$', 10, false)) r(re, plen, is_allow)), "
+            "m AS (SELECT u.event_id, u.path, "
+            "COALESCE(MAX(CASE WHEN r.is_allow THEN r.plen END), 0) AS ba, "
+            "COALESCE(MAX(CASE WHEN NOT r.is_allow THEN r.plen END), 0) AS bd "
+            "FROM u LEFT JOIN r ON regexp_matches(u.path, r.re) "
+            "GROUP BY u.event_id, u.path) "
+            "SELECT event_id, path FROM m WHERE ba >= bd ORDER BY event_id"
         ),
         # host report: every aggregate re-derived from the construction
         # predicate (bytes only from stored 200-bodies)

@@ -98,8 +98,44 @@ def parse_robots_txt(body: str, agent: str = "*") -> list[str]:
         return []
     # conservative: an Allow cancels only an identical Disallow; a longer
     # Allow under a disallowed prefix stays blocked (we never fetch more
-    # than the site permits)
-    return [d for d in chosen["disallows"] if d not in chosen["allows"]]
+    # than the site permits). RFC 9309 §2.2.3 wildcard rules truncate at
+    # the first '*'/'$': the literal head is a SUPERSET of the pattern's
+    # matches, so the conservative gate blocks at least what the rule asks
+    # (Disallow /a*b -> block /a; full-fidelity matching lives in
+    # rule_pattern_regex + apply_robots_longest_match).
+    # a leading-wildcard Disallow (e.g. '*.php') truncates to '' — block
+    # everything ('/') rather than nothing: conservative means over-block
+    return [
+        _wildcard_head(d) or "/"
+        for d in chosen["disallows"]
+        if d not in chosen["allows"]
+    ]
+
+
+def _wildcard_head(pattern: str) -> str:
+    """Literal prefix of an RFC 9309 rule: everything before the first
+    '*' or '$'. For wildcard-free rules this is the rule itself."""
+    for i, ch in enumerate(pattern):
+        if ch in "*$":
+            return pattern[:i]
+    return pattern
+
+
+def rule_pattern_regex(pattern: str) -> str | None:
+    """Anchored regex for an RFC 9309 path rule USING wildcards, or None
+    for plain prefixes (the fast startswith path needs no regex). '*'
+    matches any character sequence; a TRAILING '$' anchors the end;
+    embedded '$' is literal (RFC 9309 §2.2.3); everything else is
+    literal. The regex is start-anchored only — an un-anchored rule
+    matches any path with the pattern as a prefix, like startswith."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [_re.escape(p) for p in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
 
 
 def parse_robots_crawl_delay(body: str, agent: str = "*") -> float | None:
@@ -132,6 +168,9 @@ RULES_FULL_SCHEMA = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("prefix", T.StringType()),
         T.StructField("is_allow", T.BooleanType()),
+        # anchored regex for RFC 9309 wildcard rules ('*' / trailing '$');
+        # NULL for plain prefixes, which take the startswith fast path
+        T.StructField("pattern_re", T.StringType()),
     ]
 )
 
@@ -147,17 +186,21 @@ def robots_rules_full(fetched: DataFrame, agent: str = "*") -> DataFrame:
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hosts, prefixes, allows = [], [], []
+            hosts, prefixes, allows, res = [], [], [], []
             for row in pdf.itertuples(index=False):
                 ok = row.status is not None and 200 <= row.status < 300
                 g = _pick_group(_parse_groups(row.resp_body if ok else ""), agent)
                 if g is None:
                     continue
-                for p in g["disallows"]:
-                    hosts.append(row.host), prefixes.append(p), allows.append(False)
-                for p in g["allows"]:
-                    hosts.append(row.host), prefixes.append(p), allows.append(True)
-            yield pd.DataFrame({"host": hosts, "prefix": prefixes, "is_allow": allows})
+                for is_allow, rules in ((False, g["disallows"]), (True, g["allows"])):
+                    for p in rules:
+                        hosts.append(row.host)
+                        prefixes.append(p)
+                        allows.append(is_allow)
+                        res.append(rule_pattern_regex(p))
+            yield pd.DataFrame(
+                {"host": hosts, "prefix": prefixes, "is_allow": allows, "pattern_re": res}
+            )
 
     return fetched.select("host", "status", "resp_body").mapInPandas(
         parse, RULES_FULL_SCHEMA

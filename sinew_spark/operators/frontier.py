@@ -209,16 +209,31 @@ def apply_robots_longest_match(frontier: DataFrame, rules: DataFrame) -> DataFra
     longest-match scan is two array folds per row inside codegen, no
     row multiplication (unlike the rule-join approach, one output row
     per input row regardless of how many rules match)."""
+    # older rules tables (pre-wildcard) lack pattern_re: treat all plain
+    pat = (
+        F.col("pattern_re")
+        if "pattern_re" in rules.columns
+        else F.lit(None).cast("string")
+    )
     per_host = F.broadcast(
         rules.groupBy("host").agg(
-            F.collect_list(F.struct(F.col("prefix"), F.col("is_allow"))).alias(
-                "__rules"
-            )
+            F.collect_list(
+                F.struct(F.col("prefix"), F.col("is_allow"), pat.alias("pattern_re"))
+            ).alias("__rules")
         )
     )
     j = frontier.join(per_host, "host", "left")
     path = path_expr(F.col("canonical_url"))
-    matching = F.filter(F.col("__rules"), lambda r: path.startswith(r["prefix"]))
+    # RFC 9309 §2.2.3: wildcard rules ('*' / trailing '$') match via their
+    # compiled anchored regex; plain prefixes keep the startswith fast
+    # path. Precedence length stays the PATTERN string length both ways
+    # (Google's reference matcher does the same).
+    matching = F.filter(
+        F.col("__rules"),
+        lambda r: F.when(
+            r["pattern_re"].isNull(), path.startswith(r["prefix"])
+        ).otherwise(F.regexp_like(path, r["pattern_re"])),
+    )
 
     def longest(pred):
         return F.aggregate(

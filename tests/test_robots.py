@@ -339,3 +339,70 @@ def test_refresh_robots_ttl(spark, tmpdir_path):
     ]
     # options restored after the refresh round
     assert c.opts.expires is None
+
+
+def test_rule_pattern_regex_forms():
+    """RFC 9309 §2.2.3 pattern compilation: plain prefixes -> None (fast
+    path); '*' -> any sequence; trailing '$' anchors; regex metachars in
+    rules stay literal."""
+    from sinew_spark.functions.robots import rule_pattern_regex
+    import re
+
+    assert rule_pattern_regex("/plain/prefix") is None
+    r = rule_pattern_regex("/fish*")
+    assert re.search(r, "/fish.html") and re.search(r, "/fishheads/x")
+    r = rule_pattern_regex("/*.php$")
+    assert re.search(r, "/filename.php")
+    assert not re.search(r, "/filename.php5")
+    r = rule_pattern_regex("/fish*.php")
+    assert re.search(r, "/fishheads/catfish.php?parameters")
+    # '$' only anchors at the END; '.' in rules is literal
+    r = rule_pattern_regex("/a.b$")
+    assert re.search(r, "/a.b") and not re.search(r, "/aXb")
+
+
+def test_conservative_gate_truncates_wildcards():
+    """parse_robots_txt (conservative gate): wildcard rules truncate to
+    their literal head — over-blocking, never under-blocking."""
+    from sinew_spark.functions.robots import parse_robots_txt
+
+    body = "User-agent: *\nDisallow: /private*/x\nDisallow: *.php\nDisallow: /exact$\n"
+    assert parse_robots_txt(body) == ["/private", "/", "/exact"]
+
+
+def test_apply_robots_longest_match_wildcards(spark):
+    """Wildcard rules flow through robots_rules_full -> longest-match
+    gate: '*' and '$' match per RFC; precedence = pattern length."""
+    from sinew_spark.functions.robots import robots_rules_full
+    from sinew_spark.operators.frontier import apply_robots_longest_match
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /files*private\n"
+        "Allow: /files/a*private\n"
+    )
+    fetched = spark.createDataFrame(
+        [("h.test", 200, robots)], "host string, status int, resp_body string"
+    )
+    rules = robots_rules_full(fetched)
+    got = {
+        (r.prefix, r.is_allow): r.pattern_re for r in rules.collect()
+    }
+    assert got[("/*.pdf$", False)] is not None
+    urls = [
+        ("http://h.test/doc.pdf", False),          # trailing-$ wildcard blocks
+        ("http://h.test/doc.pdfx", True),          # $ anchor: no match
+        ("http://h.test/files/b/private", False),  # embedded * blocks
+        ("http://h.test/files/a/private", True),   # longer Allow pattern wins
+        ("http://h.test/open/page", True),
+    ]
+    frontier = spark.createDataFrame(
+        [(u, "h.test") for u, _ in urls], "canonical_url string, host string"
+    )
+    kept = {
+        r.canonical_url
+        for r in apply_robots_longest_match(frontier, rules).collect()
+    }
+    for u, allowed in urls:
+        assert (u in kept) == allowed, u
