@@ -1942,6 +1942,34 @@ def q_robots_wildcard(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection (functions/text.py soft404_expr — 200-status
+    error pages, the classic post-fetch corpus/link-graph hygiene gate):
+    three page shapes per doc — a short not-found page (soft404 when the
+    status is 200), a LONG page containing a not-found phrase (content
+    about 404s — must NOT trigger), and a short benign page — with every
+    9th page answering a real 404. The oracle replays the construction
+    AND the full heuristic (status + token bound + phrase hits) in SQL."""
+    from sinew_spark.functions.text import soft404_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5000)
+    status = F.when(F.col("doc_id") % 9 == 0, F.lit(404)).otherwise(F.lit(200))
+    long_text = F.concat(
+        F.array_join(F.array_repeat(F.lit("w"), 100), " "),
+        F.lit(" page not found"),
+    )
+    text = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Sorry, this page not found."))
+        .when(F.col("doc_id") % 3 == 1, long_text)
+        .otherwise(F.lit("hello world page"))
+    )
+    rows = d.select("doc_id", status.alias("status"), text.alias("text"))
+    return rows.select(
+        "doc_id",
+        soft404_expr(F.col("status"), F.col("text")).alias("soft404"),
+    ).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3093,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_report": q_host_report,
         "frontier_opic": q_frontier_opic,
         "robots_wildcard": q_robots_wildcard,
+        "soft404_detect": q_soft404_detect,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4047,6 +4076,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM u LEFT JOIN r ON regexp_matches(u.path, r.re) "
             "GROUP BY u.event_id, u.path) "
             "SELECT event_id, path FROM m WHERE ba >= bd ORDER BY event_id"
+        ),
+        # soft-404: construction + the full heuristic replayed (status,
+        # token bound, phrase hits)
+        "soft404_detect": (
+            "WITH d AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS status, "
+            "CASE CAST(doc_id % 3 AS INTEGER) "
+            "WHEN 0 THEN 'Sorry, this page not found.' "
+            "WHEN 1 THEN repeat('w ', 100) || 'page not found' "
+            "ELSE 'hello world page' END AS text "
+            "FROM documents WHERE doc_id < 5000) "
+            "SELECT doc_id, (status = 200 "
+            "AND (CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) <= 80 "
+            "AND (contains(lower(text), 'page not found') "
+            "OR contains(lower(text), '404 not found') "
+            "OR contains(lower(text), '404 error') "
+            "OR contains(lower(text), 'does not exist') "
+            "OR contains(lower(text), 'no longer available') "
+            "OR contains(lower(text), 'cannot be found') "
+            "OR contains(lower(text), 'nothing found'))) AS soft404 "
+            "FROM d ORDER BY doc_id"
         ),
         # host report: every aggregate re-derived from the construction
         # predicate (bytes only from stored 200-bodies)

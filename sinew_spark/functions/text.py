@@ -133,3 +133,43 @@ def hashed_linear_score_expr(
     )
     total = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
     return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(total)
+
+
+# phrases that betray an error page served with a 200 status (case-folded
+# substring hits; deliberately short + public — the classic heuristic set)
+SOFT404_PHRASES = [
+    "page not found",
+    "404 not found",
+    "404 error",
+    "does not exist",
+    "no longer available",
+    "cannot be found",
+    "nothing found",
+]
+
+SOFT404_MAX_TOKENS = 80  # real content pages rarely stay under this
+
+
+def soft404_expr(status: Column, text: Column) -> Column:
+    """Soft-404 detection — pure Catalyst, zero shuffle: TRUE when a page
+    answered 200 but its content is an error page (short body carrying a
+    not-found phrase). Crawlers that index soft 404s pollute both the
+    corpus and the link graph (every dead link looks alive), so this is
+    the standard post-fetch gate: drop the row, and optionally mark the
+    URL failed so recrawl scheduling treats it like a real 404.
+
+    Heuristic: status == 200 AND token_count <= SOFT404_MAX_TOKENS AND
+    any SOFT404_PHRASES substring hits the case-folded text. Phrase hits
+    on a LONG page do not trigger (an article about 404s is content).
+    SQL-replayable: lower/contains/token-count have exact DuckDB
+    equivalents (the ``soft404_detect`` oracle)."""
+    low = F.lower(text)
+    hit = None
+    for p in SOFT404_PHRASES:
+        m = low.contains(p)
+        hit = m if hit is None else (hit | m)
+    return (
+        (status == 200)
+        & (token_count_expr(text) <= SOFT404_MAX_TOKENS)
+        & F.coalesce(hit, F.lit(False))
+    )

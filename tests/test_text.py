@@ -158,3 +158,27 @@ def test_hashed_linear_score_zero_shuffle_zero_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # PLANS.md claim: one Project, all codegen — no Exchange, no Python
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_soft404_expr(spark):
+    """200-status error pages flag; real 404s, long phrase-bearing
+    content, and benign short pages do not."""
+    from pyspark.sql import functions as F
+
+    from sinew_spark.functions.text import soft404_expr
+
+    rows = [
+        (1, 200, "Sorry, page not found."),
+        (2, 404, "Sorry, page not found."),          # real 404: not soft
+        (3, 200, ("word " * 200) + "page not found"),  # long content: not soft
+        (4, 200, "perfectly fine short page"),
+        (5, 200, "ERROR 404 Not Found"),             # case-folded phrase
+    ]
+    df = spark.createDataFrame(rows, "id int, status int, text string")
+    got = {
+        r.id: r.s
+        for r in df.select(
+            "id", soft404_expr(F.col("status"), F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: True}
