@@ -1970,6 +1970,41 @@ def q_soft404_detect(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py hits_fixedpoint —
+    Kleinberg JACM'99) in exact integer arithmetic with L1
+    renormalization per half-iteration (x * scale div total; the total
+    is a 1-row aggregate). Bit-identical across partitionings and
+    replayed exactly by the unrolled-CTE oracle. Graph: docs with
+    doc_id % 4 != 0 emit 2 md5-derived out-links; the rest only
+    receive."""
+    from sinew_spark.operators.graph import hits_fixedpoint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = (
+        d.where(F.col("doc_id") % 4 != 0)
+        .crossJoin(spark.range(2).select(F.col("id").alias("j")))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit("ht"), F.col("doc_id"), F.col("j"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("dst"),
+        )
+    )
+    r = hits_fixedpoint(e, iters=3)
+    return r.select(F.col("v").alias("doc_id"), "auth", "hub").orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3122,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_opic": q_frontier_opic,
         "robots_wildcard": q_robots_wildcard,
         "soft404_detect": q_soft404_detect,
+        "hits_scores": q_hits_scores,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3333,6 +3369,41 @@ def oracle_sql() -> dict[str, str]:
         f"FROM c{op_iters} ORDER BY doc_id"
     )
     op_sql = "".join(op)
+
+    # hits_scores: q_hits_scores' integer HITS update, 3 iterations
+    # unrolled with L1 renormalization per half-iteration
+    ht_scale, ht_iters = 10**9, 3
+    ht = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('ht|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1)) j(j) WHERE d.doc_id % 4 <> 0), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "nv AS (SELECT COUNT(*) AS nv FROM verts), "
+        f"h0 AS (SELECT v, ({ht_scale} // (SELECT nv FROM nv)) AS hub FROM verts)"
+    ]
+    for i in range(1, ht_iters + 1):
+        ht.append(
+            f", ar{i} AS (SELECT e.dst AS v, SUM(h.hub) AS s "
+            f"FROM e JOIN h{i - 1} h ON h.v = e.src GROUP BY e.dst)"
+            f", at{i} AS (SELECT SUM(s) AS t FROM ar{i})"
+            f", a{i} AS (SELECT verts.v, "
+            f"COALESCE(r.s, 0) * {ht_scale} // (SELECT t FROM at{i}) AS auth "
+            f"FROM verts LEFT JOIN ar{i} r ON r.v = verts.v)"
+            f", hr{i} AS (SELECT e.src AS v, SUM(a.auth) AS s "
+            f"FROM e JOIN a{i} a ON a.v = e.dst GROUP BY e.src)"
+            f", htot{i} AS (SELECT SUM(s) AS t FROM hr{i})"
+            f", h{i} AS (SELECT verts.v, "
+            f"COALESCE(r.s, 0) * {ht_scale} // (SELECT t FROM htot{i}) AS hub "
+            f"FROM verts LEFT JOIN hr{i} r ON r.v = verts.v)"
+        )
+    ht.append(
+        f" SELECT a.v AS doc_id, CAST(a.auth AS BIGINT) AS auth, "
+        f"CAST(h.hub AS BIGINT) AS hub "
+        f"FROM a{ht_iters} a JOIN h{ht_iters} h ON h.v = a.v ORDER BY doc_id"
+    )
+    ht_sql = "".join(ht)
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -3799,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
         # values; CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sums
         "pagerank": pr_sql,
         "frontier_opic": op_sql,
+        "hits_scores": ht_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via

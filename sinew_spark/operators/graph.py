@@ -337,3 +337,98 @@ def cluster_representatives(
         comp.select(F.col("v").alias(id_col), "cluster"), id_col, "left"
     ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
     return out.withColumn("is_representative", F.col("cluster") == F.col(id_col))
+
+
+def hits_fixedpoint(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) in EXACT integer
+    arithmetic — the complement of PageRank for crawl link analysis:
+    authorities are the pages good hubs point AT (fetch-priority
+    candidates), hubs are the link pages worth re-parsing for discovery.
+
+    Integer doctrine (same as pagerank_fixedpoint / opic): both vectors
+    start at ``scale DIV n``; each iteration
+
+        auth'(v) = sum over in-edges  of hub(u)
+        then L1-renormalize: auth''(v) = auth'(v) * scale DIV sum(auth')
+        hub'(v)  = sum over out-edges of auth''(w), renormalized the same
+
+    Sums and DIVs are order-independent, so results are bit-identical
+    across partitionings and SQL-replayable (the ``hits_scores``
+    oracle). ``scale`` defaults to 10^9 (not 10^12) because the
+    renormalization multiplies a partial sum (bounded by scale *
+    max-degree) by ``scale`` before the DIV — at 10^9 the product stays
+    under int64 for degrees up to ~9e18/1e18; keep scale^2 * maxdeg
+    within int64 if you raise it. The normalization total is a 1-row
+    aggregate per half-iteration (a driver scalar, never an O(rows)
+    pull).
+
+    Scale shape per iteration: two hash joins (hub->in-edges,
+    auth->out-edges) + two groupBy-sums with map-side partials + two
+    1-row aggs; ``localCheckpoint`` keeps the plan O(1) deep.
+
+    Returns (v, auth: long, hub: long).
+    """
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            "v",
+            F.lit(0).cast("long").alias("auth"),
+            F.lit(0).cast("long").alias("hub"),
+        )
+    ed = e.localCheckpoint(eager=True)
+    unit = int(scale) // n
+    state = verts.select(
+        "v",
+        F.lit(unit).cast("long").alias("auth"),
+        F.lit(unit).cast("long").alias("hub"),
+    ).localCheckpoint(eager=True)
+
+    def _spread(vec: DataFrame, val: str, edge_key: str, out_key: str) -> DataFrame:
+        """sum vec[val] over edges grouped by the other endpoint, then
+        L1-renormalize to total ``scale`` (x * scale div total)."""
+        raw = (
+            vec.select(F.col("v").alias(edge_key), F.col(val))
+            .join(ed, edge_key)
+            .groupBy(F.col(out_key).alias("v"))
+            .agg(F.sum(val).alias("_s"))
+        )
+        total = raw.agg(F.coalesce(F.sum("_s"), F.lit(0)).alias("t")).collect()[0].t
+        if total == 0:
+            return raw.select("v", F.lit(0).cast("long").alias(val))
+        return raw.select(
+            "v", F.expr(f"_s * {int(scale)}L div {int(total)}L").alias(val)
+        )
+
+    for _ in range(iters):
+        new_auth = _spread(state.select("v", "hub"), "hub", "src", "dst") \
+            .withColumnRenamed("hub", "auth")
+        state = (
+            verts.join(new_auth, "v", "left")
+            .select("v", F.coalesce(F.col("auth"), F.lit(0)).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        new_hub = _spread(state.select("v", "auth"), "auth", "dst", "src") \
+            .withColumnRenamed("auth", "hub")
+        state = (
+            state.join(new_hub, "v", "left")
+            .select(
+                "v", "auth", F.coalesce(F.col("hub"), F.lit(0)).alias("hub")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("v", "auth", "hub")

@@ -201,3 +201,52 @@ def test_cluster_representatives(spark):
     assert out[0] == (0, True) and out[9] == (9, True)
     kept = [d for d, (_, rep) in out.items() if rep]
     assert sorted(kept) == [0, 1, 2, 4, 6, 7, 9]
+
+
+def _brute_hits(edges, iters, scale):
+    verts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(verts)
+    auth = {v: scale // n for v in verts}
+    hub = {v: scale // n for v in verts}
+    for _ in range(iters):
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[d] += hub[s]
+        t = sum(raw.values())
+        auth = {v: (raw[v] * scale // t if t else 0) for v in verts}
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[s] += auth[d]
+        t = sum(raw.values())
+        hub = {v: (raw[v] * scale // t if t else 0) for v in verts}
+    return {v: (auth[v], hub[v]) for v in verts}
+
+
+HITS_EDGES = [
+    (0, 2), (1, 2), (3, 2),  # 2 is the authority
+    (0, 4), (1, 4),
+    (2, 5),                   # authority also links out
+    (6, 0),                   # 0 receives too
+]
+
+
+def test_hits_matches_bruteforce(spark):
+    from sinew_spark.operators.graph import hits_fixedpoint
+
+    df = spark.createDataFrame(HITS_EDGES, "src long, dst long")
+    got = {r.v: (r.auth, r.hub) for r in hits_fixedpoint(df, iters=3).collect()}
+    assert got == _brute_hits(HITS_EDGES, 3, 10**9)
+    # the heavily-pointed-at node is the top authority
+    assert got[2][0] == max(a for a, _h in got.values())
+
+
+def test_hits_bit_identical_across_partitionings(spark):
+    from sinew_spark.operators.graph import hits_fixedpoint
+
+    a = sorted(map(tuple, hits_fixedpoint(
+        spark.createDataFrame(HITS_EDGES, "src long, dst long").repartition(1),
+        iters=2).collect()))
+    b = sorted(map(tuple, hits_fixedpoint(
+        spark.createDataFrame(HITS_EDGES, "src long, dst long").repartition(5, "src"),
+        iters=2).collect()))
+    assert a == b
