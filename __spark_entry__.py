@@ -2005,6 +2005,36 @@ def q_hits_scores(spark, sf_dir):
     return r.select(F.col("v").alias("doc_id"), "auth", "hub").orderBy("doc_id")
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank spam demotion (operators/graph.py trustrank_fixedpoint
+    — Gyongyi VLDB'04): PageRank with teleport restricted to a trusted
+    seed set (doc_id % 17 == 0), exact integer arithmetic, bit-identical
+    across partitionings and replayed by the unrolled-CTE oracle. Same
+    md5-derived 3-out-link graph as pagerank (prefix 'tr')."""
+    from sinew_spark.operators.graph import trustrank_fixedpoint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = d.crossJoin(spark.range(3).select(F.col("id").alias("j"))).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("tr"), F.col("doc_id"), F.col("j"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    seeds = d.where(F.col("doc_id") % 17 == 0).select(F.col("doc_id").alias("v"))
+    r = trustrank_fixedpoint(e, seeds, iters=5)
+    return r.select(F.col("v").alias("doc_id"), "trust").orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3158,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": q_robots_wildcard,
         "soft404_detect": q_soft404_detect,
         "hits_scores": q_hits_scores,
+        "trustrank": q_trustrank,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3404,6 +3435,38 @@ def oracle_sql() -> dict[str, str]:
         f"FROM a{ht_iters} a JOIN h{ht_iters} h ON h.v = a.v ORDER BY doc_id"
     )
     ht_sql = "".join(ht)
+
+    # trustrank: q_trustrank's seeded integer PageRank, 5 iterations
+    # unrolled; teleport base lands only on seed vertices (v % 17 = 0)
+    tr_iters, tr_num, tr_den, tr_scale = 5, 85, 100, 10**12
+    tr = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "e AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('tr|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1), (2)) j(j)), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        "sc AS (SELECT COUNT(*) AS s FROM verts WHERE v % 17 = 0), "
+        f"p AS (SELECT ({tr_scale} // s) AS unit, "
+        f"((({tr_den} - {tr_num}) * ({tr_scale} // s)) // {tr_den}) AS sbase FROM sc), "
+        "t0 AS (SELECT v, CASE WHEN v % 17 = 0 THEN (SELECT unit FROM p) "
+        "ELSE 0 END AS trust FROM verts)"
+    ]
+    for i in range(1, tr_iters + 1):
+        tr.append(
+            f", t{i} AS (SELECT verts.v, "
+            f"(CASE WHEN verts.v % 17 = 0 THEN (SELECT sbase FROM p) ELSE 0 END) + "
+            f"({tr_num} * COALESCE(c.s, 0)) // {tr_den} AS trust FROM verts "
+            f"LEFT JOIN (SELECT e.dst AS v, CAST(SUM(t.trust // deg.deg) AS BIGINT) AS s "
+            f"FROM e JOIN t{i - 1} t ON t.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) c ON c.v = verts.v)"
+        )
+    tr.append(
+        f" SELECT v AS doc_id, CAST(trust AS BIGINT) AS trust FROM t{tr_iters} "
+        f"ORDER BY doc_id"
+    )
+    tr_sql = "".join(tr)
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -3871,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pr_sql,
         "frontier_opic": op_sql,
         "hits_scores": ht_sql,
+        "trustrank": tr_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via

@@ -432,3 +432,104 @@ def hits_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return state.select("v", "auth", "hub")
+
+
+def trustrank_fixedpoint(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen, VLDB'04): PageRank
+    with the teleport vector restricted to a trusted seed set — the
+    standard spam-demotion signal for crawl frontier ordering (spam
+    farms inflate plain PageRank; trust only flows OUT of
+    human-vetted seeds, so unreachable link farms score 0).
+
+    Same exact-integer doctrine as pagerank_fixedpoint: seed mass
+    ``scale DIV s`` (s = seed vertices present in the graph), update
+
+        trust'(v) = [v in seeds] * ((den-num) * (scale DIV s)) DIV den
+                  + (num * sum_in(trust DIV out_degree)) DIV den
+
+    — all BIGINT, order-independent, bit-identical across
+    partitionings and replayed exactly by the ``trustrank`` SQL
+    oracle. Non-seed vertices with no in-path from a seed stay exactly
+    0 (the spam-isolation property the float formulation only
+    approaches asymptotically).
+
+    Scale shape per iteration: identical to pagerank (one ranks->edges
+    hash join + one combinable groupBy-sum); the seed base term is a
+    pre-joined column on the persisted vertex list, so it adds no
+    per-iteration shuffle. Dangling mass leaks (standard).
+
+    Returns (v, trust: long) with one row per distinct endpoint.
+    """
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = (
+        seeds.select(F.col(seed_col).alias("v"))
+        .distinct()
+        .join(verts, "v")
+        .localCheckpoint(eager=True)
+    )
+    s = sd.count()
+    if s == 0:
+        raise ValueError("no seed vertices present in the graph")
+    unit = scale // s
+    sbase = ((damping_den - damping_num) * unit) // damping_den
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # vertex list with the per-vertex teleport base folded in once —
+    # iterations never re-join the seed set
+    vb = (
+        verts.join(sd.select("v", F.lit(True).alias("_sd")), "v", "left")
+        .select(
+            "v",
+            F.when(F.col("_sd"), F.lit(sbase))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tbase"),
+            F.when(F.col("_sd"), F.lit(unit))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("t0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trust = vb.select("v", F.col("t0").alias("trust"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(trust.select(F.col("v").alias("src"), "trust"), "src")
+            .select("dst", F.expr("trust div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        trust = (
+            vb.join(contrib.select(F.col("dst").alias("v"), "s"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.col("tbase")
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return trust.select("v", "trust")

@@ -250,3 +250,65 @@ def test_hits_bit_identical_across_partitionings(spark):
         spark.createDataFrame(HITS_EDGES, "src long, dst long").repartition(5, "src"),
         iters=2).collect()))
     assert a == b
+
+
+def _brute_trustrank(edges, seeds, iters, scale=10**12, num=85, den=100):
+    verts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    sd = sorted(set(seeds) & set(verts))
+    unit = scale // len(sd)
+    sbase = (den - num) * unit // den
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    trust = {v: (unit if v in sd else 0) for v in verts}
+    for _ in range(iters):
+        inc = {v: 0 for v in verts}
+        for s, d in edges:
+            inc[d] += trust[s] // deg[s]
+        trust = {
+            v: (sbase if v in sd else 0) + num * inc[v] // den for v in verts
+        }
+    return trust
+
+
+TRUST_EDGES = [
+    (0, 1), (1, 2), (2, 0),   # trusted triangle (0 is the seed)
+    (0, 3),                    # seed endorses 3
+    (4, 5), (5, 4), (4, 3),   # spam farm 4<->5 pointing at 3
+    (6, 6),                    # self-loop island
+]
+
+
+def test_trustrank_matches_bruteforce(spark):
+    from sinew_spark.operators.graph import trustrank_fixedpoint
+
+    df = spark.createDataFrame(TRUST_EDGES, "src long, dst long")
+    sd = spark.createDataFrame([(0,)], "v long")
+    got = {r.v: r.trust for r in trustrank_fixedpoint(df, sd, iters=4).collect()}
+    assert got == _brute_trustrank(TRUST_EDGES, [0], 4)
+    # spam farm unreachable from the seed scores exactly 0
+    assert got[4] == 0 and got[5] == 0 and got[6] == 0
+    # trust flowed out of the seed
+    assert got[1] > 0 and got[3] > 0
+
+
+def test_trustrank_bit_identical_across_partitionings(spark):
+    from sinew_spark.operators.graph import trustrank_fixedpoint
+
+    sd = spark.createDataFrame([(0,), (4,)], "v long")
+    a = sorted(map(tuple, trustrank_fixedpoint(
+        spark.createDataFrame(TRUST_EDGES, "src long, dst long").repartition(1),
+        sd, iters=3).collect()))
+    b = sorted(map(tuple, trustrank_fixedpoint(
+        spark.createDataFrame(TRUST_EDGES, "src long, dst long").repartition(7, "dst"),
+        sd, iters=3).collect()))
+    assert a == b
+
+
+def test_trustrank_seed_outside_graph_rejected(spark):
+    import pytest as _pytest
+    from sinew_spark.operators.graph import trustrank_fixedpoint
+
+    df = spark.createDataFrame(TRUST_EDGES, "src long, dst long")
+    with _pytest.raises(ValueError):
+        trustrank_fixedpoint(df, spark.createDataFrame([(99,)], "v long"))
