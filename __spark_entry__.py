@@ -2035,6 +2035,68 @@ def q_trustrank(spark, sf_dir):
     return r.select(F.col("v").alias("doc_id"), "trust").orderBy("doc_id")
 
 
+def q_feed_extract(spark, sf_dir):
+    """RSS/Atom feed-entry extraction (sources/feeds.py feed_entries —
+    Catalyst-only block regexp + transform + posexplode, zero shuffle).
+    Even doc_ids synthesize an RSS 2.0 feed, odd an Atom feed; each has
+    3 entries exercising CDATA titles, XML entities in links, Atom
+    rel/href attribute-order variants, the bare-link implied-alternate
+    rule, and published→updated fallback. The oracle re-derives every
+    field directly from doc_id — the parser must reproduce it exactly."""
+    from sinew_spark.sources.feeds import feed_entries
+
+    def _tmpl(template: str, idcol):
+        parts = template.split("{id}")
+        cols = []
+        for i, p in enumerate(parts):
+            if i:
+                cols.append(idcol)
+            if p:
+                cols.append(F.lit(p))
+        return F.concat(*cols)
+
+    link = "https://feeds.example/d{id}/p%d?x=1&amp;y=2"
+    rss = (
+        '<rss version="2.0"><channel><title>Feed {id}</title>'
+        "<item><title>Title &amp; {id}-0</title><link>" + link % 0
+        + '</link><guid isPermaLink="false">tag:ex,{id}:0</guid>'
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title><![CDATA[Title & {id}-1]]></title><link>" + link % 1
+        + "</link><guid>tag:ex,{id}:1</guid>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:01 GMT</pubDate></item>"
+        "<item><title>Title &amp; {id}-2</title><link>" + link % 2
+        + "</link><guid>tag:ex,{id}:2</guid>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:02 GMT</pubDate></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed {id}</title>'
+        '<link rel="self" href="https://feeds.example/d{id}/feed"/>'
+        '<entry><title>Title &amp; {id}-0</title><link rel="alternate" href="'
+        + link % 0 + '"/><id>tag:ex,{id}:0</id>'
+        "<published>2024-01-01T00:00:00Z</published>"
+        "<updated>2024-03-01T00:00:00Z</updated></entry>"
+        '<entry><title><![CDATA[Title & {id}-1]]></title><link href="'
+        + link % 1 + '" rel="alternate"/><id>tag:ex,{id}:1</id>'
+        "<updated>2024-01-01T00:00:01Z</updated></entry>"
+        '<entry><title>Title &amp; {id}-2</title><link href="'
+        + link % 2 + '"/><id>tag:ex,{id}:2</id>'
+        "<published>2024-01-01T00:00:02Z</published></entry>"
+        "</feed>"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = F.col("doc_id").cast("string")
+    feeds = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, _tmpl(rss, ids))
+        .otherwise(_tmpl(atom, ids))
+        .alias("resp_body"),
+    )
+    return feed_entries(feeds, id_cols=("doc_id",)).orderBy(
+        "doc_id", "entry_idx"
+    )
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3189,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": q_soft404_detect,
         "hits_scores": q_hits_scores,
         "trustrank": q_trustrank,
+        "feed_extract": q_feed_extract,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3467,6 +3530,23 @@ def oracle_sql() -> dict[str, str]:
         f"ORDER BY doc_id"
     )
     tr_sql = "".join(tr)
+
+    # feed_extract: re-derive q_feed_extract's expected entries straight
+    # from doc_id — title/link entity-unescaped, eid = guid/id, published
+    # = pubDate (RSS, even ids) or published-else-updated (Atom, odd ids)
+    fe_sql = (
+        "SELECT d.doc_id, j.j AS entry_idx, "
+        "'Title & ' || CAST(d.doc_id AS VARCHAR) || '-' || CAST(j.j AS VARCHAR) AS title, "
+        "'https://feeds.example/d' || CAST(d.doc_id AS VARCHAR) || '/p' || "
+        "CAST(j.j AS VARCHAR) || '?x=1&y=2' AS link, "
+        "'tag:ex,' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) AS eid, "
+        "CASE WHEN d.doc_id % 2 = 0 "
+        "THEN 'Mon, 01 Jan 2024 00:00:0' || CAST(j.j AS VARCHAR) || ' GMT' "
+        "ELSE '2024-01-01T00:00:0' || CAST(j.j AS VARCHAR) || 'Z' END AS published, "
+        "CASE WHEN d.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type "
+        "FROM documents d, (VALUES (0), (1), (2)) j(j) "
+        "ORDER BY d.doc_id, entry_idx"
+    )
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -3935,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_opic": op_sql,
         "hits_scores": ht_sql,
         "trustrank": tr_sql,
+        "feed_extract": fe_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via
