@@ -2097,6 +2097,49 @@ def q_feed_extract(spark, sf_dir):
     )
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing (functions/mime.py sniff_mime_expr —
+    WHATWG-mimesniff-lite, pure Catalyst, map-only). Each doc plants one
+    of 14 payload kinds (doc_id % 14) with its real signature bytes +
+    md5 filler; the sniffer must recover the planted type, including the
+    RIFF WAVE/WEBP discrimination at offset 9, MP4 ftyp at offset 5,
+    whitespace-led HTML, and the printable-ASCII → text/plain fallback.
+    The oracle re-derives the expected type straight from doc_id."""
+    from sinew_spark.functions.mime import is_textual_mime_expr, sniff_mime_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = F.col("doc_id").cast("string")
+    filler = F.unhex(F.md5(ids))
+    k = F.col("doc_id") % 14
+    prefixes = [
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff\xe0",
+        b"GIF89a",
+        b"%PDF-1.7\n",
+        b"\x1f\x8b\x08\x00",
+        b"PK\x03\x04\x14\x00",
+        b"ID3\x04\x00",
+        b"BM\x8a\x00\x00\x00",
+        b"RIFF\x24\x00\x00\x00WAVEfmt ",
+        b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        b"\x00\x00\x00\x18ftypmp42",
+        b"  \t<!DOCTYPE html><html><head></head>",
+        b'<?xml version="1.0"?><urlset>',
+    ]
+    body = None
+    for i, p in enumerate(prefixes):
+        branch = F.concat(F.lit(p), filler)
+        body = F.when(k == i, branch) if body is None else body.when(k == i, branch)
+    body = body.otherwise(
+        F.concat(F.lit(b"Plain text document "), ids.cast("binary"))
+    )
+    return d.select(
+        "doc_id",
+        sniff_mime_expr(body).alias("mime"),
+        is_textual_mime_expr(sniff_mime_expr(body)).alias("textual"),
+    ).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3252,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "trustrank": q_trustrank,
         "feed_extract": q_feed_extract,
+        "mime_sniff": q_mime_sniff,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3546,6 +3590,22 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN d.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type "
         "FROM documents d, (VALUES (0), (1), (2)) j(j) "
         "ORDER BY d.doc_id, entry_idx"
+    )
+
+    # mime_sniff: the planted kind -> type mapping, re-derived from
+    # doc_id alone (the Spark side must actually sniff the bytes back)
+    ms_types = [
+        "image/png", "image/jpeg", "image/gif", "application/pdf",
+        "application/gzip", "application/zip", "audio/mpeg", "image/bmp",
+        "audio/wav", "image/webp", "video/mp4", "text/html", "text/xml",
+        "text/plain",
+    ]
+    ms_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(ms_types)
+    )
+    ms_sql = (
+        f"SELECT doc_id, CASE doc_id % 14 {ms_case} END AS mime, "
+        "(doc_id % 14) >= 11 AS textual FROM documents ORDER BY doc_id"
     )
 
     # recrawl_priority (also composed into frontier_value below)
@@ -4016,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": ht_sql,
         "trustrank": tr_sql,
         "feed_extract": fe_sql,
+        "mime_sniff": ms_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via
