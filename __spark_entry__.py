@@ -2140,6 +2140,88 @@ def q_mime_sniff(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_hreflang_cluster(spark, sf_dir):
+    """hreflang alternate-language clustering (operators/hreflang.py
+    cluster_by_hreflang — map-only, zero shuffle, plan-pinned in tests).
+    Docs form language triples (base = doc_id div 3; lang = doc_id % 3
+    -> en/de/fr); each page advertises the full set plus x-default, with
+    the tag ORDER rotated by base % 3 so the langs projection varies.
+    Cluster = lexicographic min of the advertised set (always the de
+    variant). Oracle re-derives url/cluster/langs/n from doc_id."""
+    from sinew_spark.operators.hreflang import cluster_by_hreflang
+
+    langs = ["en", "de", "fr"]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") / 3).cast("long").cast("string")
+    my_lang = F.element_at(F.array(*[F.lit(x) for x in langs]), (F.col("doc_id") % 3 + 1).cast("int"))
+    url = F.concat(F.lit("https://ex.com/"), my_lang, F.lit("/"), base)
+
+    def _body(rot: int) -> F.Column:
+        order = [langs[(rot + i) % 3] for i in range(3)]
+        parts = [F.lit("<html><head>")]
+        for lg in order:
+            parts += [
+                F.lit(f'<link rel="alternate" hreflang="{lg}" href="https://ex.com/{lg}/'),
+                base,
+                F.lit('">'),
+            ]
+        parts += [
+            F.lit('<link rel="alternate" hreflang="x-default" href="https://ex.com/en/'),
+            base,
+            F.lit('">'),
+            F.lit("</head><body>x</body></html>"),
+        ]
+        return F.concat(*parts)
+
+    rot = (F.col("doc_id") / 3).cast("long") % 3
+    body = (
+        F.when(rot == 0, _body(0)).when(rot == 1, _body(1)).otherwise(_body(2))
+    )
+    pages = d.select("doc_id", url.alias("url"), body.alias("resp_body"))
+    out = cluster_by_hreflang(pages, id_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        "url",
+        "cluster",
+        F.array_join("langs", "|").alias("langs"),
+        "n_variants",
+    ).orderBy("doc_id")
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-level (domain) PageRank: contract the page link graph onto
+    hosts (operators/graph.py contract_graph — broadcast mapping joins,
+    zero shuffle, intra-host edges dropped, multi-edges kept so the
+    host rank is naturally link-count-weighted) then run the exact
+    integer pagerank_fixedpoint over the host graph. Host = doc_id %
+    97; links = 3 md5-derived out-edges per doc (prefix 'hp')."""
+    from sinew_spark.operators.graph import contract_graph, pagerank_fixedpoint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e = d.crossJoin(spark.range(3).select(F.col("id").alias("j"))).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("hp"), F.col("doc_id"), F.col("j"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    mapping = d.select(
+        F.col("doc_id").alias("v"), (F.col("doc_id") % 97).alias("group")
+    )
+    he = contract_graph(e, mapping)
+    r = pagerank_fixedpoint(he, iters=3)
+    return r.select(F.col("v").alias("host"), "rank").orderBy("host")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3296,6 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "feed_extract": q_feed_extract,
         "mime_sniff": q_mime_sniff,
+        "hreflang_cluster": q_hreflang_cluster,
+        "host_pagerank": q_host_pagerank,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -3607,6 +3691,51 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CASE doc_id % 14 {ms_case} END AS mime, "
         "(doc_id % 14) >= 11 AS textual FROM documents ORDER BY doc_id"
     )
+
+    # hreflang_cluster: re-derive q_hreflang_cluster's construction from
+    # doc_id — lang by doc_id%3, tag order rotated by (doc_id//3)%3,
+    # cluster is always the de variant (lexicographic min of the set)
+    hc_sql = (
+        "SELECT doc_id, "
+        "'https://ex.com/' || (CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+        "ELSE 'fr' END) || '/' || CAST(doc_id // 3 AS VARCHAR) AS url, "
+        "'https://ex.com/de/' || CAST(doc_id // 3 AS VARCHAR) AS cluster, "
+        "CASE (doc_id // 3) % 3 WHEN 0 THEN 'en|de|fr|x-default' "
+        "WHEN 1 THEN 'de|fr|en|x-default' ELSE 'fr|en|de|x-default' END AS langs, "
+        "CAST(4 AS INTEGER) AS n_variants "
+        "FROM documents ORDER BY doc_id"
+    )
+
+    # host_pagerank: contract the 'hp' page graph to hosts (mod 97,
+    # self-loops dropped, multi-edges kept) then the pagerank CTE chain
+    hp_iters = 3
+    hp = [
+        "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+        "pe AS (SELECT d.doc_id AS src, "
+        "CAST(('0x' || substr(md5('hp|' || CAST(d.doc_id AS VARCHAR) || '|' || "
+        "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM n) AS dst "
+        "FROM documents d, (VALUES (0), (1), (2)) j(j)), "
+        "e AS (SELECT src % 97 AS src, dst % 97 AS dst FROM pe "
+        "WHERE src % 97 <> dst % 97), "
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), "
+        "nv AS (SELECT COUNT(*) AS nv FROM verts), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        f"p AS (SELECT ({pr_scale} // nv) AS unit, "
+        f"((({pr_den} - {pr_num}) * ({pr_scale} // nv)) // {pr_den}) AS base FROM nv), "
+        "r0 AS (SELECT v, (SELECT unit FROM p) AS rank FROM verts)"
+    ]
+    for i in range(1, hp_iters + 1):
+        hp.append(
+            f", r{i} AS (SELECT verts.v, (SELECT base FROM p) + "
+            f"({pr_num} * COALESCE(c.s, 0)) // {pr_den} AS rank FROM verts "
+            f"LEFT JOIN (SELECT e.dst AS v, CAST(SUM(r.rank // deg.deg) AS BIGINT) AS s "
+            f"FROM e JOIN r{i - 1} r ON r.v = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) c ON c.v = verts.v)"
+        )
+    hp.append(
+        f" SELECT v AS host, CAST(rank AS BIGINT) AS rank FROM r{hp_iters} ORDER BY host"
+    )
+    hp_sql = "".join(hp)
 
     # recrawl_priority (also composed into frontier_value below)
     rc_sql = (
@@ -4077,6 +4206,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": tr_sql,
         "feed_extract": fe_sql,
         "mime_sniff": ms_sql,
+        "hreflang_cluster": hc_sql,
+        "host_pagerank": hp_sql,
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via

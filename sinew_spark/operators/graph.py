@@ -533,3 +533,46 @@ def trustrank_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return trust.select("v", "trust")
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "v",
+    group_col: str = "group",
+    drop_self_loops: bool = True,
+    broadcast_mapping: bool = True,
+) -> DataFrame:
+    """Contract a vertex graph onto groups (page graph -> HOST graph,
+    the standard domain-authority projection: inter-site links carry
+    the trust signal, intra-site links are navigation noise).
+
+    Multi-edges are PRESERVED (one output row per surviving input
+    edge), so feeding the result to pagerank_fixedpoint /
+    trustrank_fixedpoint yields the naturally link-count-weighted
+    group-level rank with no weighted-update variant needed.
+
+    Scale shape: two equi-joins of the edge list against the mapping —
+    broadcast by default (the group map is #vertices rows but tiny per
+    partition after projection; at web scale host maps are ~1e7 rows,
+    still broadcastable at ~100 MB, else flip ``broadcast_mapping``)
+    — plus an optional self-loop filter. Map-side only when broadcast:
+    zero shuffle.
+
+    Returns (src, dst) in group space.
+    """
+    m = mapping.select(F.col(vertex_col).alias("_mv"), F.col(group_col).alias("_mg"))
+    if broadcast_mapping:
+        m = F.broadcast(m)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out = (
+        e.join(m, e["src"] == m["_mv"], "inner")
+        .select(F.col("_mg").alias("gsrc"), "dst")
+        .join(m, F.col("dst") == m["_mv"], "inner")
+        .select(F.col("gsrc").alias("src"), F.col("_mg").alias("dst"))
+    )
+    if drop_self_loops:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out

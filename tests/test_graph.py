@@ -312,3 +312,21 @@ def test_trustrank_seed_outside_graph_rejected(spark):
     df = spark.createDataFrame(TRUST_EDGES, "src long, dst long")
     with _pytest.raises(ValueError):
         trustrank_fixedpoint(df, spark.createDataFrame([(99,)], "v long"))
+
+
+def test_contract_graph_host_projection(spark):
+    from sinew_spark.operators.graph import contract_graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (2, 0)],
+        "src long, dst long",
+    )
+    # groups: {0,1} -> 10, {2,3} -> 20
+    mapping = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20), (3, 20)], "v long, group long"
+    )
+    got = sorted(map(tuple, contract_graph(edges, mapping).collect()))
+    # (0,1) intra-group dropped; (1,3) and (2,0)/(3,0) cross; multi-edges kept
+    assert got == [(10, 20), (10, 20), (20, 10), (20, 10)]
+    kept = contract_graph(edges, mapping, drop_self_loops=False)
+    assert kept.count() == 6
