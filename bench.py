@@ -335,6 +335,15 @@ def headline_queries(spark) -> dict:
         "sitemap_lastmod",
         "host_report",
         "frontier_opic",
+        # round-4 closing additions: link-analysis family + discovery/
+        # identity operators (hits/trustrank cost ~2 pagerank-like legs;
+        # noted in BASELINE.md's composition note)
+        "hits_scores",
+        "trustrank",
+        "host_pagerank",
+        "feed_extract",
+        "mime_sniff",
+        "hreflang_cluster",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
