@@ -2222,6 +2222,66 @@ def q_host_pagerank(spark, sf_dir):
     return r.select(F.col("v").alias("host"), "rank").orderBy("host")
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Corpus-statistical boilerplate strip on the interleaved span
+    model (operators/boilerplate.py): spans repeating on >= 1/2 of a
+    host's pages (exact integer fraction compare — no float threshold)
+    are site chrome and get removed from every page of that host.
+    Detection = one distinct-aggregate on (host, span_key) hashes;
+    strip = key arrays broadcast per host + Catalyst array filter,
+    zero shuffle on the docs side. Construction: host = doc_id % 7;
+    nav link / footer / logo image on ALL pages (boilerplate), a promo
+    text on even doc_ids (~half — sits at the >= boundary), unique
+    prose per page (content). The oracle re-derives the exploded span
+    rows, the md5 span keys, both counts, and the anti-join."""
+    from sinew_spark.operators.boilerplate import (
+        detect_host_boilerplate,
+        span_key,
+        strip_host_boilerplate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"))
+    prose = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " ")
+    nul = F.lit(None).cast("string")
+
+    def sp(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    promo = sp("text", F.lit("seasonal promo"), nul, 3)
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    spans = F.concat(
+        F.array(
+            sp("link", F.lit("home"), F.concat(F.lit("http://"), host, F.lit("/")), 0),
+            sp("text", F.concat(F.lit("copyright "), host), nul, 1),
+            sp("image", nul, F.concat(F.lit("logo://"), host), 2),
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.array(promo)).otherwise(empty),
+        F.array(sp("text", prose, nul, 4)),
+    )
+    docs = d.select("doc_id", host.alias("host"), spans.alias("spans"))
+    bp = detect_host_boilerplate(docs, min_pages=2, min_frac=0.5)
+    out = strip_host_boilerplate(docs, bp)
+    s = F.col("s")
+    return (
+        out.select("doc_id", F.explode("content_spans").alias("s"))
+        .select(
+            "doc_id",
+            s["offset"].alias("off"),
+            s["kind"].alias("kind"),
+            span_key(s).alias("span_key"),
+        )
+        .orderBy("doc_id", "off")
+    )
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3380,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "hreflang_cluster": q_hreflang_cluster,
         "host_pagerank": q_host_pagerank,
+        "host_boilerplate": q_host_boilerplate,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4208,6 +4269,37 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": ms_sql,
         "hreflang_cluster": hc_sql,
         "host_pagerank": hp_sql,
+        # host_boilerplate: rebuild the exploded span rows (same
+        # construction as q_host_boilerplate), md5 span keys with the
+        # 0x1f separator, per-(host,key) distinct-page counts vs host
+        # page totals, integer >= threshold (n*2 >= pages*1), then keep
+        # only non-boilerplate spans via null-extending left join.
+        "host_boilerplate": (
+            "WITH base AS (SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.test' AS host, "
+            "array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ') AS prose "
+            "FROM documents), "
+            "sp AS ("
+            "SELECT doc_id, host, 'link' AS kind, 'home' AS text, "
+            "'http://' || host || '/' AS media_ref, 0 AS off FROM base "
+            "UNION ALL SELECT doc_id, host, 'text', 'copyright ' || host, NULL, 1 FROM base "
+            "UNION ALL SELECT doc_id, host, 'image', NULL, 'logo://' || host, 2 FROM base "
+            "UNION ALL SELECT doc_id, host, 'text', 'seasonal promo', NULL, 3 "
+            "FROM base WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id, host, 'text', prose, NULL, 4 FROM base), "
+            "k AS (SELECT *, md5(coalesce(kind, '') || chr(31) || coalesce(text, '') "
+            "|| chr(31) || coalesce(media_ref, '')) AS span_key FROM sp), "
+            "counts AS (SELECT host, span_key, count(DISTINCT doc_id) AS n_pages "
+            "FROM k GROUP BY host, span_key), "
+            "totals AS (SELECT host, count(DISTINCT doc_id) AS host_pages "
+            "FROM base GROUP BY host), "
+            "bp AS (SELECT counts.host, counts.span_key FROM counts "
+            "JOIN totals ON counts.host = totals.host "
+            "WHERE host_pages >= 2 AND n_pages * 2 >= host_pages * 1) "
+            "SELECT k.doc_id, k.off, k.kind, k.span_key FROM k "
+            "LEFT JOIN bp ON k.host = bp.host AND k.span_key = bp.span_key "
+            "WHERE bp.span_key IS NULL ORDER BY k.doc_id, k.off"
+        ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
         # URL mix re-derived by CASE; template/depth/repeats via

@@ -344,6 +344,8 @@ def headline_queries(spark) -> dict:
         "feed_extract",
         "mime_sniff",
         "hreflang_cluster",
+        # round-4 session-4 additions
+        "host_boilerplate",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
