@@ -2282,6 +2282,41 @@ def q_host_boilerplate(spark, sf_dir):
     )
 
 
+def q_search_bm25(spark, sf_dir):
+    """Full-text retrieval over the corpus (operators/search.py):
+    inverted index with Lucene-style denormalized doc lengths, then
+    integer-exact BM25 top-k — idf is the rank-preserving rational
+    (N-df+1)/(df+1) in x1e6 fixed point (log() is not cross-engine
+    bit-stable), every division a truncating `div`, so DuckDB replays
+    scores exactly with `//`. Plan: in-list-pruned postings scan ->
+    broadcast term-stats join -> combinable groupBy(doc_id) ->
+    TakeOrderedAndProject; ties at rank k broken by doc_id. Synthetic
+    bag-of-words: 8 + doc_id%9 tokens per doc drawn from a 40-word
+    md5-derived vocabulary (prefix 'bm'), so tf/df/dl all vary."""
+    from sinew_spark.operators.search import bm25_topk, build_inverted_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    tok = lambda j: F.concat(  # noqa: E731
+        F.lit("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("bm"), F.col("doc_id"), j)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 40
+        ).cast("string"),
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), (7 + F.col("doc_id") % 9).cast("int")), tok
+    )
+    corpus = d.select("doc_id", F.array_join(toks, " ").alias("text"))
+    idx = build_inverted_index(corpus)
+    return bm25_topk(idx, ["w1", "w7", "w13"], k=25)
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3441,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_cluster": q_hreflang_cluster,
         "host_pagerank": q_host_pagerank,
         "host_boilerplate": q_host_boilerplate,
+        "search_bm25": q_search_bm25,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4299,6 +4335,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, k.off, k.kind, k.span_key FROM k "
             "LEFT JOIN bp ON k.host = bp.host AND k.span_key = bp.span_key "
             "WHERE bp.span_key IS NULL ORDER BY k.doc_id, k.off"
+        ),
+        # search_bm25: rebuild the synthetic bag-of-words corpus, the
+        # postings/df/dl/N/total scalars, and the exact integer BM25
+        # formula (every division `//` == Spark's `div` on positives;
+        # sum cast back to BIGINT — DuckDB sum(BIGINT) is HUGEINT).
+        "search_bm25": (
+            "WITH d AS (SELECT doc_id FROM documents), "
+            "tok AS (SELECT doc_id, unnest(list_transform("
+            "range(0, 8 + CAST(doc_id % 9 AS BIGINT)), j -> "
+            "'w' || CAST(CAST(('0x' || substr(md5('bm|' || CAST(doc_id AS VARCHAR) "
+            "|| '|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 40 AS VARCHAR)"
+            ")) AS term FROM d), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+            "post AS (SELECT term, tok.doc_id, count(*) AS tf, any_value(dl.dl) AS dl "
+            "FROM tok JOIN dl ON tok.doc_id = dl.doc_id GROUP BY term, tok.doc_id), "
+            "terms AS (SELECT term, count(*) AS df FROM post GROUP BY term), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl), "
+            "scored AS (SELECT doc_id, CAST(sum("
+            "(((1000000 * (n - df + 1)) // (df + 1)) * "
+            "((tf * (1200 + 1000) * 1000000) // "
+            "(tf * 1000 + (1200 * (1000 - 750 + (750 * dl * n) // t)) // 1000))"
+            ") // 1000000) AS BIGINT) AS score "
+            "FROM post JOIN terms USING (term) CROSS JOIN stats "
+            "WHERE term IN ('w1', 'w7', 'w13') GROUP BY doc_id) "
+            "SELECT doc_id, score FROM scored "
+            "ORDER BY score DESC, doc_id LIMIT 25"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

@@ -1,0 +1,135 @@
+"""Inverted index + BM25 full-text retrieval over the crawled corpus.
+
+The classic search stack re-expressed as DataFrames:
+
+- ``build_inverted_index``: tokenize -> explode -> ONE partial-agg
+  shuffle on (term, doc_id) for the postings, with the document length
+  DENORMALIZED onto every posting row (the Lucene "norms" trick —
+  scoring then never joins the corpus-sized doclens table), plus a
+  term-level df table and two corpus scalars (N, total token count)
+  from a single 1-row aggregate.
+
+- ``bm25_topk``: score a bag-of-words query. The term-stats side is
+  filtered to the query's terms (a handful of rows) and broadcast; the
+  postings scan is filtered by an in-list on term — with postings
+  written bucketed/partitioned by term this prunes to the touched
+  buckets only. The plan is: pruned scan -> broadcast hash join ->
+  map-side-combinable groupBy(doc_id) -> TakeOrderedAndProject. One
+  shuffle, never a full sort.
+
+Integer-exactness doctrine (see PLANS.md): BM25 is defined here in
+scaled 64-bit integer arithmetic — ``div`` truncating division on
+positive operands is identical in Spark (`div`) and DuckDB (`//`), so
+scores replay bit-for-bit across engines and are independent of
+partitioning / accumulation order.
+
+Scoring, with k1/b carried as x1000 fixed-point and SCALE = 1e6:
+
+    idf_s     = (SCALE * (N - df + 1)) div (df + 1)
+    bnorm     = 1000 - b_x1000 + (b_x1000 * dl * N) div total_dl
+    denom     = tf * 1000 + (k1_x1000 * bnorm) div 1000
+    tfc_s     = (tf * (k1_x1000 + 1000) * SCALE) div denom
+    contrib   = (idf_s * tfc_s) div SCALE        -- x SCALE
+    score     = sum(contrib) over query terms    -- x SCALE
+
+idf uses the rank-preserving rational (N - df + 1)/(df + 1) instead of
+the classic log form: log() is not correctly-rounded and may differ by
+1 ulp across libm implementations, which breaks cross-engine replay;
+the rational form keeps the same ordering (monotone decreasing in df)
+and is exact. Overflow bound: the largest intermediate is
+idf_s * tfc_s <= SCALE*N * SCALE*(k1+1) / 1 — with the default
+SCALE=1e6 this stays inside int64 for corpora up to ~1e6 docs; at the
+1e10-doc design point pass scale=1_000 (bound ~1e3*1e10 * 2.2e6 =
+2.2e19... use scale=100) or shard N into per-index segments, as noted
+on the parameter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_expr(col: Column) -> Column:
+    """Deterministic ASCII bag-of-words tokenization: lowercase, every
+    non-[a-z0-9] run becomes a separator, empties dropped. Exactly
+    replayable in SQL (lower + regexp_replace + split + filter)."""
+    cleaned = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+    return F.filter(F.split(F.trim(cleaned), " "), lambda t: t != "")
+
+
+@dataclass
+class InvertedIndex:
+    """Postings (term, doc_id, tf, dl), term stats (term, df), and the
+    two corpus scalars BM25 needs. ``postings``/``terms`` are lazy
+    DataFrames — persist or write them bucketed by term for reuse."""
+
+    postings: DataFrame
+    terms: DataFrame
+    n_docs: int
+    total_dl: int
+
+
+def build_inverted_index(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> InvertedIndex:
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"), tokenize_expr(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    terms = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.select("doc_id", "dl").groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+    ).first()
+    return InvertedIndex(
+        postings=postings, terms=terms, n_docs=int(row["n"]), total_dl=int(row["t"])
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1_x1000: int = 1200,
+    b_x1000: int = 750,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query, columns
+    ``doc_id, score`` (score x ``scale``, int64), ordered score desc
+    then doc_id asc — fully deterministic including ties at rank k.
+
+    ``scale``: fixed-point score resolution. The default 1e6 is safe to
+    ~1e6 docs; drop it (e.g. 100) for billion-doc indexes to keep
+    idf_s * tfc_s inside int64 (see module docstring bound).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not (0 <= b_x1000 <= 1000) or k1_x1000 < 0:
+        raise ValueError("k1_x1000 must be >= 0 and b_x1000 in [0, 1000]")
+    n, total = index.n_docs, max(index.total_dl, 1)
+    qt = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order irrelevant
+    q_stats = index.terms.filter(F.col("term").isin(qt))
+    p = index.postings.filter(F.col("term").isin(qt)).join(
+        F.broadcast(q_stats), "term"
+    )
+    # one SQL expression so every division is truncating `div`
+    contrib = F.expr(
+        f"(( ({scale} * ({n} - df + 1)) div (df + 1) ) * "
+        f"(( tf * ({k1_x1000} + 1000) * {scale} ) div "
+        f"( tf * 1000 + ({k1_x1000} * "
+        f"(1000 - {b_x1000} + ({b_x1000} * dl * {n}) div {total})) div 1000 ))"
+        f") div {scale}"
+    )
+    scored = p.select("doc_id", contrib.alias("_c"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_c").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
