@@ -2317,6 +2317,49 @@ def q_search_bm25(spark, sf_dir):
     return bm25_topk(idx, ["w1", "w7", "w13"], k=25)
 
 
+def q_link_farms(spark, sf_dir):
+    """Link-exchange spam detection (operators/graph.py
+    link_reciprocity + detect_link_farms): per-vertex fraction of
+    distinct out-links that are reciprocated, in exact 1e6 fixed point
+    (truncating div), one reversed-key self-join on existing edges only
+    — never O(V^2). Graph = 3 md5-derived random out-edges per doc
+    (prefix 'lr', near-zero natural reciprocity) + a planted reciprocal
+    pair overlay on doc_id % 5 == 0; the farm flag re-applies
+    detect_link_farms' integer thresholds."""
+    from sinew_spark.operators.graph import link_reciprocity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    rnd = d.crossJoin(spark.range(3).select(F.col("id").alias("j"))).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("lr"), F.col("doc_id"), F.col("j"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    five = d.filter(F.col("doc_id") % 5 == 0)
+    nxt = (F.col("doc_id") + 1) % n
+    ov = five.select(F.col("doc_id").alias("src"), nxt.alias("dst")).union(
+        five.select(nxt.alias("src"), F.col("doc_id").alias("dst"))
+    )
+    r = link_reciprocity(rnd.union(ov))
+    return r.select(
+        "v",
+        "out_deg",
+        "reciprocated",
+        "recip_x",
+        ((F.col("out_deg") >= 3) & (F.col("recip_x") >= 400_000)).alias("farm"),
+    ).orderBy("v")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3477,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_boilerplate": q_host_boilerplate,
         "search_bm25": q_search_bm25,
+        "link_farms": q_link_farms,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4361,6 +4405,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term IN ('w1', 'w7', 'w13') GROUP BY doc_id) "
             "SELECT doc_id, score FROM scored "
             "ORDER BY score DESC, doc_id LIMIT 25"
+        ),
+        # link_farms: rebuild the random + planted-reciprocal edge
+        # overlay, distinct directed pairs minus self-loops, the
+        # reversed-key back-edge probe, and the exact fixed-point
+        # reciprocity (// == div on positives; sums cast to BIGINT).
+        "link_farms": (
+            "WITH c AS (SELECT count(*) AS n FROM documents), "
+            "rnd AS (SELECT doc_id AS src, "
+            "CAST(('0x' || substr(md5('lr|' || CAST(doc_id AS VARCHAR) || '|' || "
+            "CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % n AS dst "
+            "FROM documents CROSS JOIN c, (VALUES (0), (1), (2)) j(j)), "
+            "five AS (SELECT doc_id, (doc_id + 1) % n AS nxt "
+            "FROM documents CROSS JOIN c WHERE doc_id % 5 = 0), "
+            "e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM rnd "
+            "UNION ALL SELECT doc_id, nxt FROM five "
+            "UNION ALL SELECT nxt, doc_id FROM five) u WHERE src <> dst), "
+            "b AS (SELECT e.src, e.dst, "
+            "(r.src IS NOT NULL) AS has_back FROM e "
+            "LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src), "
+            "a AS (SELECT src AS v, count(*) AS out_deg, "
+            "CAST(coalesce(sum(CASE WHEN has_back THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "AS reciprocated FROM b GROUP BY src) "
+            "SELECT v, out_deg, reciprocated, "
+            "(reciprocated * 1000000) // out_deg AS recip_x, "
+            "(out_deg >= 3 AND (reciprocated * 1000000) // out_deg >= 400000) "
+            "AS farm FROM a ORDER BY v"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

@@ -347,6 +347,7 @@ def headline_queries(spark) -> dict:
         # round-4 session-4 additions
         "host_boilerplate",
         "search_bm25",
+        "link_farms",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -576,3 +576,74 @@ def contract_graph(
     if drop_self_loops:
         out = out.where(F.col("src") != F.col("dst"))
     return out
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-vertex link reciprocity: what fraction of a vertex's
+    distinct out-links point at vertices that link straight back.
+
+    Reciprocity is the classic link-exchange signal (Gyongyi &
+    Garcia-Molina, "Web Spam Taxonomy", AIRWeb 2005 — link farms are
+    near-cliques, so their reciprocity saturates; editorial linking on
+    the open web is overwhelmingly one-directional). Output columns:
+    ``v, out_deg, reciprocated, recip_x`` where ``recip_x`` is the
+    fraction in exact ``scale`` fixed point (truncating div — no float,
+    replayable and partition-order-independent).
+
+    Scale shape: distinct directed pairs (one partial-agg shuffle),
+    then ONE self equi-join on the reversed key — both sides share the
+    same (src,dst)-hash partitioning profile, no broadcast needed and
+    no skew beyond the graph's own degree skew (cap with a prior
+    per-host out-degree limit if a vertex's degree explodes) — then a
+    combinable groupBy(src). Never O(V^2): only existing edges join.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    rev = e.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    back = (
+        e.join(rev, (e["src"] == rev["r_src"]) & (e["dst"] == rev["r_dst"]), "left")
+        .select("src", "dst", F.col("r_src").isNotNull().alias("_has_back"))
+    )
+    agg = back.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum(F.col("_has_back").cast("long")).alias("reciprocated"),
+    )
+    return agg.select(
+        "v",
+        "out_deg",
+        "reciprocated",
+        F.expr(f"(reciprocated * {scale}) div out_deg").alias("recip_x"),
+    )
+
+
+def detect_link_farms(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_out_deg: int = 3,
+    min_recip_x: int = 800_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Flag link-farm candidates: vertices with at least
+    ``min_out_deg`` distinct out-links whose reciprocity clears
+    ``min_recip_x`` (fixed-point on ``scale``; default 0.8). Thresholds
+    are integer compares on `link_reciprocity`'s exact output — the
+    flag set is deterministic and SQL-replayable. Downstream, feed the
+    flagged set to trustrank_fixedpoint as a demotion list (the two
+    signals are independent: TrustRank needs a seed whitelist,
+    reciprocity needs none).
+    """
+    if min_out_deg < 1:
+        raise ValueError("min_out_deg must be >= 1")
+    if not (0 <= min_recip_x <= scale):
+        raise ValueError("min_recip_x must be within [0, scale]")
+    r = link_reciprocity(edges, src=src, dst=dst, scale=scale)
+    return r.where(
+        (F.col("out_deg") >= min_out_deg) & (F.col("recip_x") >= min_recip_x)
+    )

@@ -330,3 +330,66 @@ def test_contract_graph_host_projection(spark):
     assert got == [(10, 20), (10, 20), (20, 10), (20, 10)]
     kept = contract_graph(edges, mapping, drop_self_loops=False)
     assert kept.count() == 6
+
+
+def test_link_reciprocity_basic(spark):
+    from sinew_spark.operators.graph import link_reciprocity
+
+    # farm: a<->b, a<->c; editorial: a->x (no back); self-loop dropped;
+    # duplicate edge counted once
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),
+            ("a", "c"), ("c", "a"),
+            ("a", "x"),
+            ("a", "a"),
+            ("a", "b"),  # dup
+        ],
+        "src string, dst string",
+    )
+    r = {row.v: (row.out_deg, row.reciprocated, row.recip_x)
+         for row in link_reciprocity(edges).collect()}
+    assert r["a"] == (3, 2, 666_666)  # truncating div, not rounded
+    assert r["b"] == (1, 1, 1_000_000)
+    assert r["c"] == (1, 1, 1_000_000)
+    assert "x" not in r  # no out-links
+
+
+def test_detect_link_farms_thresholds(spark):
+    from sinew_spark.operators.graph import detect_link_farms
+
+    # f1,f2,f3 form a reciprocal triangle (farm); e has 3 one-way links
+    rows = []
+    farm = ["f1", "f2", "f3"]
+    for i in farm:
+        for j in farm:
+            if i != j:
+                rows.append((i, j))
+    rows += [("e", "p1"), ("e", "p2"), ("e", "p3"), ("p1", "q")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    flagged = {r.v for r in detect_link_farms(edges, min_out_deg=2).collect()}
+    assert flagged == set(farm)
+    # raise min_out_deg above farm degree -> nothing flagged
+    assert detect_link_farms(edges, min_out_deg=5).count() == 0
+
+
+def test_link_reciprocity_partitioning_invariant(spark):
+    from sinew_spark.operators.graph import link_reciprocity
+
+    random.seed(11)
+    rows = [(f"v{random.randrange(20)}", f"v{random.randrange(20)}")
+            for _ in range(200)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(tuple(r) for r in link_reciprocity(e.repartition(1)).collect())
+    b = sorted(tuple(r) for r in link_reciprocity(e.repartition(13)).collect())
+    assert a == b
+
+
+def test_detect_link_farms_validation(spark):
+    from sinew_spark.operators.graph import detect_link_farms
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        detect_link_farms(e, min_out_deg=0)
+    with pytest.raises(ValueError):
+        detect_link_farms(e, min_recip_x=2_000_000)
