@@ -2360,6 +2360,66 @@ def q_link_farms(spark, sf_dir):
     ).orderBy("v")
 
 
+def q_media_assets(spark, sf_dir):
+    """Media asset dedup on the interleaved span model
+    (operators/media.py): canonicalize_media_refs rewrites mirrored
+    refs (same content digest behind different URLs — media DUST) to
+    the digest group's min ref via a broadcast mapping + per-doc remap
+    map + Catalyst array transform, then media_asset_table recounts —
+    mirrored pairs must collapse into one asset. Construction: each
+    doc carries a host-shared logo (doc_id%5), a mirrored asset
+    ('img://m/a/k' on even docs, 'img://m/b/k' on odd, k=(doc_id div
+    2)%10, both digesting to 'dust'+k) and a unique audio ref; digests
+    derive from the refs themselves so the oracle replays end-to-end."""
+    from sinew_spark.operators.media import (
+        canonicalize_media_refs,
+        media_asset_table,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    nul = F.lit(None).cast("string")
+    shared = F.concat(F.lit("img://shared/"), (F.col("doc_id") % 5).cast("string"))
+    k = F.expr("doc_id div 2") % 10
+    mir = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("img://m/a/")).otherwise(
+            F.lit("img://m/b/")
+        ),
+        k.cast("string"),
+    )
+    uniq = F.concat(F.lit("img://u/"), F.col("doc_id").cast("string"))
+
+    def sp(kind, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            nul.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    docs = d.select(
+        "doc_id",
+        F.array(sp("image", shared, 0), sp("image", mir, 1), sp("audio", uniq, 2)).alias(
+            "spans"
+        ),
+    )
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    digests = refs.select(
+        "media_ref",
+        F.when(
+            F.col("media_ref").startswith("img://m/"),
+            F.concat(F.lit("dust"), F.substring("media_ref", 11, 100)),
+        )
+        .otherwise(F.md5("media_ref"))
+        .alias("digest"),
+    )
+    out = canonicalize_media_refs(docs, digests)
+    return media_asset_table(out).orderBy("asset_key")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3521,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "search_bm25": q_search_bm25,
         "link_farms": q_link_farms,
+        "media_assets": q_media_assets,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4432,6 +4493,30 @@ def oracle_sql() -> dict[str, str]:
             "(reciprocated * 1000000) // out_deg AS recip_x, "
             "(out_deg >= 3 AND (reciprocated * 1000000) // out_deg >= 400000) "
             "AS farm FROM a ORDER BY v"
+        ),
+        # media_assets: replay construction, the digest rule, the
+        # min-ref-per-digest canonical mapping, the rewrite, and the
+        # recount — mirrored a/b refs must land on one asset row.
+        "media_assets": (
+            "WITH d AS (SELECT doc_id FROM documents), "
+            "sp AS ("
+            "SELECT doc_id, 'image' AS kind, "
+            "'img://shared/' || CAST(doc_id % 5 AS VARCHAR) AS ref FROM d "
+            "UNION ALL SELECT doc_id, 'image', "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'img://m/a/' ELSE 'img://m/b/' END) "
+            "|| CAST((doc_id // 2) % 10 AS VARCHAR) FROM d "
+            "UNION ALL SELECT doc_id, 'audio', "
+            "'img://u/' || CAST(doc_id AS VARCHAR) FROM d), "
+            "dg AS (SELECT DISTINCT ref, CASE WHEN ref LIKE 'img://m/%' "
+            "THEN 'dust' || substr(ref, 11) ELSE md5(ref) END AS digest FROM sp), "
+            "canon AS (SELECT digest, min(ref) AS c FROM dg GROUP BY digest), "
+            "mp AS (SELECT dg.ref, canon.c FROM dg JOIN canon USING (digest)), "
+            "rw AS (SELECT sp.doc_id, sp.kind, mp.c AS ref FROM sp "
+            "JOIN mp ON sp.ref = mp.ref) "
+            "SELECT ref AS asset_key, ref AS canonical_ref, "
+            "count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans, "
+            "count(DISTINCT kind) AS n_kinds FROM rw "
+            "GROUP BY ref ORDER BY asset_key"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,
