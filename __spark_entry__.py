@@ -2420,6 +2420,32 @@ def q_media_assets(spark, sf_dir):
     return media_asset_table(out).orderBy("asset_key")
 
 
+def q_dust_rules(spark, sf_dir):
+    """DUST param-rule mining (operators/dust.py mine_param_rules):
+    learn per-host irrelevant query params from (url, digest) evidence
+    — leave-one-out experiment keys, >=2 distinct values per
+    experiment, one digest = positive, any divergence = negative, a
+    single negative kills the rule. Pair-join-free (posexplode +
+    slice, two combinable groupBys). URLs: host doc%5, path doc%20,
+    page=doc%3 (content-bearing — digest tracks it; negatives kill
+    it), session=doc%7 (irrelevant and varying — mined, one rule per
+    host), ref=doc%2 (never varies within an experiment key since
+    lcm(20,3,7)·2 | 840 — NO evidence, so no rule: absence-of-proof
+    stays unmined). The oracle replays the LOO rows from the
+    construction (params sort page<ref<session)."""
+    from sinew_spark.operators.dust import mine_param_rules
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://h"), m(5), F.lit(".test/p/"), m(20),
+        F.lit("?page="), m(3), F.lit("&ref="), m(2), F.lit("&session="), m(7),
+    )
+    digest = F.md5(F.concat_ws("|", F.lit("c"), m(5), m(20), m(3)))
+    pages = d.select(url.alias("url"), digest.alias("digest"))
+    return mine_param_rules(pages, min_support=2).orderBy("host", "param")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3582,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "link_farms": q_link_farms,
         "media_assets": q_media_assets,
+        "dust_rules": q_dust_rules,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4517,6 +4544,38 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans, "
             "count(DISTINCT kind) AS n_kinds FROM rw "
             "GROUP BY ref ORDER BY asset_key"
+        ),
+        # dust_rules: replay the leave-one-out experiment rows straight
+        # from the construction (sorted param order page<ref<session is
+        # static), then the experiment/rule aggregations.
+        "dust_rules": (
+            "WITH b AS (SELECT DISTINCT doc_id % 5 AS h, doc_id % 20 AS pth, "
+            "doc_id % 3 AS pg, doc_id % 2 AS rf, doc_id % 7 AS ss FROM documents), "
+            "d AS (SELECT 'h' || CAST(h AS VARCHAR) || '.test' AS host, "
+            "'/p/' || CAST(pth AS VARCHAR) AS path, CAST(pg AS VARCHAR) AS pg, "
+            "CAST(rf AS VARCHAR) AS rf, CAST(ss AS VARCHAR) AS ss, "
+            "md5('c|' || CAST(h AS VARCHAR) || '|' || CAST(pth AS VARCHAR) || '|' "
+            "|| CAST(pg AS VARCHAR)) AS dg FROM b), "
+            "loo AS ("
+            "SELECT host, path, 'ref=' || rf || '&session=' || ss AS others, "
+            "'page' AS param, pg AS val, dg FROM d "
+            "UNION ALL SELECT host, path, 'page=' || pg || '&session=' || ss, "
+            "'ref', rf, dg FROM d "
+            "UNION ALL SELECT host, path, 'page=' || pg || '&ref=' || rf, "
+            "'session', ss, dg FROM d), "
+            "ex AS (SELECT host, path, others, param, "
+            "count(DISTINCT val) AS nv, count(DISTINCT dg) AS nd "
+            "FROM loo GROUP BY host, path, others, param), "
+            "j AS (SELECT host, param, "
+            "CASE WHEN nd = 1 THEN 1 ELSE 0 END AS pos, "
+            "CASE WHEN nd > 1 THEN 1 ELSE 0 END AS neg, nv "
+            "FROM ex WHERE nv >= 2), "
+            "r AS (SELECT host, param, CAST(sum(pos) AS BIGINT) AS support, "
+            "sum(neg) AS negs, "
+            "CAST(sum(CASE WHEN pos = 1 THEN nv ELSE 0 END) AS BIGINT) AS n_values "
+            "FROM j GROUP BY host, param) "
+            "SELECT host, param, support, n_values FROM r "
+            "WHERE negs = 0 AND support >= 2 ORDER BY host, param"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

@@ -349,6 +349,7 @@ def headline_queries(spark) -> dict:
         "search_bm25",
         "link_farms",
         "media_assets",
+        "dust_rules",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
