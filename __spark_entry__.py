@@ -2446,6 +2446,34 @@ def q_dust_rules(spark, sf_dir):
     return mine_param_rules(pages, min_support=2).orderBy("host", "param")
 
 
+def q_budget_apportion(spark, sf_dir):
+    """Proportional frontier budget allocation (operators/scheduler.py
+    allocate_host_budget): exact Hamilton largest-remainder
+    apportionment of a 10,000-fetch round across hosts weighted by an
+    integer value signal — sum(alloc) == budget ALWAYS, zero-value
+    hosts get zero, crumb ranking two-phase (range-bucketed remainder
+    rank; only bucket counts ever see a single partition). Hosts =
+    doc_id % 29 distinct; value = md5('bg|k') % 997. Oracle replays
+    base/remainder and the crumb rank with a SQL window."""
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 29).alias("k")
+    ).distinct()
+    hv = d.select(
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit("bg"), F.col("k"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 997
+        ).alias("value"),
+    )
+    return allocate_host_budget(hv, 10_000, buckets=16).orderBy("host")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3609,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_farms": q_link_farms,
         "media_assets": q_media_assets,
         "dust_rules": q_dust_rules,
+        "budget_apportion": q_budget_apportion,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4576,6 +4605,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM j GROUP BY host, param) "
             "SELECT host, param, support, n_values FROM r "
             "WHERE negs = 0 AND support >= 2 ORDER BY host, param"
+        ),
+        # budget_apportion: Hamilton apportionment replayed with a SQL
+        # window for the crumb rank (the engine computes the same rank
+        # two-phase); // == div on positives.
+        "budget_apportion": (
+            "WITH hn AS (SELECT DISTINCT doc_id % 29 AS k FROM documents), "
+            "hv AS (SELECT 'h' || CAST(k AS VARCHAR) AS host, "
+            "CAST(('0x' || substr(md5('bg|' || CAST(k AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % 997 AS value FROM hn), "
+            "s AS (SELECT sum(value) AS t FROM hv), "
+            "base AS (SELECT host, value, (value * 10000) // t AS b, "
+            "(value * 10000) % t AS rem FROM hv CROSS JOIN s), "
+            "l AS (SELECT 10000 - sum(b) AS leftover FROM base), "
+            "r AS (SELECT host, value, b, "
+            "row_number() OVER (ORDER BY rem DESC, host) AS rk FROM base) "
+            "SELECT host, value, CAST(b + CASE WHEN rk <= leftover THEN 1 "
+            "ELSE 0 END AS BIGINT) AS alloc FROM r CROSS JOIN l ORDER BY host"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

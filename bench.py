@@ -350,6 +350,7 @@ def headline_queries(spark) -> dict:
         "link_farms",
         "media_assets",
         "dust_rules",
+        "budget_apportion",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

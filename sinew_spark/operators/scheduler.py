@@ -188,3 +188,86 @@ def opic(
         "history",
         (F.col("cash") + F.col("history")).alias("importance"),
     )
+
+
+def allocate_host_budget(
+    host_values: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    value_col: str = "value",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Apportion a round's fetch budget across hosts proportionally to
+    a non-negative integer value signal (frontier_value, host
+    pagerank, OPIC cash) — exact Hamilton / largest-remainder
+    apportionment, so ``sum(alloc) == total_budget`` always (when the
+    corpus has any value at all) and the result is integer-exact,
+    partition-independent, and SQL-replayable.
+
+    Rule: ``base = (value * B) div T`` (T = sum of values); the
+    leftover ``B - sum(base)`` crumbs go +1 each to the hosts with the
+    largest remainders ``(value * B) % T``, ties broken by host asc.
+    A zero-remainder host can never receive a crumb (leftover is
+    strictly less than the count of positive remainders), so
+    zero-value hosts stay at zero. All-zero values degrade to uniform
+    apportionment (every host weighted 1).
+
+    Scale shape: the crumb assignment needs the global rank of each
+    host by (remainder desc, host asc). That is computed two-phase,
+    like pack_by_token_budget's prefix sum: remainders are range-
+    bucketed by a monotone ``rem div w`` key (~``buckets`` cells),
+    ranked within buckets in parallel, and bucket counts (one tiny row
+    per bucket) take the only single-partition window. No stage holds
+    the host table in one partition. Driver-side values: two 1-row
+    aggregates (T + n, sum of bases).
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    hv = host_values.select(
+        F.col(host_col).alias("host"), F.col(value_col).cast("long").alias("value")
+    )
+    row = hv.agg(
+        F.coalesce(F.sum("value"), F.lit(0)).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.min("value"), F.lit(0)).alias("mn"),
+    ).first()
+    t, n, mn = int(row["t"]), int(row["n"]), int(row["mn"])
+    if mn < 0:
+        raise ValueError("values must be non-negative")
+    if n == 0:
+        return hv.select("host", "value", F.lit(0).cast("long").alias("alloc"))
+    wexpr = "value" if t > 0 else "cast(1 as bigint)"
+    if t == 0:
+        t = n
+    b = total_budget
+    scored = hv.select(
+        "host",
+        "value",
+        F.expr(f"({wexpr} * cast({b} as bigint)) div {t}").alias("_base"),
+        F.expr(f"({wexpr} * cast({b} as bigint)) % {t}").alias("_rem"),
+    )
+    leftover = b - int(scored.agg(F.coalesce(F.sum("_base"), F.lit(0))).first()[0])
+    if leftover == 0:
+        return scored.select("host", "value", F.col("_base").alias("alloc"))
+    w = max(t // buckets, 1)
+    bucketed = scored.withColumn("_bkt", F.expr(f"_rem div {w}"))
+    within = Window.partitionBy("_bkt").orderBy(
+        F.col("_rem").desc(), F.col("host").asc()
+    )
+    ranked = bucketed.withColumn("_wr", F.row_number().over(within))
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    above = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_c").over(above), F.lit(0)).alias("_off")
+    )
+    out = ranked.join(F.broadcast(offsets), "_bkt").select(
+        "host",
+        "value",
+        (
+            F.col("_base")
+            + ((F.col("_off") + F.col("_wr")) <= leftover).cast("long")
+        ).alias("alloc"),
+    )
+    return out

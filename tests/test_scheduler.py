@@ -141,3 +141,78 @@ def test_opic_rejects_bad_iters(spark):
     df = spark.createDataFrame(OPIC_EDGES, "src long, dst long")
     with pytest.raises(ValueError):
         opic(df, iters=0)
+
+
+def test_allocate_host_budget_exact_conservation(spark):
+    import random
+
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    random.seed(7)
+    rows = [(f"h{i:03d}", random.randrange(0, 50)) for i in range(200)]
+    hv = spark.createDataFrame(rows, "host string, value long")
+    for budget in (0, 1, 17, 999, 12345):
+        out = allocate_host_budget(hv, budget, buckets=8)
+        got = {r.host: r.alloc for r in out.collect()}
+        assert sum(got.values()) == budget, budget
+        # matches a single-threaded Hamilton reference exactly
+        t = sum(v for _, v in rows)
+        base = {h: v * budget // t for h, v in rows}
+        rem = {h: (v * budget) % t for h, v in rows}
+        leftover = budget - sum(base.values())
+        order = sorted(rows, key=lambda hv_: (-rem[hv_[0]], hv_[0]))
+        expect = dict(base)
+        for h, _ in order[:leftover]:
+            expect[h] += 1
+        assert got == expect, budget
+
+
+def test_allocate_host_budget_zero_value_host_gets_nothing(spark):
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    hv = spark.createDataFrame(
+        [("a", 3), ("b", 0), ("c", 4)], "host string, value long"
+    )
+    got = {r.host: r.alloc for r in allocate_host_budget(hv, 10).collect()}
+    assert got["b"] == 0 and sum(got.values()) == 10
+
+
+def test_allocate_host_budget_all_zero_uniform(spark):
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    hv = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0)], "host string, value long"
+    )
+    got = {r.host: r.alloc for r in allocate_host_budget(hv, 7).collect()}
+    # 7 = 3*2 + 1 crumb; crumb goes to lexicographically first host
+    assert got == {"a": 3, "b": 2, "c": 2}
+
+
+def test_allocate_host_budget_partitioning_invariant(spark):
+    import random
+
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    random.seed(13)
+    rows = [(f"x{i}", random.randrange(0, 1000)) for i in range(300)]
+    hv = spark.createDataFrame(rows, "host string, value long")
+    a = sorted(
+        tuple(r) for r in allocate_host_budget(hv.repartition(1), 5000, buckets=4).collect()
+    )
+    b = sorted(
+        tuple(r) for r in allocate_host_budget(hv.repartition(17), 5000, buckets=64).collect()
+    )
+    assert a == b
+
+
+def test_allocate_host_budget_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.scheduler import allocate_host_budget
+
+    hv = spark.createDataFrame([("a", -1)], "host string, value long")
+    with _pytest.raises(ValueError):
+        allocate_host_budget(hv, 5)
+    hv2 = spark.createDataFrame([("a", 1)], "host string, value long")
+    with _pytest.raises(ValueError):
+        allocate_host_budget(hv2, -1)
