@@ -2474,6 +2474,29 @@ def q_budget_apportion(spark, sf_dir):
     return allocate_host_budget(hv, 10_000, buckets=16).orderBy("host")
 
 
+def q_dup_ngram_stats(spark, sf_dir):
+    """Exact-substring dedup signal (operators/dedup.py
+    duplicated_ngram_stats — Lee et al. ACL 2022 re-expressed over
+    hashed k-grams: one groupBy(hash) distinct-doc count, one
+    co-partitioned join, a Catalyst aggregate fold for the max
+    consecutive dup run). Docs: 12 synthetic tokens each; docs with
+    doc_id % 3 == 0 share a verbatim 6-token span at positions 3-8 ->
+    exactly 4 duplicated 3-grams in one run; all other k-grams are
+    doc-unique. The oracle replays k-gram hashing and recovers the max
+    run with a gaps-and-islands window."""
+    from sinew_spark.operators.dedup import duplicated_ngram_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    tok = lambda j: F.when(  # noqa: E731
+        (F.col("doc_id") % 3 == 0) & (j >= 3) & (j <= 8),
+        F.concat(F.lit("s"), (j - 3).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), did, F.lit("x"), j.cast("string")))
+    text = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(11)), tok), " ")
+    docs = d.select("doc_id", text.alias("text"))
+    return duplicated_ngram_stats(docs, k=3).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3638,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_assets": q_media_assets,
         "dust_rules": q_dust_rules,
         "budget_apportion": q_budget_apportion,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4622,6 +4646,35 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY rem DESC, host) AS rk FROM base) "
             "SELECT host, value, CAST(b + CASE WHEN rk <= leftover THEN 1 "
             "ELSE 0 END AS BIGINT) AS alloc FROM r CROSS JOIN l ORDER BY host"
+        ),
+        # dup_ngram_stats: replay tokenization + k-gram md5 hashing,
+        # the cross-doc distinct count, and recover max_dup_run with a
+        # gaps-and-islands window (pos - row_number per dup flag).
+        "dup_ngram_stats": (
+            "WITH tk AS (SELECT doc_id, list_transform(range(0, 12), j -> "
+            "CASE WHEN doc_id % 3 = 0 AND j BETWEEN 3 AND 8 "
+            "THEN 's' || CAST(j - 3 AS VARCHAR) "
+            "ELSE 'u' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR) END"
+            ") AS toks FROM documents), "
+            "g AS (SELECT doc_id, v.i AS pos, "
+            "md5(array_to_string(toks[v.i + 1:v.i + 3], ' ')) AS h FROM tk "
+            "CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)"
+            ") v(i)), "
+            "cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h), "
+            "fl AS (SELECT g.doc_id, g.pos, (nd >= 2) AS dup FROM g "
+            "JOIN cnt USING (h)), "
+            "isl AS (SELECT doc_id, pos, dup, pos - row_number() OVER "
+            "(PARTITION BY doc_id, dup ORDER BY pos) AS grp FROM fl), "
+            "runs AS (SELECT doc_id, grp, count(*) AS rl FROM isl WHERE dup "
+            "GROUP BY doc_id, grp), "
+            "agg AS (SELECT doc_id, count(*) AS n_kgrams, "
+            "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+            "FROM fl GROUP BY doc_id), "
+            "mr AS (SELECT doc_id, max(rl) AS m FROM runs GROUP BY doc_id) "
+            "SELECT agg.doc_id, n_kgrams, n_dup AS n_dup_kgrams, "
+            "CAST(coalesce(m, 0) AS BIGINT) AS max_dup_run, "
+            "(n_dup * 1000000) // n_kgrams AS dup_frac_x "
+            "FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id ORDER BY agg.doc_id"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

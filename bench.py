@@ -351,6 +351,7 @@ def headline_queries(spark) -> dict:
         "media_assets",
         "dust_rules",
         "budget_apportion",
+        "dup_ngram_stats",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -381,3 +381,97 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b", "jaccard")
     )
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-document duplicated-substring statistics — the signal
+    behind exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022: memorized boilerplate
+    lives in long token runs shared verbatim across documents),
+    re-expressed Spark-first over hashed k-grams instead of a suffix
+    array (a distributed suffix array buys exact char offsets the
+    training filter doesn't need; k-gram hashing gives the same
+    per-document decision signal with two shuffles).
+
+    Per document: ``n_kgrams``, ``n_dup_kgrams`` (k-grams appearing in
+    at least one OTHER document), ``max_dup_run`` (longest run of
+    consecutive duplicated k-grams — a run of R k-grams == a shared
+    token span of R+k-1 tokens), and ``dup_frac_x`` (duplicated
+    fraction in exact ``scale`` fixed point). Filter on
+    ``max_dup_run >= R`` to approximate ExactSubstr's min-match-length
+    rule, or on ``dup_frac_x`` for a coverage rule.
+
+    Scale shape: tokenize + k-gram hashing are map-only Catalyst
+    (md5 of the joined window — shuffles carry 32-char hashes, never
+    text); ONE groupBy(hash) distinct-doc count; one co-partitioned
+    join back; one groupBy(doc) that folds the position/flag pairs
+    into run statistics with a single Catalyst ``aggregate`` — the
+    per-doc array is bounded by document length, and nothing is ever
+    O(corpus) in one partition.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from sinew_spark.operators.search import tokenize_expr
+
+    toks = tokenize_expr(F.col(text_col))
+    base = docs.select(F.col(doc_col).alias("_doc"), toks.alias("_toks")).select(
+        "_doc",
+        F.when(
+            F.size("_toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    ex = base.select("_doc", F.posexplode("_grams").alias("_pos", "_h"))
+    counts = ex.groupBy("_h").agg(F.countDistinct("_doc").alias("_nd"))
+    flagged = ex.join(counts, "_h").select(
+        "_doc", "_pos", (F.col("_nd") >= 2).alias("_dup")
+    )
+    per_doc = flagged.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_kgrams"),
+        F.array_sort(F.collect_list(F.struct("_pos", "_dup"))).alias("_arr"),
+    )
+    run_acc = F.aggregate(
+        F.col("_arr"),
+        F.struct(
+            F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, x: F.struct(
+            F.when(x["_dup"], acc["run"] + 1).otherwise(F.lit(0).cast("long")).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(x["_dup"], acc["run"] + 1).otherwise(F.lit(0).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    stats = per_doc.select(
+        F.col("_doc").alias(doc_col),
+        "n_kgrams",
+        "n_dup_kgrams",
+        run_acc.alias("max_dup_run"),
+        F.expr(f"(n_dup_kgrams * {scale}) div n_kgrams").alias("dup_frac_x"),
+    )
+    # docs shorter than k tokens produce no k-grams: emit a zero row so
+    # the output covers every input document (left anti recover)
+    empties = base.where(F.size("_grams") == 0).select(
+        F.col("_doc").alias(doc_col),
+        F.lit(0).cast("long").alias("n_kgrams"),
+        F.lit(0).cast("long").alias("n_dup_kgrams"),
+        F.lit(0).cast("long").alias("max_dup_run"),
+        F.lit(0).cast("long").alias("dup_frac_x"),
+    )
+    return stats.unionByName(empties)

@@ -75,3 +75,72 @@ def test_exact_dedup_on_testdata(spark, sf_dir):
     out = exact_dedup(docs.unionByName(dup))
     assert out.count() == n
     assert out.agg(F.sum("n_dupes")).collect()[0][0] == 2 * n
+
+
+def test_duplicated_ngram_stats_planted_run(spark):
+    from sinew_spark.operators.dedup import duplicated_ngram_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    rows = [
+        ("a", f"a1 a2 a3 {shared} a4 a5"),
+        ("b", f"b1 {shared} b2 b3 b4 b5"),
+        ("c", "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in duplicated_ngram_stats(docs, k=3).collect()}
+    # 6 shared tokens -> 4 shared 3-grams, consecutive in both docs
+    assert out["a"].max_dup_run == 4
+    assert out["b"].max_dup_run == 4
+    assert out["a"].n_dup_kgrams == 4
+    assert out["c"].n_dup_kgrams == 0 and out["c"].max_dup_run == 0
+    # a: 11 tokens -> 9 3-grams
+    assert out["a"].n_kgrams == 9
+    assert out["a"].dup_frac_x == 4 * 1_000_000 // 9
+
+
+def test_duplicated_ngram_stats_split_runs(spark):
+    from sinew_spark.operators.dedup import duplicated_ngram_stats
+
+    # two separate shared fragments in one doc -> runs don't merge
+    rows = [
+        ("x", "s1 s2 s3 u1 u2 u3 t1 t2 t3"),
+        ("y", "s1 s2 s3 v1 v2 v3 t1 t2 t3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in duplicated_ngram_stats(docs, k=3).collect()}
+    # each fragment gives exactly one dup 3-gram per doc, separated
+    assert out["x"].n_dup_kgrams == 2
+    assert out["x"].max_dup_run == 1
+
+
+def test_duplicated_ngram_stats_short_doc_zero_row(spark):
+    from sinew_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [("s", "one two"), ("t", "three four five six")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: tuple(r)[1:] for r in
+           duplicated_ngram_stats(docs, k=3).collect()}
+    assert out["s"] == (0, 0, 0, 0)
+    assert out["t"][0] == 2  # 4 tokens -> 2 3-grams
+    assert len(out) == 2
+
+
+def test_duplicated_ngram_stats_partitioning_invariant(spark):
+    import random
+
+    from sinew_spark.operators.dedup import duplicated_ngram_stats
+
+    random.seed(3)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (f"d{i}", " ".join(random.choice(vocab) for _ in range(25)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(tuple(r) for r in
+               duplicated_ngram_stats(docs.repartition(1), k=4).collect())
+    b = sorted(tuple(r) for r in
+               duplicated_ngram_stats(docs.repartition(9), k=4).collect())
+    assert a == b
