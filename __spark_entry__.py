@@ -2497,6 +2497,32 @@ def q_dup_ngram_stats(spark, sf_dir):
     return duplicated_ngram_stats(docs, k=3).orderBy("doc_id")
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation related-page discovery (operators/graph.py
+    cocitation_pairs — Small 1973): pairs of pages linked by the same
+    citing doc, degree-capped self-join on the citer (the cap is the
+    standard mega-hub mitigation and a semantic choice), one
+    combinable pair groupBy, canonical a < b order. Each doc cites
+    'p'+(doc%7), 'p'+(7+doc%5) and a unique 'q' target — only
+    cross-group p-pairs clear min_common=2."""
+    from sinew_spark.operators.graph import cocitation_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    e1 = d.select(
+        did.alias("src"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+    )
+    e2 = d.select(
+        did.alias("src"),
+        F.concat(F.lit("p"), (7 + F.col("doc_id") % 5).cast("string")).alias("dst"),
+    )
+    e3 = d.select(did.alias("src"), F.concat(F.lit("q"), did).alias("dst"))
+    return cocitation_pairs(
+        e1.union(e2).union(e3), max_out_degree=100, min_common=2
+    ).orderBy("a", "b")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3662,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "budget_apportion": q_budget_apportion,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "cocitation": q_cocitation,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4675,6 +4702,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(m, 0) AS BIGINT) AS max_dup_run, "
             "(n_dup * 1000000) // n_kgrams AS dup_frac_x "
             "FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id ORDER BY agg.doc_id"
+        ),
+        # cocitation: replay the edge construction and the citer
+        # self-join (every citer's out-degree is 3, under the cap).
+        "cocitation": (
+            "WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS s, doc_id "
+            "FROM documents), "
+            "e AS (SELECT s, 'p' || CAST(doc_id % 7 AS VARCHAR) AS t FROM d "
+            "UNION ALL SELECT s, 'p' || CAST(7 + doc_id % 5 AS VARCHAR) FROM d "
+            "UNION ALL SELECT s, 'q' || s FROM d), "
+            "p AS (SELECT e1.t AS a, e2.t AS b FROM e e1 "
+            "JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t) "
+            "SELECT a, b, count(*) AS common FROM p GROUP BY a, b "
+            "HAVING count(*) >= 2 ORDER BY a, b"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

@@ -352,6 +352,7 @@ def headline_queries(spark) -> dict:
         "dust_rules",
         "budget_apportion",
         "dup_ngram_stats",
+        "cocitation",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

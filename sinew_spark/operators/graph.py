@@ -647,3 +647,48 @@ def detect_link_farms(
     return r.where(
         (F.col("out_deg") >= min_out_deg) & (F.col("recip_x") >= min_recip_x)
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int = 100,
+    min_common: int = 2,
+) -> DataFrame:
+    """Co-citation related-page discovery: pages (a, b) are related
+    with strength = the number of distinct documents that link to BOTH
+    (Small 1973; the classic link-based "related pages" signal, dual
+    of bibliographic coupling). Returns ``a, b, common`` with a < b
+    (canonical pair order) and ``common >= min_common``.
+
+    Scale shape: pair generation is a self equi-join on the CITING
+    document, which is quadratic in each citer's out-degree — so
+    citers with more than ``max_out_degree`` distinct out-links are
+    dropped first (the standard mitigation: a mega-hub citing 10k
+    pages asserts ~5*10^7 near-meaningless pairs and would dominate
+    both the shuffle and the semantics; degree-capping is a semantic
+    choice, documented, not just an optimization). After the cap the
+    join output is bounded by sum(deg^2) <= citers * max_out_degree^2,
+    then ONE combinable groupBy on the (a, b) pair.
+    """
+    if max_out_degree < 2:
+        raise ValueError("max_out_degree must be >= 2")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    kept = e.join(
+        deg.where(F.col("_deg") <= max_out_degree).select("src"), "src"
+    )
+    r = kept.select(F.col("src"), F.col("dst").alias("_dst2"))
+    pairs = kept.join(r, "src").where(F.col("dst") < F.col("_dst2"))
+    return (
+        pairs.groupBy(F.col("dst").alias("a"), F.col("_dst2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )

@@ -393,3 +393,47 @@ def test_detect_link_farms_validation(spark):
         detect_link_farms(e, min_out_deg=0)
     with pytest.raises(ValueError):
         detect_link_farms(e, min_recip_x=2_000_000)
+
+
+def test_cocitation_matches_bruteforce(spark):
+    import itertools
+
+    from sinew_spark.operators.graph import cocitation_pairs
+
+    random.seed(5)
+    rows = list({(f"s{random.randrange(12)}", f"t{random.randrange(8)}")
+                 for _ in range(60)})
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r.a, r.b): r.common
+           for r in cocitation_pairs(e, min_common=1).collect()}
+    # brute force
+    outs = {}
+    for s, d in rows:
+        outs.setdefault(s, set()).add(d)
+    expect = {}
+    for s, ds in outs.items():
+        for a, b in itertools.combinations(sorted(ds), 2):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
+
+
+def test_cocitation_degree_cap_drops_hub(spark):
+    from sinew_spark.operators.graph import cocitation_pairs
+
+    rows = [("hub", f"t{i}") for i in range(10)]
+    rows += [("x", "t0"), ("x", "t1"), ("y", "t0"), ("y", "t1")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r.a, r.b): r.common
+           for r in cocitation_pairs(e, max_out_degree=5, min_common=1).collect()}
+    # hub excluded: only x and y contribute
+    assert got == {("t0", "t1"): 2}
+
+
+def test_cocitation_min_common_and_canonical_order(spark):
+    from sinew_spark.operators.graph import cocitation_pairs
+
+    rows = [("s1", "b"), ("s1", "a"), ("s2", "a"), ("s2", "b"), ("s3", "a"),
+            ("s3", "c")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    out = cocitation_pairs(e, min_common=2).collect()
+    assert [(r.a, r.b, r.common) for r in out] == [("a", "b", 2)]
