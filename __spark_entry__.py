@@ -2523,6 +2523,31 @@ def q_cocitation(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_bigram_coverage(spark, sf_dir):
+    """Reference-bigram coverage quality scoring (operators/quality.py
+    bigram_coverage — integer-exact stand-in for CCNet-style LM
+    perplexity filtering: fraction of a doc's bigrams inside the
+    reference's top-m vocabulary; log-prob models are not cross-engine
+    bit-stable, coverage is). Self-referential corpus: 10 tokens per
+    doc, the first 4 + doc%3 drawn from a shared 8-token ring
+    ('w'+(doc+j)%8 — every adjacent pair is one of exactly 8 ring
+    bigrams, which fill the whole top_m=8 vocabulary), the rest
+    doc-unique. The oracle derives the score in CLOSED FORM from the
+    construction (9 bigrams/doc, 3 + doc%3 on the ring), fully
+    independent of the engine's vocab/join mechanics."""
+    from sinew_spark.operators.quality import bigram_coverage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    cut = 4 + F.col("doc_id") % 3
+    tok = lambda j: F.when(  # noqa: E731
+        j < cut, F.concat(F.lit("w"), ((F.col("doc_id") + j) % 8).cast("string"))
+    ).otherwise(F.concat(F.lit("r"), did, F.lit("x"), j.cast("string")))
+    text = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(9)), tok), " ")
+    docs = d.select("doc_id", text.alias("text"))
+    return bigram_coverage(docs, top_m=8).orderBy("doc_id")
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3689,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": q_budget_apportion,
         "dup_ngram_stats": q_dup_ngram_stats,
         "cocitation": q_cocitation,
+        "bigram_coverage": q_bigram_coverage,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4715,6 +4741,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t) "
             "SELECT a, b, count(*) AS common FROM p GROUP BY a, b "
             "HAVING count(*) >= 2 ORDER BY a, b"
+        ),
+        # bigram_coverage: CLOSED-FORM independent derivation — every
+        # doc has 9 bigrams; the ring prefix of length 4+doc%3 yields
+        # 3+doc%3 vocabulary bigrams (the 8-slot vocab is exactly the
+        # 8 ring pairs; doc-unique bigrams can never displace them).
+        "bigram_coverage": (
+            "SELECT doc_id, CAST(9 AS BIGINT) AS n_bigrams, "
+            "CAST(3 + doc_id % 3 AS BIGINT) AS n_in_vocab, "
+            "CAST(((3 + doc_id % 3) * 1000000) // 9 AS BIGINT) AS coverage_x "
+            "FROM documents ORDER BY doc_id"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

@@ -353,6 +353,7 @@ def headline_queries(spark) -> dict:
         "budget_apportion",
         "dup_ngram_stats",
         "cocitation",
+        "bigram_coverage",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

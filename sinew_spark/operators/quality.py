@@ -246,3 +246,82 @@ def c4_clean(
             "clean_text"
         ),
     )
+
+
+def bigram_coverage(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    top_m: int = 10_000,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reference-corpus bigram coverage — an integer-exact stand-in for
+    LM-perplexity quality filtering (the CCNet/Gopher recipe scores
+    documents against a clean reference corpus; a log-prob model is
+    not cross-engine bit-stable, but "what fraction of this document's
+    bigrams appear in the reference's top-m bigram vocabulary" ranks
+    documents the same way for the common gibberish/boilerplate/
+    wrong-language failure modes and is exactly replayable).
+
+    ``reference`` defaults to ``docs`` itself (self-referential
+    coverage: rare-construction documents score low). The vocabulary
+    is the reference's ``top_m`` bigrams by occurrence count, ties
+    broken by bigram string — fully deterministic. Output per doc:
+    ``n_bigrams, n_in_vocab, coverage_x`` (fixed point on ``scale``);
+    docs with fewer than 2 tokens emit an explicit zero row.
+
+    Scale shape: vocabulary = one combinable groupBy(bigram) + a
+    distributed top-m (TakeOrderedAndProject — never a full sort);
+    scoring = map-only bigram explode, BROADCAST join against the
+    bounded vocabulary, one combinable groupBy(doc). Nothing joins on
+    corpus-sized keys.
+    """
+    if top_m < 1:
+        raise ValueError("top_m must be >= 1")
+    from sinew_spark.operators.search import tokenize_expr
+
+    def bigrams(col: Column) -> Column:
+        toks = tokenize_expr(col)
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ref = reference if reference is not None else docs
+    vocab = (
+        ref.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("bigram").asc())
+        .limit(top_m)
+        .select("bigram", F.lit(True).alias("_in"))
+    )
+    base = docs.select(F.col(doc_col).alias("_doc"), bigrams(F.col(text_col)).alias("_bg"))
+    ex = base.select("_doc", F.explode("_bg").alias("bigram"))
+    scored = (
+        ex.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(False)).cast("long")).alias(
+                "n_in_vocab"
+            ),
+        )
+        .select(
+            F.col("_doc").alias(doc_col),
+            "n_bigrams",
+            "n_in_vocab",
+            F.expr(f"(n_in_vocab * {scale}) div n_bigrams").alias("coverage_x"),
+        )
+    )
+    empties = base.where(F.size("_bg") == 0).select(
+        F.col("_doc").alias(doc_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("n_in_vocab"),
+        F.lit(0).cast("long").alias("coverage_x"),
+    )
+    return scored.unionByName(empties)

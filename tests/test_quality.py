@@ -180,3 +180,68 @@ def test_c4_clean_page_rules(spark):
     assert got[3][0] is False
     assert got[4][0] is False
     assert got[5][0] is False
+
+
+def test_bigram_coverage_against_clean_reference(spark):
+    from sinew_spark.operators.quality import bigram_coverage
+
+    ref = spark.createDataFrame(
+        [("r1", "the quick brown fox jumps"), ("r2", "the quick brown dog runs")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("clean", "the quick brown fox"),      # 3 bigrams, all in ref
+            ("mixed", "the quick zzz qqq"),        # 3 bigrams, 1 in ref
+            ("junk", "xx yy zz"),                  # 2 bigrams, 0 in ref
+            ("tiny", "one"),                       # <2 tokens -> zero row
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.n_in_vocab, r.coverage_x)
+           for r in bigram_coverage(docs, reference=ref, top_m=100).collect()}
+    assert out["clean"] == (3, 3, 1_000_000)
+    assert out["mixed"] == (3, 1, 333_333)
+    assert out["junk"] == (2, 0, 0)
+    assert out["tiny"] == (0, 0, 0)
+
+
+def test_bigram_coverage_top_m_cuts_rare(spark):
+    from sinew_spark.operators.quality import bigram_coverage
+
+    # 'a b' appears twice, 'c d' and 'e f' once each; top_m=2 keeps
+    # 'a b' and then the tie between 'c d'/'e f' resolves by string asc
+    ref = spark.createDataFrame(
+        [("r1", "a b"), ("r2", "a b"), ("r3", "c d"), ("r4", "e f")],
+        "doc_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [("x", "a b"), ("y", "c d"), ("z", "e f")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r.n_in_vocab
+           for r in bigram_coverage(docs, reference=ref, top_m=2).collect()}
+    assert out == {"x": 1, "y": 1, "z": 0}
+
+
+def test_bigram_coverage_self_reference_and_occurrence_counting(spark):
+    from sinew_spark.operators.quality import bigram_coverage
+
+    # repeated bigram in one doc counts per OCCURRENCE in the score
+    docs = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "p q r s")], "doc_id string, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.n_in_vocab)
+           for r in bigram_coverage(docs, top_m=3).collect()}
+    # doc a: bigrams [x y, y x, x y]; vocab top3 by count = x y(2), p q, q r
+    assert out["a"] == (3, 2)
+    assert out["b"] == (3, 2)
+
+
+def test_bigram_coverage_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.quality import bigram_coverage
+
+    docs = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        bigram_coverage(docs, top_m=0)
