@@ -2548,6 +2548,35 @@ def q_bigram_coverage(spark, sf_dir):
     return bigram_coverage(docs, top_m=8).orderBy("doc_id")
 
 
+def q_diversified_select(spark, sf_dir):
+    """Diversity-aware corpus selection (operators/pipeline.py
+    diversified_topk): top-40 by value under a round-robin host
+    constraint — every host's best doc before any host's second.
+    One host-partitioned window + a distributed top-n on
+    (group_rank, value desc, doc_id), TakeOrderedAndProject, never a
+    global sort. Hosts doc_id%13, value md5('dv|doc')%100000."""
+    from sinew_spark.operators.pipeline import diversified_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string")).alias("host"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("dv"), F.col("doc_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100_000
+        ).alias("value"),
+    )
+    return diversified_topk(v, 40).orderBy(
+        "group_rank", F.col("value").desc(), "doc_id"
+    )
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Hierarchical rollup (event_type, cohort) with subtotal + grand-total
     rows — GROUP BY ROLLUP."""
@@ -3715,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "cocitation": q_cocitation,
         "bigram_coverage": q_bigram_coverage,
+        "diversified_select": q_diversified_select,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
@@ -4751,6 +4781,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 + doc_id % 3 AS BIGINT) AS n_in_vocab, "
             "CAST(((3 + doc_id % 3) * 1000000) // 9 AS BIGINT) AS coverage_x "
             "FROM documents ORDER BY doc_id"
+        ),
+        # diversified_select: window-rank replay of the round-robin
+        # selection; the composite order makes the picked set unique.
+        "diversified_select": (
+            "WITH v AS (SELECT doc_id, "
+            "'h' || CAST(doc_id % 13 AS VARCHAR) AS host, "
+            "CAST(('0x' || substr(md5('dv|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % 100000 AS value FROM documents), "
+            "r AS (SELECT doc_id, host, value, row_number() OVER "
+            "(PARTITION BY host ORDER BY value DESC, doc_id) AS group_rank "
+            "FROM v) "
+            "SELECT doc_id, host, value, CAST(group_rank AS INTEGER) AS group_rank "
+            "FROM r ORDER BY group_rank, value DESC, doc_id LIMIT 40"
         ),
         "pagerank_dangling": prd_sql,
         "kmeans": km_sql,

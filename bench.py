@@ -354,6 +354,7 @@ def headline_queries(spark) -> dict:
         "dup_ngram_stats",
         "cocitation",
         "bigram_coverage",
+        "diversified_select",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -324,3 +324,42 @@ def contamination_report(
             "frac", F.col("n_contaminated").cast("double") / F.col("n_grams")
         )
     )
+
+
+def diversified_topk(
+    df: DataFrame,
+    n: int,
+    group_col: str = "host",
+    value_col: str = "value",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diversity-aware top-n selection: pick the n highest-value rows
+    under a round-robin group constraint — every group's best row is
+    taken before ANY group's second-best, then every second-best
+    before any third, and so on. This is the standard guard against a
+    value signal that concentrates on a few hosts (pure top-n from a
+    crawl would return one domain's entire archive; training-data
+    curation wants the value ranking WITHIN a domain-diversity
+    envelope).
+
+    Deterministic total order: (group_rank asc, value desc, id asc) —
+    ties in value break by id, so the selected SET is unique and
+    partition-independent. Output adds ``group_rank`` (1-based rank of
+    the row within its group).
+
+    Scale shape: one window partitioned by the GROUP (host-sized
+    partitions, the same skew profile as every per-host stage in the
+    engine) and then a distributed top-n on the composite key —
+    TakeOrderedAndProject, never a global sort of the corpus.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("group_rank", F.row_number().over(w))
+    return ranked.orderBy(
+        F.col("group_rank").asc(), F.col(value_col).desc(), F.col(id_col).asc()
+    ).limit(n)

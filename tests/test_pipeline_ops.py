@@ -281,3 +281,50 @@ def test_sample_k_exact_size_and_deterministic(spark):
     # plan: top-k, never a global sort of the corpus
     plan = sample_k(df, 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_diversified_topk_round_robin(spark):
+    from sinew_spark.operators.pipeline import diversified_topk
+
+    rows = []
+    # host a has huge values, host b/c small — pure top-4 would be all a
+    for i, v in enumerate([100, 90, 80, 70]):
+        rows.append((f"a{i}", "a", v))
+    rows += [("b0", "b", 10), ("b1", "b", 9), ("c0", "c", 5)]
+    df = spark.createDataFrame(rows, "doc_id string, host string, value long")
+    got = [(r.doc_id, r.group_rank) for r in diversified_topk(df, 5).collect()]
+    # round 1: best of each host by value desc (a0, b0, c0); round 2: a1, b1
+    assert got == [("a0", 1), ("b0", 1), ("c0", 1), ("a1", 2), ("b1", 2)]
+
+
+def test_diversified_topk_tie_break_and_determinism(spark):
+    from sinew_spark.operators.pipeline import diversified_topk
+
+    rows = [("d2", "h", 5), ("d1", "h", 5), ("e1", "g", 5)]
+    df = spark.createDataFrame(rows, "doc_id string, host string, value long")
+    a = [r.doc_id for r in diversified_topk(df.repartition(1), 2).collect()]
+    b = [r.doc_id for r in diversified_topk(df.repartition(7), 2).collect()]
+    # rank-1 rows ordered by (value desc, id asc): d1 before e1? both 5 ->
+    # id asc: d1, e1
+    assert a == b == ["d1", "e1"]
+
+
+def test_diversified_topk_plan_takeordered(spark):
+    from sinew_spark.operators.pipeline import diversified_topk
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"h{i%3}", i) for i in range(30)],
+        "doc_id string, host string, value long",
+    )
+    plan = diversified_topk(df, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_diversified_topk_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.pipeline import diversified_topk
+
+    df = spark.createDataFrame([("a", "h", 1)], "doc_id string, host string, value long")
+    with _pytest.raises(ValueError):
+        diversified_topk(df, 0)
