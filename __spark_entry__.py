@@ -3651,6 +3651,127 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_redirect_chains(spark, sf_dir):
+    """Redirect-map collapse (operators/chains.py
+    resolve_redirect_chains — pointer doubling, O(log L) self-joins;
+    reference walks each chain per-GET, response.rb final uri). Edge
+    construction: 'n'+doc -> 'n'+(doc+1) while doc%8<7, else ->
+    'end'+(doc%3): chains up to 8 hops, every suffix a distinct entry
+    point; the last partial block dangles off the table edge (final
+    target not itself a source). Oracle = recursive-CTE walk keeping
+    the max-hop row per source."""
+    from sinew_spark.operators.chains import resolve_redirect_chains
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    edges = d.select(
+        F.concat(F.lit("n"), did).alias("src"),
+        F.when(
+            F.col("doc_id") % 8 < 7,
+            F.concat(F.lit("n"), (F.col("doc_id") + 1).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("end"), (F.col("doc_id") % 3).cast("string")))
+        .alias("dst"),
+    )
+    return resolve_redirect_chains(edges).orderBy("src")
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (operators/chunker.py
+    cdc_dedup_stats): shift-tolerant sub-document dup profile. Docs =
+    'z'*(doc%17) prefix + a 96-char md5 payload shared by group
+    doc%4 — same payload at 17 different offsets. The chunking spec
+    (w=8 polynomial rolling hash mod 1000003, cut when hash%64==0,
+    no min/max clamps) is deliberately stateless so the oracle can
+    replay every window hash, every cut, every chunk md5 and the
+    shared/unique accounting in pure SQL."""
+    from sinew_spark.operators.chunker import cdc_dedup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 4).cast("string")
+    payload = F.concat(
+        *[F.md5(F.concat(F.lit("pay|"), g, F.lit(f"|{k}"))) for k in range(3)]
+    )
+    text = F.concat(F.expr("repeat('z', CAST(doc_id % 17 AS INT))"), payload)
+    docs = d.select("doc_id", text.alias("text"))
+    return cdc_dedup_stats(docs).orderBy("doc_id")
+
+
+def q_host_fairness(spark, sf_dir):
+    """Crawl-allocation concentration report (operators/fairness.py
+    host_fairness): max-share / HHI / Gini over per-host fetch counts,
+    all floor-scaled 1e6 integers (decimal(38,0) intermediates +
+    exact floor division — float never enters the plan). Host mix:
+    every third event hits 'big.test', the rest spread over 23 hosts
+    — a deliberate capture scenario. Ranking for Gini is the
+    two-phase range-partition rank, no global window; the oracle
+    replays the formulas in HUGEINT."""
+    from sinew_spark.operators.fairness import host_fairness
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    host = F.when(F.col("event_id") % 3 == 0, F.lit("big.test")).otherwise(
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string"))
+    )
+    return host_fairness(e.select(host.alias("host")))
+
+
+def q_communities(spark, sf_dir):
+    """Community detection (operators/community.py label_propagation —
+    synchronous LPA, deterministic ties to the smallest label,
+    fixed 2 rounds; the replayable variant of Raghavan et al. 2007).
+    Graph: 20-doc stars around 'hub'+(doc div 20), with the first two
+    leaves of each star also linked to 'hub'+(doc div 40) so adjacent
+    stars merge. Oracle = the two rounds unrolled as
+    join+count+row_number CTEs."""
+    from sinew_spark.operators.community import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    vd = F.concat(F.lit("v"), F.col("doc_id").cast("string"))
+    e1 = d.select(
+        vd.alias("src"),
+        F.concat(F.lit("hub"), F.expr("doc_id div 20").cast("string")).alias(
+            "dst"
+        ),
+    )
+    e2 = d.where(F.col("doc_id") % 20 < 2).select(
+        vd.alias("src"),
+        F.concat(F.lit("hub"), F.expr("doc_id div 40").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return label_propagation(e1.union(e2), rounds=2).orderBy("v")
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric near-dup via shingle containment (operators/
+    containment.py containment_pairs — Broder 1997 c(B in A); the
+    quote/syndication case Jaccard is blind to). Every doc carries 8
+    unique tokens; docs with doc%10==0 additionally append doc+1's
+    full token block, so (d, d+1) is a perfect containment pair and
+    nothing else overlaps. k=3 shingles, threshold 0.8, degree-capped
+    inverted-index pair join. Oracle replays tokenization, shingle
+    md5s, the frequency cap and the integer ratio in list-op SQL."""
+    from sinew_spark.operators.containment import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    core = lambda idc: F.array_join(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.concat(F.lit("c"), idc, F.lit("_"), j.cast("string")),
+        ),
+        " ",
+    )
+    text = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(core(did), F.lit(" "), core((F.col("doc_id") + 1).cast("string"))),
+    ).otherwise(core(did))
+    docs = d.select("doc_id", text.alias("text"))
+    return containment_pairs(docs, k=3, threshold_x=800_000).orderBy(
+        "container", "contained"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -3790,6 +3911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": q_sample_k,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
+        # round-4 session-5 additions (past the 50-slot prefix; locally
+        # mirrored by tests/test_entry_oracle.py like everything else)
+        "redirect_chains": q_redirect_chains,
+        "cdc_dedup": q_cdc_dedup,
+        "host_fairness": q_host_fairness,
+        "communities": q_communities,
+        "containment": q_containment,
     }
 
 
@@ -4157,6 +4285,63 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(dist AS BIGINT) AS dist FROM a{km_iters + 1} ORDER BY vec_id"
     )
     km_sql = "".join(km)
+
+    # cdc_dedup: the stateless chunking spec replayed window-by-window
+    # (w=8 polynomial rolling hash, precomputed power literals)
+    _cdc_p = [pow(257, 7 - j, 1_000_003) for j in range(8)]
+    _cdc_terms = " + ".join(
+        f"ascii(substr(text, i + {j}, 1)) * {_cdc_p[j]}" for j in range(8)
+    )
+    cdc_sql = (
+        "WITH d AS (SELECT doc_id, repeat('z', CAST(doc_id % 17 AS INTEGER)) || "
+        "md5('pay|' || CAST(doc_id % 4 AS VARCHAR) || '|0') || "
+        "md5('pay|' || CAST(doc_id % 4 AS VARCHAR) || '|1') || "
+        "md5('pay|' || CAST(doc_id % 4 AS VARCHAR) || '|2') AS text FROM documents), "
+        "c AS (SELECT doc_id, text, len(text) AS n FROM d), "
+        "pos AS (SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i FROM c), "
+        f"h AS (SELECT doc_id, i, ({_cdc_terms}) % 1000003 AS hv FROM pos), "
+        "cut0 AS (SELECT doc_id, i + 7 AS cut FROM h WHERE hv % 64 = 0 "
+        "UNION SELECT doc_id, n FROM c), "
+        "o AS (SELECT doc_id, cut, lag(cut, 1, 0) OVER "
+        "(PARTITION BY doc_id ORDER BY cut) AS prev FROM cut0), "
+        "ch AS (SELECT o.doc_id, cut - prev AS clen, "
+        "md5(substr(d2.text, CAST(prev + 1 AS INTEGER), "
+        "CAST(cut - prev AS INTEGER))) AS chash "
+        "FROM o JOIN d d2 ON o.doc_id = d2.doc_id), "
+        "nd AS (SELECT chash, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chash) "
+        "SELECT ch.doc_id, count(*) AS n_chunks, "
+        "CAST(sum(clen) AS BIGINT) AS total_chars, "
+        "CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_shared_chunks, "
+        "CAST(coalesce(sum(CASE WHEN nd.ndocs >= 2 THEN clen END), 0) AS BIGINT) "
+        "AS shared_chars "
+        "FROM ch JOIN nd ON ch.chash = nd.chash GROUP BY ch.doc_id ORDER BY doc_id"
+    )
+
+    # communities: 2 synchronous LPA rounds unrolled (most-frequent
+    # neighbor label, ties to the smallest, isolated keep theirs)
+    def _lpa_round(prev: int) -> str:
+        return (
+            f"f{prev} AS (SELECT e.v, l.label AS wl, count(*) AS c FROM e "
+            f"JOIN l{prev} l ON e.w = l.v GROUP BY e.v, l.label), "
+            f"p{prev} AS (SELECT v, wl FROM (SELECT v, wl, row_number() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, wl) AS rn FROM f{prev}) WHERE rn = 1), "
+            f"l{prev + 1} AS (SELECT s.v, coalesce(p.wl, s.label) AS label "
+            f"FROM l{prev} s LEFT JOIN p{prev} p ON s.v = p.v)"
+        )
+
+    lpa_sql = (
+        "WITH e0 AS (SELECT 'v' || CAST(doc_id AS VARCHAR) AS src, "
+        "'hub' || CAST(doc_id // 20 AS VARCHAR) AS dst FROM documents "
+        "UNION ALL SELECT 'v' || CAST(doc_id AS VARCHAR), "
+        "'hub' || CAST(doc_id // 40 AS VARCHAR) FROM documents WHERE doc_id % 20 < 2), "
+        "e AS (SELECT src AS v, dst AS w FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+        + _lpa_round(0)
+        + ", "
+        + _lpa_round(1)
+        + " SELECT v, label FROM l2 ORDER BY v"
+    )
 
     return {
         "canonicalize_urls": (
@@ -5547,5 +5732,67 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(p.value), 4) AS sum_value "
             "FROM p JOIN i ON p.ts_us BETWEEN i.start_us AND i.end_us "
             "GROUP BY i.iid ORDER BY iid"
+        ),
+        # recursive-CTE chain walk; the engine's pointer doubling must
+        # land on the same (final, hops) the step-by-step walk finds
+        "redirect_chains": (
+            "WITH RECURSIVE e AS (SELECT 'n' || CAST(doc_id AS VARCHAR) AS src, "
+            "CASE WHEN doc_id % 8 < 7 THEN 'n' || CAST(doc_id + 1 AS VARCHAR) "
+            "ELSE 'end' || CAST(doc_id % 3 AS VARCHAR) END AS dst FROM documents), "
+            "walk(src, cur, hops) AS ("
+            "SELECT src, dst, CAST(1 AS BIGINT) FROM e "
+            "UNION ALL SELECT w.src, e2.dst, w.hops + 1 FROM walk w "
+            "JOIN e e2 ON w.cur = e2.src), "
+            "fin AS (SELECT src, cur, hops, row_number() OVER "
+            "(PARTITION BY src ORDER BY hops DESC) AS rn FROM walk) "
+            "SELECT src, cur AS final_url, hops, FALSE AS cyclic FROM fin "
+            "WHERE rn = 1 ORDER BY src"
+        ),
+        "cdc_dedup": cdc_sql,
+        # HUGEINT replay of the scaled-integer concentration formulas
+        # over a row_number rank (the engine's two-phase rank must
+        # agree with the single-window rank exactly)
+        "host_fairness": (
+            "WITH f AS (SELECT CASE WHEN event_id % 3 = 0 THEN 'big.test' "
+            "ELSE 'h' || CAST(user_id % 23 AS VARCHAR) END AS host FROM events), "
+            "c AS (SELECT host, count(*) AS cnt FROM f GROUP BY host), "
+            "r AS (SELECT host, cnt, row_number() OVER (ORDER BY cnt, host) AS rk "
+            "FROM c), "
+            "a AS (SELECT count(*) AS n, CAST(sum(cnt) AS HUGEINT) AS tot, "
+            "CAST(max(cnt) AS HUGEINT) AS mx, "
+            "sum(CAST(cnt AS HUGEINT) * cnt) AS sumsq, "
+            "sum(CAST(rk AS HUGEINT) * cnt) AS rankdot FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_hosts, CAST(tot AS BIGINT) AS total_fetches, "
+            "CAST(mx * 1000000 // tot AS BIGINT) AS max_share_x, "
+            "CAST(sumsq * 1000000 // (tot * tot) AS BIGINT) AS hhi_x, "
+            "CAST((2 * rankdot - (n + 1) * tot) * 1000000 // (n * tot) AS BIGINT) "
+            "AS gini_x FROM a"
+        ),
+        "communities": lpa_sql,
+        # full replay: tokenize, shingle md5s, frequency cap, pair
+        # join, integer ratio — list ops + 1-based inclusive slicing
+        "containment": (
+            "WITH d AS (SELECT doc_id, array_to_string(list_transform(range(0, 8), "
+            "j -> 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)), ' ') || "
+            "CASE WHEN doc_id % 10 = 0 THEN ' ' || "
+            "array_to_string(list_transform(range(0, 8), "
+            "j -> 'c' || CAST(doc_id + 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)), ' ') "
+            "ELSE '' END AS text FROM documents), "
+            "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d), "
+            "s AS (SELECT DISTINCT doc_id AS doc, "
+            "md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) "
+            "AS shingle FROM t, unnest(range(1, len(toks) - 1)) AS u(i)), "
+            "sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc), "
+            "fr AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle), "
+            "idx AS (SELECT s.doc, s.shingle FROM s JOIN fr ON s.shingle = fr.shingle "
+            "WHERE fr.df <= 1000), "
+            "p AS (SELECT a.doc AS container, b.doc AS contained, count(*) AS shared "
+            "FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc <> b.doc "
+            "GROUP BY a.doc, b.doc) "
+            "SELECT container, contained, shared, sz AS contained_size, "
+            "CAST(shared * 1000000 // sz AS BIGINT) AS containment_x "
+            "FROM p JOIN sz ON p.contained = sz.doc "
+            "WHERE shared * 1000000 >= 800000 * sz "
+            "ORDER BY container, contained"
         ),
     }

@@ -355,6 +355,13 @@ def headline_queries(spark) -> dict:
         "cocitation",
         "bigram_coverage",
         "diversified_select",
+        # round-4 session-5 additions: chain collapse, sub-document CDC
+        # dedup, allocation fairness, communities, containment
+        "redirect_chains",
+        "cdc_dedup",
+        "host_fairness",
+        "communities",
+        "containment",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

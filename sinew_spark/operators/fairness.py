@@ -1,0 +1,132 @@
+"""Crawl allocation fairness: concentration metrics over per-host load.
+
+A polite frontier is supposed to SPREAD fetches; the failure mode at
+10^10-URL scale is silent concentration — one mega-host (or one
+misbehaving recipe) absorbing the crawl budget while the long tail
+starves.  The politeness machinery bounds the per-round *rate*
+(operators/frontier.py per-host caps), but nothing reports the
+realized *allocation*.  This module computes the standard
+concentration measures over the fetch ledger:
+
+  - max_share   — largest single host's fraction of all fetches;
+  - HHI         — Herfindahl–Hirschman index, sum of squared shares
+                  (1/n for a perfectly even crawl, 1.0 for a
+                  single-host capture);
+  - Gini        — rank-weighted inequality, 0 = even, ->1 = captured;
+                  G = (2*sum(rank_i * x_i) - (n+1)*sum(x)) / (n*sum(x))
+                  with hosts ranked ascending by (count, host).
+
+All three are emitted as *_x integers scaled by 1e6 (this engine's
+integer-exactness doctrine: float math is not bit-stable across
+engines, scaled-integer floor division is).  Intermediates run in
+decimal(38,0) — sum(rank*x) and sum(x^2) overflow int64 around
+10^9 hosts x 10^9 fetches — and the final floor divisions are made
+EXACT with a +-1 correction step (Spark's decimal divide rounds at a
+finite scale; multiply/compare in decimal is exact, so the correction
+recovers true floor semantics).
+
+Scale shape: one groupBy(host) count (the only shuffle proportional
+to the ledger), then ranking over the (much smaller) host-count table
+via range repartition + per-partition row_number + broadcast partition
+offsets — the classic two-phase rank, no global single-partition
+window.  Final metrics are a 1-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(38,0)"
+
+
+def _floor_div_exact(num: Column, den: Column) -> Column:
+    """Exact floor(num/den) for non-negative decimal(38,0) columns.
+
+    Spark's decimal division rounds HALF_UP at the result scale, so a
+    quotient can land one off from the true floor near integer
+    boundaries; decimal multiplication and comparison are exact, so a
+    +-1 correction restores floor semantics bit-for-bit.
+    """
+    q = F.floor(num / den).cast(_DEC)
+    q = F.when((q + 1) * den <= num, q + 1).otherwise(q)
+    q = F.when(q * den > num, q - 1).otherwise(q)
+    return q.cast("long")
+
+
+def two_phase_rank(
+    counts: DataFrame,
+    order_cols: list,
+    partitions: int = 256,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Dense global row_number over ``order_cols`` without a global
+    single-partition window: range-repartition on the order key,
+    rank within partitions, then broadcast per-partition row totals
+    as base offsets (the per-partition total table has at most
+    ``partitions`` rows)."""
+    t = counts.repartitionByRange(partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    within = Window.partitionBy("_pid").orderBy(*order_cols)
+    t = t.withColumn("_r", F.row_number().over(within))
+    sizes = t.groupBy("_pid").agg(F.count("*").alias("_n"))
+    base_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(base_w), F.lit(0)).alias("_base")
+    )
+    return (
+        t.join(F.broadcast(bases), "_pid")
+        .withColumn(rank_col, (F.col("_base") + F.col("_r")).cast("long"))
+        .drop("_pid", "_r", "_base")
+    )
+
+
+def host_fairness(
+    fetches: DataFrame,
+    host_col: str = "host",
+    scale: int = 1_000_000,
+    partitions: int = 256,
+) -> DataFrame:
+    """Concentration report over the fetch ledger: ONE row
+    (n_hosts, total_fetches, max_share_x, hhi_x, gini_x), the *_x
+    metrics floor-scaled by ``scale`` (default 1e6).
+
+    Empty input returns zero counts with NULL metrics (no meaningful
+    shares over zero fetches).
+    """
+    counts = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("cnt")
+    )
+    ranked = two_phase_rank(counts, ["cnt", "host"], partitions=partitions)
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    agg = ranked.agg(
+        F.count("*").alias("n_hosts"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_fetches"),
+        F.max("cnt").cast(_DEC).alias("_max"),
+        F.sum(d(F.col("cnt")) * d(F.col("cnt"))).alias("_sumsq"),
+        F.sum(d(F.col("rank")) * d(F.col("cnt"))).alias("_rankdot"),
+    )
+    n = F.col("n_hosts").cast(_DEC)
+    tot = F.col("total_fetches").cast(_DEC)
+    s = F.lit(scale).cast(_DEC)
+    return agg.select(
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        "total_fetches",
+        F.when(
+            F.col("total_fetches") > 0,
+            _floor_div_exact(F.col("_max") * s, tot),
+        ).alias("max_share_x"),
+        F.when(
+            F.col("total_fetches") > 0,
+            _floor_div_exact(F.col("_sumsq") * s, tot * tot),
+        ).alias("hhi_x"),
+        F.when(
+            F.col("total_fetches") > 0,
+            _floor_div_exact(
+                (F.lit(2).cast(_DEC) * F.col("_rankdot") - (n + 1) * tot) * s,
+                n * tot,
+            ),
+        ).alias("gini_x"),
+    )
