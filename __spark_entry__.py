@@ -2901,6 +2901,52 @@ def q_snapshot_time_travel(spark, sf_dir):
     return out.orderBy("snap")
 
 
+def q_snapshot_expire(spark, sf_dir):
+    """Snapshot GC contract (plans/snapshots.py expire_snapshots):
+    overwrite(evens) -> overwrite(odds) -> append(%10==0), then expire
+    with retain_last=2. Snapshot 1 must be expired (metadata kept,
+    files collected, reads refused); snapshots 2 and 3 must read
+    bit-identically to their pre-GC contents. One row per snapshot:
+    (snap, n_rows, sum_id, was_expired, readable) — the aggregates
+    NULL where the read is (correctly) refused; the oracle re-derives
+    the retained snapshots' contents from the source table alone."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sinew_spark.plans.snapshots import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="sinew_exp_"), schema)
+    s1 = t.overwrite(d.where(F.col("doc_id") % 2 == 0), {"op": "evens"})
+    s2 = t.overwrite(d.where(F.col("doc_id") % 2 == 1), {"op": "odds"})
+    s3 = t.append(d.where(F.col("doc_id") % 10 == 0), {"op": "tenths"})
+    t.expire_snapshots(retain_last=2)
+    flags = {s["id"]: bool(s.get("expired")) for s in t.snapshots()}
+    parts = []
+    for ordinal, sid in ((1, s1), (2, s2), (3, s3)):
+        try:
+            agg = t.read(sid).agg(
+                F.lit(ordinal).cast("bigint").alias("snap"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_id"),
+                F.lit(flags[sid]).alias("was_expired"),
+                F.lit(True).alias("readable"),
+            )
+        except ValueError:
+            agg = spark.range(1).select(
+                F.lit(ordinal).cast("bigint").alias("snap"),
+                F.lit(None).cast("bigint").alias("n_rows"),
+                F.lit(None).cast("bigint").alias("sum_id"),
+                F.lit(flags[sid]).alias("was_expired"),
+                F.lit(False).alias("readable"),
+            )
+        parts.append(agg)
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("snap")
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental snapshot consumption: SnapshotTable.diff tags the
     row-level changes between two table versions (added / removed,
@@ -3918,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fairness": q_host_fairness,
         "communities": q_communities,
         "containment": q_containment,
+        "snapshot_expire": q_snapshot_expire,
     }
 
 
@@ -5794,5 +5841,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN sz ON p.contained = sz.doc "
             "WHERE shared * 1000000 >= 800000 * sz "
             "ORDER BY container, contained"
+        ),
+        # retained snapshots re-derived from the source; the expired one
+        # must surface as flagged + unreadable with NULL aggregates
+        "snapshot_expire": (
+            "SELECT CAST(1 AS BIGINT) AS snap, CAST(NULL AS BIGINT) AS n_rows, "
+            "CAST(NULL AS BIGINT) AS sum_id, TRUE AS was_expired, "
+            "FALSE AS readable "
+            "UNION ALL "
+            "SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT), FALSE, TRUE "
+            "FROM documents WHERE doc_id % 2 = 1 "
+            "UNION ALL "
+            "SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT), FALSE, TRUE "
+            "FROM documents WHERE doc_id % 2 = 1 OR doc_id % 10 = 0 "
+            "ORDER BY snap"
         ),
     }

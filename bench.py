@@ -362,6 +362,7 @@ def headline_queries(spark) -> dict:
         "host_fairness",
         "communities",
         "containment",
+        "snapshot_expire",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -1068,3 +1068,36 @@ class Crawler:
         """Per-host ops report over everything fetched so far (module-level
         ``host_report`` on the fetched table)."""
         return host_report(self.fetched_t.read())
+
+    def expire_history(
+        self, retain_last: int = 2, keep_ids: dict | None = None
+    ) -> dict:
+        """Garbage-collect crawl-state snapshots across every table
+        (frontier/seen/fetched/metrics/host_state/host_counts) via
+        ``SnapshotTable.expire_snapshots``.  A long crawl commits one
+        snapshot per table per round; without expiry the checkpoint
+        history grows without bound (at the design point: one full
+        frontier copy per round).  ``retain_last`` keeps that many
+        snapshots along each table's current lineage (default 2: the
+        live state plus one resume point); ``keep_ids`` optionally pins
+        extra snapshot ids per table name, e.g.
+        ``{"seen": [checkpoint_sid]}`` for a known-good resume
+        checkpoint.  Sidecar seen stores whose incremental chain crosses
+        an expired snapshot rebuild on their next ``sync()`` — safe,
+        documented in ``expire_snapshots``.  Returns a per-table summary
+        dict."""
+        tables = {
+            "frontier": self.frontier_t,
+            "seen": self.seen_t,
+            "fetched": self.fetched_t,
+            "metrics": self.metrics_t,
+            "host_state": self.host_state_t,
+            "host_counts": self.host_counts_t,
+        }
+        pins = keep_ids or {}
+        return {
+            name: t.expire_snapshots(
+                retain_last=retain_last, keep_ids=pins.get(name, ())
+            )
+            for name, t in tables.items()
+        }

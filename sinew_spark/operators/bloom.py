@@ -255,7 +255,10 @@ def _delta_chain(seen_t, from_id: int, cur: int) -> "list[dict] | None":
     sid = cur
     while sid is not None and sid != from_id:
         s = snaps.get(sid)
-        if s is None:
+        if s is None or s.get("expired"):
+            # expire_snapshots keeps the manifest entry but collected the
+            # files — an incremental absorb across it would read missing
+            # deltas; rebuild from the retained current instead
             return None
         chain.append(s)
         if "parent" in s:

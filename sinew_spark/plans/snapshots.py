@@ -317,6 +317,11 @@ class SnapshotTable:
             return []
         for s in m["snapshots"]:
             if s["id"] == sid:
+                if s.get("expired"):
+                    raise ValueError(
+                        f"snapshot {sid} is expired (its data files were "
+                        "garbage-collected by expire_snapshots)"
+                    )
                 return s["dirs"]
         raise KeyError(f"snapshot {sid} not found in {self.path}")
 
@@ -358,6 +363,11 @@ class SnapshotTable:
             prev = s
         if target is None:
             raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+        if target.get("expired"):
+            raise ValueError(
+                f"snapshot {snapshot_id} is expired (its data files were "
+                "garbage-collected by expire_snapshots)"
+            )
         if target["op"] in ("edelete", "compact"):
             # edelete adds no data files; compact adds no logical ROWS
             # (it only rewrites layout) — both are empty deltas
@@ -390,6 +400,11 @@ class SnapshotTable:
         """The key values deleted BY the given edelete snapshot — the
         incremental feed for sidecar stores absorbing tombstones."""
         s = self._snapshot(snapshot_id)
+        if s.get("expired"):
+            raise ValueError(
+                f"snapshot {snapshot_id} is expired (its delete files were "
+                "garbage-collected by expire_snapshots)"
+            )
         mine = [dl for dl in s.get("deletes", []) if dl["id"] == snapshot_id]
         if not mine:
             return self.spark.createDataFrame([], T.StructType([]))
@@ -474,10 +489,97 @@ class SnapshotTable:
     def rollback_to(self, snapshot_id: int) -> None:
         """Point current at an older snapshot (resume-from-checkpoint)."""
         m = self._read_manifest()
-        if not any(s["id"] == snapshot_id for s in m["snapshots"]):
+        snap = next((s for s in m["snapshots"] if s["id"] == snapshot_id), None)
+        if snap is None:
             raise KeyError(f"snapshot {snapshot_id} not found")
+        if snap.get("expired"):
+            raise ValueError(
+                f"snapshot {snapshot_id} is expired (its data files were "
+                "garbage-collected by expire_snapshots)"
+            )
         m["current"] = snapshot_id
         self._commit(m)
+
+    def expire_snapshots(
+        self, retain_last: int = 1, keep_ids: "tuple | list | set" = ()
+    ) -> dict:
+        """Iceberg-style ``expireSnapshots``: physically garbage-collect
+        data/delete directories unreachable from the retained snapshots.
+        A crawl that commits seen/fetched/frontier/metrics every round
+        accumulates one immutable snapshot per table per round — at the
+        10^10-URL design point that is unbounded disk growth unless old
+        checkpoints are reclaimed.
+
+        Retained = the current snapshot plus ``retain_last - 1`` of its
+        ANCESTORS along the parent chain, plus any explicitly pinned
+        ``keep_ids`` (e.g. a resume checkpoint).  Everything else —
+        including branches abandoned by ``rollback_to`` — is expired.
+
+        Metadata is KEPT, files are collected: expired manifest entries
+        stay (marked ``expired: true``, dir lists intact) because the
+        merge-on-read sequence rule derives each dir's add-sequence from
+        the full snapshot history, and `read_delta` derives deltas from
+        predecessor dir NAME sets — deleting entries would silently
+        change both (resurrecting MOR-deleted rows); deleting only the
+        unreferenced directories keeps every retained read bit-identical.
+        Reads/rollbacks of an expired snapshot raise; sidecar shard
+        stores whose sync chain crosses an expired snapshot rebuild from
+        the (retained) current instead of absorbing a broken delta
+        (bloom.py `_delta_chain` returns None on expired chain members).
+
+        Crash ordering: the manifest (with expired flags) is committed
+        BEFORE any rmtree, so a crash mid-collection leaves only orphan
+        directories — harmless, swept by the next call — never a live
+        snapshot pointing at missing files.
+
+        Returns {"expired": n_newly_marked, "dirs_removed": n,
+        "retained": [ids]}.
+        """
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        m = self._read_manifest()
+        if m["current"] is None:
+            return {"expired": 0, "dirs_removed": 0, "retained": []}
+        snaps = {s["id"]: s for s in m["snapshots"]}
+        live: set = set()
+        for pin in keep_ids:
+            if pin not in snaps:
+                raise KeyError(f"keep_ids snapshot {pin} not found")
+            if snaps[pin].get("expired"):
+                raise ValueError(f"keep_ids snapshot {pin} is already expired")
+            live.add(pin)
+        sid, n = m["current"], 0
+        while sid is not None and n < retain_last:
+            live.add(sid)
+            n += 1
+            sid = snaps[sid].get("parent") if sid in snaps else None
+        referenced: set = set()
+        for i in live:
+            s = snaps.get(i)
+            if s is None:
+                continue
+            referenced.update(s["dirs"])
+            referenced.update(dl["dir"] for dl in s.get("deletes", []))
+        newly = 0
+        for s in m["snapshots"]:
+            if s["id"] not in live and not s.get("expired"):
+                s["expired"] = True
+                newly += 1
+        self._commit(m)  # flags first; rmtree after (see crash ordering)
+        all_dirs: set = set()
+        for s in m["snapshots"]:
+            all_dirs.update(s["dirs"])
+            all_dirs.update(dl["dir"] for dl in s.get("deletes", []))
+        removed = 0
+        for d in sorted(all_dirs - referenced):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {
+            "expired": newly,
+            "dirs_removed": removed,
+            "retained": sorted(live),
+        }
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
