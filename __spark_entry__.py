@@ -3818,6 +3818,35 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/kcore.py kcore_vertices —
+    simultaneous degree peeling, Seidman 1983 / Montresor PODC'11).
+    Graph: K5 on 'c0'..'c4' (every doc contributes one offset edge),
+    pendant leaves 'p'+doc on doc%3==0, and 'q' tails on doc%6==0
+    giving a cascade. k=3 peels every pendant structure and keeps the
+    clique at degree 4. The oracle unrolls three generic peel rounds
+    (degree -> keep -> prune) — it replays the peel, not the answer."""
+    from sinew_spark.operators.kcore import kcore_vertices
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 5
+    o = 1 + F.expr("doc_id div 5") % 4
+    e1 = d.select(
+        F.concat(F.lit("c"), v.cast("string")).alias("src"),
+        F.concat(F.lit("c"), ((v + o) % 5).cast("string")).alias("dst"),
+    )
+    e2 = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("c"), v.cast("string")).alias("src"),
+        F.concat(F.lit("p"), did).alias("dst"),
+    )
+    e3 = d.where(F.col("doc_id") % 6 == 0).select(
+        F.concat(F.lit("p"), did).alias("src"),
+        F.concat(F.lit("q"), did).alias("dst"),
+    )
+    return kcore_vertices(e1.union(e2).union(e3), k=3).orderBy("v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -3965,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": q_communities,
         "containment": q_containment,
         "snapshot_expire": q_snapshot_expire,
+        "kcore": q_kcore,
     }
 
 
@@ -4376,6 +4406,35 @@ def oracle_sql() -> dict[str, str]:
             f"l{prev + 1} AS (SELECT s.v, coalesce(p.wl, s.label) AS label "
             f"FROM l{prev} s LEFT JOIN p{prev} p ON s.v = p.v)"
         )
+
+    # kcore: three generic peel rounds unrolled (degree -> keep >= 3 ->
+    # prune both endpoints); the construction reaches fixpoint in two,
+    # the third is the fixpoint evidence
+    def _peel_round(n: int) -> str:
+        return (
+            f"d{n} AS (SELECT v, count(*) AS degree FROM "
+            f"(SELECT a AS v FROM e{n} UNION ALL SELECT b FROM e{n}) GROUP BY v), "
+            f"k{n} AS (SELECT v FROM d{n} WHERE degree >= 3), "
+            f"e{n + 1} AS (SELECT a, b FROM e{n} "
+            f"WHERE a IN (SELECT v FROM k{n}) AND b IN (SELECT v FROM k{n}))"
+        )
+
+    kcore_sql = (
+        "WITH raw AS ("
+        "SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) AS x, "
+        "'c' || CAST((doc_id % 5 + 1 + (doc_id // 5) % 4) % 5 AS VARCHAR) AS y "
+        "FROM documents "
+        "UNION ALL SELECT 'c' || CAST(doc_id % 5 AS VARCHAR), "
+        "'p' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT 'p' || CAST(doc_id AS VARCHAR), "
+        "'q' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 6 = 0), "
+        "e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b "
+        "FROM raw WHERE x <> y), "
+        + ", ".join(_peel_round(n) for n in range(3))
+        + ", dfin AS (SELECT v, count(*) AS degree FROM "
+        "(SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v) "
+        "SELECT v, degree FROM dfin WHERE degree >= 3 ORDER BY v"
+    )
 
     lpa_sql = (
         "WITH e0 AS (SELECT 'v' || CAST(doc_id AS VARCHAR) AS src, "
@@ -5856,4 +5915,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 2 = 1 OR doc_id % 10 = 0 "
             "ORDER BY snap"
         ),
+        "kcore": kcore_sql,
     }

@@ -363,6 +363,7 @@ def headline_queries(spark) -> dict:
         "communities",
         "containment",
         "snapshot_expire",
+        "kcore",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
