@@ -3818,6 +3818,61 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_index_update(spark, sf_dir):
+    """Incremental inverted-index maintenance (operators/search.py
+    update_inverted_index — upsert + delete without re-tokenizing the
+    corpus; equality with a full rebuild is test-pinned in
+    tests/test_search_update.py). Build on all evens (generation-1
+    tokens), then one update: upsert odds (gen-1) and the doc%8==0
+    evens with CHANGED text (gen-2), delete the doc%10==6 evens
+    (ids passed as a DataFrame — the upsert wins where both apply,
+    e.g. doc 16). BM25 top-25 over the updated index; the oracle
+    builds the FINAL corpus directly and replays the integer BM25."""
+    from sinew_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def corpus(df, gen):
+        tok = lambda j: F.concat(  # noqa: E731
+            F.lit("w"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(f"iu{gen}"), F.col("doc_id"), j
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 40
+            ).cast("string"),
+        )
+        toks = F.transform(
+            F.sequence(F.lit(0), (7 + F.col("doc_id") % 9).cast("int")), tok
+        )
+        return df.select("doc_id", F.array_join(toks, " ").alias("text"))
+
+    evens = d.where(F.col("doc_id") % 2 == 0)
+    idx = build_inverted_index(corpus(evens, 1))
+    delta = corpus(d.where(F.col("doc_id") % 2 == 1), 1).unionByName(
+        corpus(d.where(F.col("doc_id") % 8 == 0), 2)
+    )
+    removed = d.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 6)
+    ).select("doc_id")
+    updated = update_inverted_index(idx, delta, removed_doc_ids=removed)
+    return bm25_topk(updated, ["w2", "w11", "w23"], k=25)
+
+
 def q_kcore(spark, sf_dir):
     """k-core decomposition (operators/kcore.py kcore_vertices —
     simultaneous degree peeling, Seidman 1983 / Montresor PODC'11).
@@ -3995,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "snapshot_expire": q_snapshot_expire,
         "kcore": q_kcore,
+        "index_update": q_index_update,
     }
 
 
@@ -5916,4 +5972,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY snap"
         ),
         "kcore": kcore_sql,
+        # the oracle never sees the incremental machinery: it builds the
+        # FINAL corpus (upserts win over deletes where both apply) and
+        # replays the same integer BM25 as search_bm25
+        "index_update": (
+            "WITH d0 AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 8 = 0 THEN 2 "
+            "WHEN doc_id % 2 = 1 THEN 1 "
+            "WHEN doc_id % 10 <> 6 THEN 1 ELSE 0 END AS gen FROM documents), "
+            "d AS (SELECT doc_id, gen FROM d0 WHERE gen > 0), "
+            "tok AS (SELECT doc_id, unnest(list_transform("
+            "range(0, 8 + CAST(doc_id % 9 AS BIGINT)), j -> "
+            "'w' || CAST(CAST(('0x' || substr(md5('iu' || CAST(gen AS VARCHAR) "
+            "|| '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 15)"
+            ") AS BIGINT) % 40 AS VARCHAR))) AS term FROM d), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+            "post AS (SELECT term, tok.doc_id, count(*) AS tf, any_value(dl.dl) AS dl "
+            "FROM tok JOIN dl ON tok.doc_id = dl.doc_id GROUP BY term, tok.doc_id), "
+            "terms AS (SELECT term, count(*) AS df FROM post GROUP BY term), "
+            "stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl), "
+            "scored AS (SELECT doc_id, CAST(sum("
+            "(((1000000 * (n - df + 1)) // (df + 1)) * "
+            "((tf * (1200 + 1000) * 1000000) // "
+            "(tf * 1000 + (1200 * (1000 - 750 + (750 * dl * n) // t)) // 1000))"
+            ") // 1000000) AS BIGINT) AS score "
+            "FROM post JOIN terms USING (term) CROSS JOIN stats "
+            "WHERE term IN ('w2', 'w11', 'w23') GROUP BY doc_id) "
+            "SELECT doc_id, score FROM scored "
+            "ORDER BY score DESC, doc_id LIMIT 25"
+        ),
     }

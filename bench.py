@@ -364,6 +364,7 @@ def headline_queries(spark) -> dict:
         "containment",
         "snapshot_expire",
         "kcore",
+        "index_update",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
