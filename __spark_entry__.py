@@ -3818,6 +3818,41 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Near-dup dedup END-TO-END: minhash LSH candidates -> exact
+    3-gram Jaccard verify (operators/dedup.py minhash_dedup) -> pair
+    graph -> connected components -> one kept representative per
+    cluster (operators/graph.py cluster_representatives) — the full
+    production path composed, not the stages in isolation. Corpus =
+    dedup_minhash's: 50 originals + 1-word-mutated copies (+1000).
+    The oracle recomputes ALL-pairs Jaccard, closes the pair graph
+    with a recursive CTE, and derives the same min-id representative
+    — so LSH recall, the verify filter, the closure, and the argmin
+    rule are all checked in one composed answer."""
+    from sinew_spark.operators.dedup import minhash_dedup
+    from sinew_spark.operators.graph import cluster_representatives
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "spark", "spork").alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = minhash_dedup(
+        corpus, threshold=0.5, num_perm=32, bands=16, verify=True
+    )
+    out = cluster_representatives(corpus.select("doc_id"), pairs.select("a", "b"))
+    return out.select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_representative",
+    ).orderBy("doc_id")
+
+
 def q_index_update(spark, sf_dir):
     """Incremental inverted-index maintenance (operators/search.py
     update_inverted_index — upsert + delete without re-tokenizing the
@@ -4051,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expire": q_snapshot_expire,
         "kcore": q_kcore,
         "index_update": q_index_update,
+        "dedup_pipeline": q_dedup_pipeline,
     }
 
 
@@ -6000,5 +6036,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term IN ('w2', 'w11', 'w23') GROUP BY doc_id) "
             "SELECT doc_id, score FROM scored "
             "ORDER BY score DESC, doc_id LIMIT 25"
+        ),
+        # composed replay: all-pairs Jaccard (the LSH stage's recall
+        # gold standard) -> recursive closure -> min-id representative
+        "dedup_pipeline": (
+            "WITH RECURSIVE "
+            "d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
+            "m AS (SELECT doc_id + 1000 AS doc_id, "
+            "regexp_replace(text, 'spark', 'spork', 'g') AS text FROM d), "
+            "docs AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3, 0) + 2), "
+            "i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' '))) AS ng "
+            "FROM (SELECT * FROM d UNION ALL SELECT * FROM m)), "
+            "j AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CASE WHEN len(list_distinct(list_concat(x.ng, y.ng))) > 0 "
+            "THEN CAST(len(list_intersect(x.ng, y.ng)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(x.ng, y.ng))) ELSE 0.0 END AS jac "
+            "FROM docs x JOIN docs y ON x.doc_id < y.doc_id), "
+            "e AS (SELECT a, b FROM j WHERE jac >= 0.5), "
+            "verts AS (SELECT doc_id AS v FROM docs), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "reach(v, r) AS (SELECT v, v FROM verts "
+            "UNION SELECT s.b, reach.r FROM sym s JOIN reach ON s.a = reach.v) "
+            "SELECT v AS doc_id, min(r) AS cluster, min(r) = v AS is_representative "
+            "FROM reach GROUP BY v ORDER BY doc_id"
         ),
     }

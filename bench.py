@@ -365,6 +365,7 @@ def headline_queries(spark) -> dict:
         "snapshot_expire",
         "kcore",
         "index_update",
+        "dedup_pipeline",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
