@@ -609,18 +609,27 @@ def _write_bench_md(report: dict) -> None:
         f"{round(report['scaling_efficiency_8_to_32'] / max(ctl['raw_python_efficiency_8_to_32'], 1e-9), 3)}.",
         "",
     ]
-    # preserve manually-written trailing sections (history, input-size
-    # scaling) across regenerations
-    tail = ""
+    # Preserve EVERY hand-written "## " section across regenerations, in
+    # original order. Only the top header block and the "## Hardware
+    # control" section are generated; earlier logic kept just the tail
+    # from two known markers and silently clobbered hand sections that
+    # sat before them (cookies control, revalidation) — re-merged by
+    # hand twice before this fix.
+    import re as _re
+
+    tail_parts = []
     if os.path.exists(path):
         old = open(path).read()
-        for marker in ("## History note", "## Input-size scaling"):
-            i = old.find(marker)
-            if i != -1:
-                tail = old[i:]
-                break
+        starts = [m.start() for m in _re.finditer(r"^## ", old, flags=_re.M)]
+        for i, s in enumerate(starts):
+            end = starts[i + 1] if i + 1 < len(starts) else len(old)
+            section = old[s:end]
+            if not section.startswith("## Hardware control"):
+                tail_parts.append(section.rstrip() + "\n")
     with open(path, "w") as f:
-        f.write("\n".join(lines) + tail)
+        f.write("\n".join(lines))
+        if tail_parts:
+            f.write("\n" + "\n".join(tail_parts))
 
 
 if __name__ == "__main__":
