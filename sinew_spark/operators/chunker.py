@@ -86,6 +86,16 @@ def cdc_chunks(
         raise ValueError("window must be >= 2")
     if divisor < 2:
         raise ValueError("divisor must be >= 2 (divisor 1 cuts every window)")
+    # the vectorized dot accumulates window terms of (code_point *
+    # power) in int64; numpy would WRAP silently past 2^63 and diverge
+    # from the documented polynomial-mod spec, so reject parameter
+    # combinations whose worst case (all U+10FFFF) cannot fit
+    if window * 0x10FFFF * (modulus - 1) >= 2**63:
+        raise ValueError(
+            f"window={window} x modulus={modulus} overflows the int64 "
+            "rolling-hash accumulator (bound: window * 0x10FFFF * "
+            "(modulus-1) < 2**63); lower one of them"
+        )
     powers = np.array(
         [pow(base, window - 1 - j, modulus) for j in range(window)], dtype=np.int64
     )

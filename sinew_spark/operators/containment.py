@@ -33,11 +33,14 @@ def shingle_sets(
     k: int = 3,
 ) -> DataFrame:
     """(id, shingle) — DISTINCT md5-hashed k-token shingles per doc.
-    Tokenization: split on runs of whitespace.  Docs with fewer than
-    ``k`` tokens emit nothing."""
+    Tokenization: lowercase, split on runs of whitespace — the SAME
+    case-folding as dedup.py's ngram-Jaccard verify path, so a
+    re-cased syndicated copy scores identically under containment and
+    resemblance (they are meant to be compared).  Docs with fewer
+    than ``k`` tokens emit nothing."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),

@@ -93,6 +93,18 @@ def host_fairness(
     (n_hosts, total_fetches, max_share_x, hhi_x, gini_x), the *_x
     metrics floor-scaled by ``scale`` (default 1e6).
 
+    The distributed work (the ledger groupBy, the two-phase rank, the
+    decimal(38,0) sums — sumsq <= tot^2 <= 1e36 and rankdot <= n*tot
+    both fit) stays in the plan; the FINAL ratios are computed on the
+    driver in arbitrary-precision Python ints from the 1-row
+    aggregate.  Doing them in decimal columns looked exact but was
+    not at the module's own envelope: ``sumsq * scale`` needs ~44
+    digits (> decimal(38,0), overflows to NULL exactly in the
+    single-host-capture case the metric exists to flag), and the
+    +-1 floor-correction products overflow past tot ~ 3e15, silently
+    re-enabling HALF_UP drift.  One driver row of Python int math has
+    no such cliff.
+
     Empty input returns zero counts with NULL metrics (no meaningful
     shares over zero fetches).
     """
@@ -101,32 +113,37 @@ def host_fairness(
     )
     ranked = two_phase_rank(counts, ["cnt", "host"], partitions=partitions)
     d = lambda c: c.cast(_DEC)  # noqa: E731
-    agg = ranked.agg(
+    row = ranked.agg(
         F.count("*").alias("n_hosts"),
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_fetches"),
         F.max("cnt").cast(_DEC).alias("_max"),
         F.sum(d(F.col("cnt")) * d(F.col("cnt"))).alias("_sumsq"),
         F.sum(d(F.col("rank")) * d(F.col("cnt"))).alias("_rankdot"),
+    ).first()
+    n, tot = int(row["n_hosts"]), int(row["total_fetches"])
+    if tot > 0:
+        mx, sumsq, rankdot = (
+            int(row["_max"]),
+            int(row["_sumsq"]),
+            int(row["_rankdot"]),
+        )
+        metrics = (
+            mx * scale // tot,
+            sumsq * scale // (tot * tot),
+            (2 * rankdot - (n + 1) * tot) * scale // (n * tot),
+        )
+    else:
+        metrics = (None, None, None)
+    spark = fetches.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_hosts", T.LongType(), False),
+            T.StructField("total_fetches", T.LongType(), False),
+            T.StructField("max_share_x", T.LongType(), True),
+            T.StructField("hhi_x", T.LongType(), True),
+            T.StructField("gini_x", T.LongType(), True),
+        ]
     )
-    n = F.col("n_hosts").cast(_DEC)
-    tot = F.col("total_fetches").cast(_DEC)
-    s = F.lit(scale).cast(_DEC)
-    return agg.select(
-        F.col("n_hosts").cast("long").alias("n_hosts"),
-        "total_fetches",
-        F.when(
-            F.col("total_fetches") > 0,
-            _floor_div_exact(F.col("_max") * s, tot),
-        ).alias("max_share_x"),
-        F.when(
-            F.col("total_fetches") > 0,
-            _floor_div_exact(F.col("_sumsq") * s, tot * tot),
-        ).alias("hhi_x"),
-        F.when(
-            F.col("total_fetches") > 0,
-            _floor_div_exact(
-                (F.lit(2).cast(_DEC) * F.col("_rankdot") - (n + 1) * tot) * s,
-                n * tot,
-            ),
-        ).alias("gini_x"),
-    )
+    return spark.createDataFrame([(n, tot, *metrics)], schema)

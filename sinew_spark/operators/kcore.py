@@ -80,6 +80,13 @@ def kcore_vertices(
         simple = pruned
         if removed == 0:
             return deg.where(F.col("degree") >= k)
+    if n_edges == 0:
+        # the final round emptied the edge set: the k-core is provably
+        # empty (k >= 1 needs edges) — a determined answer, not a
+        # partial peel, even though `removed > 0` on the last round
+        return simple.select(
+            F.col("a").alias("v"), F.lit(0).cast("long").alias("degree")
+        )
     raise RuntimeError(
         f"k-core peeling still progressing after {max_rounds} rounds; "
         "raise max_rounds (a partial peel is not a k-core)"

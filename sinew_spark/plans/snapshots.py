@@ -550,9 +550,15 @@ class SnapshotTable:
             live.add(pin)
         sid, n = m["current"], 0
         while sid is not None and n < retain_last:
+            if sid not in snaps or snaps[sid].get("expired"):
+                # an already-expired ancestor has no files left — it can
+                # neither serve as a resume point nor be "retained";
+                # counting it would silently under-deliver retain_last
+                # (and nothing older can be live either), so stop here
+                break
             live.add(sid)
             n += 1
-            sid = snaps[sid].get("parent") if sid in snaps else None
+            sid = snaps[sid].get("parent")
         referenced: set = set()
         for i in live:
             s = snaps.get(i)

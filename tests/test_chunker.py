@@ -128,3 +128,9 @@ def test_param_validation(spark):
         cdc_chunks(df, window=1)
     with pytest.raises(ValueError):
         cdc_chunks(df, divisor=1)
+
+
+def test_overflow_prone_params_rejected(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="int64"):
+        cdc_chunks(df, window=64, modulus=2**40)

@@ -73,3 +73,13 @@ def test_threshold_validation(spark):
         containment_pairs(df, threshold_x=0)
     with pytest.raises(ValueError):
         containment_pairs(df, threshold_x=2_000_000)
+
+
+def test_case_insensitive_like_jaccard_path(spark):
+    # Re-cased syndication must still register (same case-folding rule
+    # as dedup.py's ngram-Jaccard verify).
+    quoted = "alpha beta gamma delta epsilon zeta"
+    recased = "ALPHA Beta GAMMA delta EPSILON zeta"
+    wrapper = "intro words here " + recased + " outro trailing words"
+    got = _pairs(spark, [(1, wrapper), (2, quoted)], threshold_x=900_000)
+    assert (1, 2) in got and got[(1, 2)][2] == 1_000_000

@@ -175,3 +175,18 @@ def test_crawler_expire_history_preserves_exactly_once(spark, tmpdir_path):
     c.run()
     assert c.fetched_t.read().count() == 7
     assert c.status("http://httpbingo.org/get?i=99")["status"] == 200
+
+
+def test_retain_walk_skips_already_expired_ancestors(spark, tmpdir_path):
+    # After a retain_last=1 expiry, asking for retain_last=3 must not
+    # count the collected ancestors as "retained" resume points.
+    t = _mk(spark, tmpdir_path + "/t")
+    t.overwrite(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.overwrite(spark.createDataFrame([(2, "b")], SCHEMA))
+    t.expire_snapshots(retain_last=1)
+    t.overwrite(spark.createDataFrame([(3, "c")], SCHEMA))
+    out = t.expire_snapshots(retain_last=3)
+    retained = out["retained"]
+    assert all(not s.get("expired") for s in t.snapshots() if s["id"] in retained)
+    for sid in retained:
+        t.read(sid)  # every reported resume point is actually readable

@@ -76,3 +76,13 @@ def test_validation_and_round_cap(spark):
     )
     with pytest.raises(RuntimeError, match="max_rounds"):
         kcore_vertices(path, 2, max_rounds=2)
+
+
+def test_empty_core_at_round_cap_is_answer_not_error(spark):
+    # The path empties exactly on the LAST allowed round (round 1 peels
+    # the endpoints, round 2 empties the middle edge with removed > 0):
+    # the empty 2-core is a determined answer, not "still progressing".
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    assert kcore_vertices(path, 2, max_rounds=2).count() == 0
