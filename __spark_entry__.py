@@ -3818,6 +3818,32 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_neighborhood(spark, sf_dir):
+    """Approximate neighborhood function (operators/anf.py — Palmer
+    KDD'02 / Boldi-Vigna HyperANF): per-vertex out-ball sketches at
+    radius 1 and 2 via md5-keyed HLL register propagation (sparse
+    (v, register, rho) rows; one neighbor join + one combinable max
+    per round). The exported `denom` integer determines the HLL
+    estimate exactly while staying int64/SQL-replayable. Graph: one
+    functional edge doc -> (3*doc+1) mod N plus a second hop edge on
+    doc%4==0. The oracle computes EXACT min-distance balls with a
+    recursive CTE and re-derives every register and both outputs."""
+    from sinew_spark.operators.anf import neighborhood_function
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    e1 = d.select(
+        g(F.col("doc_id")).alias("src"),
+        g((F.col("doc_id") * 3 + 1) % n).alias("dst"),
+    )
+    e2 = d.where(F.col("doc_id") % 4 == 0).select(
+        g(F.col("doc_id")).alias("src"),
+        g((F.col("doc_id") + 7) % n).alias("dst"),
+    )
+    return neighborhood_function(e1.union(e2), rounds=2, p=5).orderBy("v", "d")
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Near-dup dedup END-TO-END: minhash LSH candidates -> exact
     3-gram Jaccard verify (operators/dedup.py minhash_dedup) -> pair
@@ -4087,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "index_update": q_index_update,
         "dedup_pipeline": q_dedup_pipeline,
+        "neighborhood": q_neighborhood,
     }
 
 
@@ -6060,5 +6087,40 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT s.b, reach.r FROM sym s JOIN reach ON s.a = reach.v) "
             "SELECT v AS doc_id, min(r) AS cluster, min(r) = v AS is_representative "
             "FROM reach GROUP BY v ORDER BY doc_id"
+        ),
+        # exact min-distance balls via recursive CTE, then every HLL
+        # register re-derived (p=5: reg = h>>55, rho from bin(), denom
+        # over all 32 registers with absent ones at 2^56)
+        "neighborhood": (
+            "WITH RECURSIVE c AS (SELECT count(*) AS n FROM documents), "
+            "e AS (SELECT 'g' || CAST(doc_id AS VARCHAR) AS src, "
+            "'g' || CAST((doc_id * 3 + 1) % n AS VARCHAR) AS dst "
+            "FROM documents CROSS JOIN c "
+            "UNION ALL SELECT 'g' || CAST(doc_id AS VARCHAR), "
+            "'g' || CAST((doc_id + 7) % n AS VARCHAR) "
+            "FROM documents CROSS JOIN c WHERE doc_id % 4 = 0), "
+            "verts AS (SELECT DISTINCT src AS v FROM e "
+            "UNION SELECT DISTINCT dst FROM e), "
+            "reach(v, r, d) AS (SELECT v, v, 0 FROM verts "
+            "UNION SELECT reach.v, e.dst, reach.d + 1 FROM reach "
+            "JOIN e ON e.src = reach.r WHERE reach.d < 2), "
+            "md AS (SELECT v, r, min(d) AS md FROM reach GROUP BY v, r), "
+            "mem AS (SELECT md.v, md.r, ds.d FROM md "
+            "CROSS JOIN (VALUES (1), (2)) ds(d) WHERE md.md <= ds.d), "
+            "hh AS (SELECT v, d, "
+            "CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT) AS h FROM mem), "
+            "rr AS (SELECT v, d, h >> 55 AS register, "
+            "h & 36028797018963967 AS w FROM hh), "
+            "ss AS (SELECT v, d, register, "
+            "CASE WHEN w = 0 THEN 56 ELSE 55 - len(bin(w)) + 1 END AS rho "
+            "FROM rr), "
+            "mr AS (SELECT v, d, register, max(rho) AS max_rho "
+            "FROM ss GROUP BY v, d, register), "
+            "agg AS (SELECT v, d, count(*) AS nz, "
+            "CAST(sum(CAST(1 AS BIGINT) << (56 - max_rho)) AS BIGINT) AS pd "
+            "FROM mr GROUP BY v, d) "
+            "SELECT v, CAST(d AS INTEGER) AS d, nz AS nonzero_registers, "
+            "pd + (32 - nz) * 72057594037927936 AS denom "
+            "FROM agg ORDER BY v, d"
         ),
     }

@@ -366,6 +366,7 @@ def headline_queries(spark) -> dict:
         "kcore",
         "index_update",
         "dedup_pipeline",
+        "neighborhood",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
