@@ -3818,6 +3818,34 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Training-mixture selection (operators/mixer.py mix_corpus):
+    exact Hamilton apportionment of a 40%-of-corpus row budget across
+    5 strata (weights 5/3/1/1/0 — the zero-weight stratum must be
+    excluded entirely) with deterministic md5-rank picks inside each
+    stratum. Strata = 's'+(doc%5), sized so no stratum caps (the
+    waterfill path is pytest-pinned separately); the oracle replays
+    the apportionment (base + largest-remainder rank) and the per-
+    stratum hash-rank prefix."""
+    from sinew_spark.operators.mixer import mix_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias(
+            "stratum"
+        ),
+    )
+    n = corpus.count()
+    out = mix_corpus(
+        corpus,
+        "stratum",
+        {"s0": 5, "s1": 3, "s2": 1, "s3": 1, "s4": 0},
+        total=2 * n // 5,
+    )
+    return out.select("doc_id", "stratum", "mix_rank").orderBy("doc_id")
+
+
 def q_neighborhood(spark, sf_dir):
     """Approximate neighborhood function (operators/anf.py — Palmer
     KDD'02 / Boldi-Vigna HyperANF): per-vertex out-ball sketches at
@@ -4114,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_update": q_index_update,
         "dedup_pipeline": q_dedup_pipeline,
         "neighborhood": q_neighborhood,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -6122,5 +6151,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v, CAST(d AS INTEGER) AS d, nz AS nonzero_registers, "
             "pd + (32 - nz) * 72057594037927936 AS denom "
             "FROM agg ORDER BY v, d"
+        ),
+        # Hamilton base + largest-remainder rank (the budget_apportion
+        # idiom) -> per-stratum md5-rank prefix of exactly the quota
+        "corpus_mix": (
+            "WITH c AS (SELECT count(*) AS n FROM documents), "
+            "d AS (SELECT doc_id, 's' || CAST(doc_id % 5 AS VARCHAR) AS stratum "
+            "FROM documents), "
+            "wts(stratum, w) AS (VALUES ('s0', 5), ('s1', 3), ('s2', 1), "
+            "('s3', 1), ('s4', 0)), "
+            "t AS (SELECT (2 * n) // 5 AS total FROM c), "
+            "aw AS (SELECT stratum, w FROM wts WHERE w > 0), "
+            "ws AS (SELECT sum(w) AS wsum FROM aw), "
+            "base AS (SELECT stratum, (total * w) // wsum AS b, "
+            "(total * w) % wsum AS rem FROM aw CROSS JOIN t CROSS JOIN ws), "
+            "l AS (SELECT (SELECT total FROM t) - sum(b) AS leftover FROM base), "
+            "q AS (SELECT stratum, b + CASE WHEN row_number() OVER "
+            "(ORDER BY rem DESC, stratum) <= leftover THEN 1 ELSE 0 END AS quota "
+            "FROM base CROSS JOIN l), "
+            "rk AS (SELECT doc_id, stratum, row_number() OVER "
+            "(PARTITION BY stratum ORDER BY "
+            "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT), doc_id) AS mix_rank FROM d) "
+            "SELECT rk.doc_id, rk.stratum, CAST(mix_rank AS INTEGER) AS mix_rank "
+            "FROM rk JOIN q ON rk.stratum = q.stratum "
+            "WHERE mix_rank <= quota ORDER BY doc_id"
         ),
     }

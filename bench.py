@@ -367,6 +367,7 @@ def headline_queries(spark) -> dict:
         "index_update",
         "dedup_pipeline",
         "neighborhood",
+        "corpus_mix",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput
