@@ -24,8 +24,8 @@ row carries ``denom`` = sum over ALL m registers of 2^(R - rho_j)
 (absent registers count rho=0), with R = 60 - p + 1 the maximum
 possible rho.  That integer determines the estimate exactly
 (estimate = alpha * m^2 * 2^R / denom) while itself being
-order-independent, SQL-replayable, and — for p <= 6 — inside int64
-(m * 2^R <= 64 * 2^55 < 2^63).
+order-independent, SQL-replayable, and always inside int64: the worst
+case m * 2^R = 2^p * 2^(61-p) = 2^61 < 2^63 for EVERY p.
 
 Scale shape per round: ONE shuffle join (neighbor registers onto the
 edge list, keyed by the neighbor) + one combinable
@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sketch import HASH_BITS, _md5_int60
+from .sketch import HASH_BITS, register_rho_exprs
 
 
 def neighborhood_function(
@@ -62,13 +62,11 @@ def neighborhood_function(
 
     Direction is ``src -> dst`` out-reachability (symmetrize the edge
     list first for undirected balls).  Vertices with no out-edges
-    still appear (ball = {v}).  ``p`` is capped at 6 to keep ``denom``
-    inside int64.
+    still appear (ball = {v}).  ``p`` follows hll_registers' [4, 16]
+    range; ``denom`` fits int64 at any p (m * 2^R == 2^61 always).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    if not (4 <= p <= 6):
-        raise ValueError("p must be in [4, 6] (int64 denom bound)")
     w_bits = HASH_BITS - p
     r_max = w_bits + 1
     verts = (
@@ -76,16 +74,12 @@ def neighborhood_function(
         .union(edges.select(F.col(dst).alias("v")))
         .distinct()
     )
-    h = _md5_int60(F.col("v").cast("string"))
-    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
-    rho = (
-        F.when(w == 0, F.lit(w_bits + 1))
-        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
-        .cast("int")
-    )
+    # shared register math — sketch.py register_rho_exprs is the single
+    # source of truth for the SQL-replayable (register, rho) derivation
+    reg, rho = register_rho_exprs(F.col("v").cast("string"), p)
     state = verts.select(
         "v",
-        F.shiftright(h, w_bits).cast("int").alias("register"),
+        reg.cast("int").alias("register"),
         rho.alias("max_rho"),
     ).localCheckpoint(eager=True)
 

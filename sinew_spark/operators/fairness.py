@@ -18,12 +18,12 @@ concentration measures over the fetch ledger:
 
 All three are emitted as *_x integers scaled by 1e6 (this engine's
 integer-exactness doctrine: float math is not bit-stable across
-engines, scaled-integer floor division is).  Intermediates run in
-decimal(38,0) — sum(rank*x) and sum(x^2) overflow int64 around
-10^9 hosts x 10^9 fetches — and the final floor divisions are made
-EXACT with a +-1 correction step (Spark's decimal divide rounds at a
-finite scale; multiply/compare in decimal is exact, so the correction
-recovers true floor semantics).
+engines, scaled-integer floor division is).  Aggregate intermediates
+run in decimal(38,0) — sum(rank*x) and sum(x^2) overflow int64 around
+10^9 hosts x 10^9 fetches but fit 38 digits — and the final floor
+divisions happen on the DRIVER in arbitrary-precision Python ints
+over the 1-row aggregate (see host_fairness for why a decimal-column
+division path cannot be made exact at this envelope).
 
 Scale shape: one groupBy(host) count (the only shuffle proportional
 to the ledger), then ranking over the (much smaller) host-count table
@@ -34,25 +34,11 @@ window.  Final metrics are a 1-row aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _DEC = "decimal(38,0)"
-
-
-def _floor_div_exact(num: Column, den: Column) -> Column:
-    """Exact floor(num/den) for non-negative decimal(38,0) columns.
-
-    Spark's decimal division rounds HALF_UP at the result scale, so a
-    quotient can land one off from the true floor near integer
-    boundaries; decimal multiplication and comparison are exact, so a
-    +-1 correction restores floor semantics bit-for-bit.
-    """
-    q = F.floor(num / den).cast(_DEC)
-    q = F.when((q + 1) * den <= num, q + 1).otherwise(q)
-    q = F.when(q * den > num, q - 1).otherwise(q)
-    return q.cast("long")
 
 
 def two_phase_rank(

@@ -64,20 +64,15 @@ def apportion_waterfill(
         )
         for s in order[:rem]:
             base[s] += 1
-        overflow = False
         for s, q in base.items():
-            room = available[s] - quotas[s]
-            take = min(q, room)
-            quotas[s] += take
-            if take < q:
-                overflow = True
+            quotas[s] += min(q, available[s] - quotas[s])
         for s in list(active):
             if quotas[s] >= available[s]:
                 del active[s]
-        # every pass either grants the full `remaining` (no overflow —
-        # loop exits) or caps at least one stratum out of `active`, so
-        # the loop runs at most len(weights) + 1 times
-        _ = overflow
+        # every pass either grants the full `remaining` (no stratum
+        # capped — the next remaining is 0 and the loop exits) or caps
+        # at least one stratum out of `active`, so the loop runs at
+        # most len(weights) + 1 times
         remaining = total - sum(quotas.values())
     return quotas
 

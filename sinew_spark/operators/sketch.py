@@ -31,19 +31,19 @@ def _md5_int60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
-    """Register table (register, max_rho) of the HLL sketch of column
-    ``col`` over the (multi)set of rows — duplicates cannot change a
-    max, so no pre-distinct is needed. ``p`` bits of the hash pick the
-    register (2^p registers); rho = leading-zero count of the remaining
-    ``60-p`` bits + 1 (an all-zero word scores 60-p+1). Registers never
-    hit by any key are absent (rho 0 by convention — ``hll_estimate``
-    fills them in)."""
+def register_rho_exprs(key: Column, p: int) -> "tuple[Column, Column]":
+    """The oracle-facing (register, rho) pair for one key: top ``p``
+    hash bits route the register, rho = leading-zero count of the
+    remaining ``60-p`` bits + 1 (an all-zero word scores 60-p+1).
+    SINGLE source of truth for the register math — hll_registers and
+    operators/anf.py both derive from here, so the bin()-length
+    convention that makes registers SQL-replayable cannot silently
+    fork."""
     if not (4 <= p <= 16):
         raise ValueError("p must be in [4, 16]")
     w_bits = HASH_BITS - p
-    h = _md5_int60(F.col(col))
-    reg = F.shiftright(h, w_bits).alias("register")
+    h = _md5_int60(key)
+    reg = F.shiftright(h, w_bits)
     w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
     # bin() renders without leading zeros in both Spark and DuckDB, so
     # length(bin(w)) is the bit length; rho = w_bits - bitlen + 1
@@ -52,8 +52,18 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
         .cast("int")
     )
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Register table (register, max_rho) of the HLL sketch of column
+    ``col`` over the (multi)set of rows — duplicates cannot change a
+    max, so no pre-distinct is needed. Registers never hit by any key
+    are absent (rho 0 by convention — ``hll_estimate`` fills them
+    in)."""
+    reg, rho = register_rho_exprs(F.col(col), p)
     return (
-        df.select(reg, rho.alias("rho"))
+        df.select(reg.alias("register"), rho.alias("rho"))
         .groupBy("register")
         .agg(F.max("rho").alias("max_rho"))
     )

@@ -550,14 +550,18 @@ class SnapshotTable:
             live.add(pin)
         sid, n = m["current"], 0
         while sid is not None and n < retain_last:
-            if sid not in snaps or snaps[sid].get("expired"):
-                # an already-expired ancestor has no files left — it can
-                # neither serve as a resume point nor be "retained";
-                # counting it would silently under-deliver retain_last
-                # (and nothing older can be live either), so stop here
+            if sid not in snaps:
                 break
-            live.add(sid)
-            n += 1
+            if not snaps[sid].get("expired"):
+                # only LIVE ancestors count toward retain_last and join
+                # the retained set — an expired one has no files and
+                # cannot serve as a resume point.  The walk CONTINUES
+                # through expired gaps rather than stopping: an older
+                # ancestor kept live by a keep_ids pin in an earlier
+                # call is still a valid resume point and must not be
+                # collected just because a gap sits above it.
+                live.add(sid)
+                n += 1
             sid = snaps[sid].get("parent")
         referenced: set = set()
         for i in live:

@@ -103,4 +103,38 @@ def test_validation(spark):
     with pytest.raises(ValueError):
         neighborhood_function(df, rounds=0)
     with pytest.raises(ValueError):
-        neighborhood_function(df, rounds=1, p=8)
+        neighborhood_function(df, rounds=1, p=3)
+    with pytest.raises(ValueError):
+        neighborhood_function(df, rounds=1, p=17)
+
+
+def test_higher_precision_p_within_int64(spark):
+    # denom fits int64 at ANY p (m * 2^R == 2^61): p=10 must work and
+    # still agree with the straight-line reference at that precision.
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = neighborhood_function(df, rounds=2, p=10).collect()
+    w_bits = 60 - 10
+    r_max = w_bits + 1
+    ref = {}
+    adj = {a: {b} for a, b in edges}
+    verts = {v for e in edges for v in e}
+    for v in verts:
+        ball = {v}
+        for d in (1, 2):
+            ball = ball | {w for u in ball for w in adj.get(u, ())}
+            regs = {}
+            for u in ball:
+                h = _h60(u)
+                r = h >> w_bits
+                wv = h & ((1 << w_bits) - 1)
+                rho = w_bits + 1 if wv == 0 else w_bits - wv.bit_length() + 1
+                regs[r] = max(regs.get(r, 0), rho)
+            denom = sum(
+                1 << (r_max - regs.get(r, 0)) for r in range(1 << 10)
+            )
+            ref[(v, d)] = (len(regs), denom)
+    got = {
+        (r["v"], r["d"]): (r["nonzero_registers"], r["denom"]) for r in rows
+    }
+    assert got == ref

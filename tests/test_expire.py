@@ -190,3 +190,18 @@ def test_retain_walk_skips_already_expired_ancestors(spark, tmpdir_path):
     assert all(not s.get("expired") for s in t.snapshots() if s["id"] in retained)
     for sid in retained:
         t.read(sid)  # every reported resume point is actually readable
+
+
+def test_pinned_ancestor_beyond_expired_gap_survives(spark, tmpdir_path):
+    # Pin an old snapshot, let the one above it expire, then expire
+    # again with a larger retain_last and NO pin: the walk must cross
+    # the expired gap and keep the still-live old snapshot.
+    t = _mk(spark, tmpdir_path + "/t")
+    t.overwrite(spark.createDataFrame([(1, "a")], SCHEMA))
+    old = t.current_snapshot()
+    t.overwrite(spark.createDataFrame([(2, "b")], SCHEMA))
+    t.expire_snapshots(retain_last=1, keep_ids=[old])  # middle expires
+    t.overwrite(spark.createDataFrame([(3, "c")], SCHEMA))
+    out = t.expire_snapshots(retain_last=3)
+    assert old in out["retained"]
+    assert _rows(t.read(old)) == [(1, "a")]  # pinned ancestor survives

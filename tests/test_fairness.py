@@ -1,6 +1,6 @@
 """host_fairness: integer-exact concentration metrics."""
 
-from decimal import Decimal
+
 
 import pytest
 from pyspark.sql import functions as F
@@ -84,22 +84,16 @@ def test_two_phase_rank_is_dense_global_rank(spark):
     assert got == expect
 
 
-def test_floor_division_exactness_near_boundary(spark):
-    # 3 hosts with counts that make gini a near-integer rational:
-    # regression guard for decimal HALF_UP rounding vs true floor.
-    counts = {"a": 1, "b": 1, "c": 999_998}
+def test_extreme_concentration_no_overflow(spark):
+    # The single-host-capture shape that overflowed the old
+    # decimal-column path (sumsq * scale > decimal(38,0)) must yield
+    # exact metrics via the driver-side int math. Counts are planted
+    # by exploding pre-sized arrays, not row-per-fetch.
+    counts = {"big": 100_000, "a": 3, "b": 1}
     rows = [(h, c) for h, c in counts.items()]
     df = spark.createDataFrame(rows, ["host", "n"]).select(
-        "host", F.explode(F.array_repeat(F.lit(1), 1)).alias("x")
+        "host", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("x")
     )
-    # Too big to materialize row-per-fetch; feed pre-aggregated counts
-    # through the rank+metric tail by calling the internals directly.
-    from sinew_spark.operators.fairness import _floor_div_exact
-
-    probe = spark.range(1).select(
-        _floor_div_exact(
-            F.lit(Decimal(10) ** 20 - 1).cast("decimal(38,0)"),
-            F.lit(Decimal(10) ** 10).cast("decimal(38,0)"),
-        ).alias("q")
-    )
-    assert probe.collect()[0]["q"] == (10**20 - 1) // 10**10
+    got = host_fairness(df).collect()[0].asDict()
+    assert got == _ref(counts)
+    assert got["max_share_x"] >= 999_000  # capture detected, not NULL
