@@ -1763,26 +1763,31 @@ def q_canonical_collapse(spark, sf_dir):
 
 def q_charset_detect(spark, sf_dir):
     """Charset detection + tolerant decode (functions/charset.py — the
-    bytes-without-live-headers path WARC import runs on): per doc_id%4
+    bytes-without-live-headers path WARC import runs on): per doc_id%5
     the body is encoded as plain UTF-8 / ISO-8859-1 with a meta
     declaration (alias `latin1` exercises normalization) / UTF-8 with a
-    BOM / UTF-16LE declared by the Content-Type header. The Catalyst
-    sniff must pick the right label in WHATWG order and the decode UDF
-    must round-trip the non-ASCII text exactly (BOM stripped); the
-    oracle re-derives both from the construction predicate."""
+    BOM / UTF-16LE declared by the Content-Type header / UTF-16BE
+    declared by an RFC 9110 QUOTED-STRING header parameter
+    (charset="utf-16be" — the header layer must not skip the quote).
+    The Catalyst sniff must pick the right label in WHATWG order and the
+    decode UDF must round-trip the non-ASCII text exactly (BOM
+    stripped); the oracle re-derives both from the construction
+    predicate."""
     from sinew_spark.functions.charset import decode_auto, detect_charset_expr
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 3000)
     base = F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" caf\xe9"))
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     body = (
         F.when(m == 0, F.encode(base, "UTF-8"))
         .when(m == 1, F.encode(F.concat(F.lit("<meta charset=latin1><p>"), base), "ISO-8859-1"))
         .when(m == 2, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(base, "UTF-8")))
-        .otherwise(F.encode(base, "UTF-16LE"))
+        .when(m == 3, F.encode(base, "UTF-16LE"))
+        .otherwise(F.encode(base, "UTF-16BE"))
     )
     ct = (
         F.when(m == 3, F.lit("text/html; charset=utf-16le"))
+        .when(m == 4, F.lit('text/html; charset="utf-16be"'))
         .otherwise(F.lit("text/html"))
     )
     src = d.select(F.col("doc_id"), body.alias("body"), ct.alias("ct"))
@@ -1800,16 +1805,23 @@ def q_sitemap_lastmod(spark, sf_dir):
     half the URLs are already seen at a synthetic fetch day. The gate
     must keep exactly the new / unknown-freshness / modified entries
     (same-day = modified, conservative) and drop provably-unchanged
-    ones; the oracle re-derives entry parsing, the day arithmetic
-    (timezone-free on both sides), and the reason labels from the
-    construction predicate."""
+    ones; docs with doc_id % 9 == 1 carry a MALFORMED lastmod
+    ('TBD-soon') which must neither abort the job (ANSI-mode
+    try_to_date) nor be trusted (falls into 'unknown'). The oracle
+    re-derives entry parsing, the day arithmetic (timezone-free on
+    both sides), and the reason labels from the construction
+    predicate."""
     from sinew_spark.sources.sitemap import sitemap_entries, sitemap_stale
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 4000)
     loc = F.concat(F.lit("http://e.test/p/"), F.col("doc_id").cast("string"))
-    lm = F.date_format(
-        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 50).cast("int")),
-        "yyyy-MM-dd",
+    lm = F.when(F.col("doc_id") % 9 == 1, F.lit("TBD-soon")).otherwise(
+        F.date_format(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 50).cast("int")
+            ),
+            "yyyy-MM-dd",
+        )
     )
     body = F.concat(
         F.lit("<urlset><url><loc>"), loc, F.lit("</loc>"),
@@ -2100,17 +2112,19 @@ def q_feed_extract(spark, sf_dir):
 def q_mime_sniff(spark, sf_dir):
     """Magic-byte MIME sniffing (functions/mime.py sniff_mime_expr —
     WHATWG-mimesniff-lite, pure Catalyst, map-only). Each doc plants one
-    of 14 payload kinds (doc_id % 14) with its real signature bytes +
+    of 17 payload kinds (doc_id % 17) with its real signature bytes +
     md5 filler; the sniffer must recover the planted type, including the
     RIFF WAVE/WEBP discrimination at offset 9, MP4 ftyp at offset 5,
-    whitespace-led HTML, and the printable-ASCII → text/plain fallback.
+    whitespace-led HTML, BOM-prefixed UTF-8/UTF-16 text (UTF-16LE's
+    FF FE must NOT be mistaken for an MPEG frame sync), and the
+    printable-ASCII → text/plain fallback.
     The oracle re-derives the expected type straight from doc_id."""
     from sinew_spark.functions.mime import is_textual_mime_expr, sniff_mime_expr
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     ids = F.col("doc_id").cast("string")
     filler = F.unhex(F.md5(ids))
-    k = F.col("doc_id") % 14
+    k = F.col("doc_id") % 17
     prefixes = [
         b"\x89PNG\r\n\x1a\n",
         b"\xff\xd8\xff\xe0",
@@ -2126,10 +2140,20 @@ def q_mime_sniff(spark, sf_dir):
         b"  \t<!DOCTYPE html><html><head></head>",
         b'<?xml version="1.0"?><urlset>',
     ]
+    bom_kinds = [
+        # slot 14: UTF-8 BOM + HTML -> text/html
+        b"\xef\xbb\xbf<!DOCTYPE html><html></html>",
+        # slot 15: UTF-16LE BOM + "<html>..." -> text/html (not audio/mpeg)
+        b"\xff\xfe" + "<html><body>ok</body></html>".encode("utf-16-le"),
+        # slot 16: UTF-16BE BOM + plain text -> text/plain
+        b"\xfe\xff" + "Plain utf16 text".encode("utf-16-be"),
+    ]
     body = None
     for i, p in enumerate(prefixes):
         branch = F.concat(F.lit(p), filler)
         body = F.when(k == i, branch) if body is None else body.when(k == i, branch)
+    for j, p in enumerate(bom_kinds):
+        body = body.when(k == 14 + j, F.concat(F.lit(p), filler))
     body = body.otherwise(
         F.concat(F.lit(b"Plain text document "), ids.cast("binary"))
     )
@@ -4400,14 +4424,14 @@ def oracle_sql() -> dict[str, str]:
         "image/png", "image/jpeg", "image/gif", "application/pdf",
         "application/gzip", "application/zip", "audio/mpeg", "image/bmp",
         "audio/wav", "image/webp", "video/mp4", "text/html", "text/xml",
-        "text/plain",
+        "text/plain", "text/html", "text/html", "text/plain",
     ]
     ms_case = " ".join(
         f"WHEN {i} THEN '{t}'" for i, t in enumerate(ms_types)
     )
     ms_sql = (
-        f"SELECT doc_id, CASE doc_id % 14 {ms_case} END AS mime, "
-        "(doc_id % 14) >= 11 AS textual FROM documents ORDER BY doc_id"
+        f"SELECT doc_id, CASE doc_id % 17 {ms_case} END AS mime, "
+        "(doc_id % 17) >= 11 AS textual FROM documents ORDER BY doc_id"
     )
 
     # hreflang_cluster: re-derive q_hreflang_cluster's construction from
@@ -4589,7 +4613,8 @@ def oracle_sql() -> dict[str, str]:
         "'hub' || CAST(doc_id // 20 AS VARCHAR) AS dst FROM documents "
         "UNION ALL SELECT 'v' || CAST(doc_id AS VARCHAR), "
         "'hub' || CAST(doc_id // 40 AS VARCHAR) FROM documents WHERE doc_id % 20 < 2), "
-        "e AS (SELECT src AS v, dst AS w FROM e0 UNION ALL SELECT dst, src FROM e0), "
+        "e AS (SELECT DISTINCT v, w FROM (SELECT src AS v, dst AS w FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0) WHERE v <> w), "
         "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
         + _lpa_round(0)
         + ", "
@@ -5486,10 +5511,11 @@ def oracle_sql() -> dict[str, str]:
         # from the construction predicate (é survives every encoding leg)
         "charset_detect": (
             "SELECT doc_id, "
-            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "CASE CAST(doc_id % 5 AS INTEGER) "
             "WHEN 1 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16le' "
+            "WHEN 4 THEN 'utf-16be' "
             "ELSE 'utf-8' END AS charset, "
-            "CASE WHEN doc_id % 4 = 1 "
+            "CASE WHEN doc_id % 5 = 1 "
             "THEN '<meta charset=latin1><p>doc ' || CAST(doc_id AS VARCHAR) || ' café' "
             "ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' café' END AS text "
             "FROM documents WHERE doc_id < 3000 ORDER BY doc_id"
@@ -5564,11 +5590,12 @@ def oracle_sql() -> dict[str, str]:
             "e AS (SELECT doc_id, "
             "'http://e.test/p/' || CAST(doc_id AS VARCHAR) AS loc, "
             "CASE WHEN doc_id % 3 = 0 THEN NULL "
+            "WHEN doc_id % 9 = 1 THEN 'TBD-soon' "
             "ELSE strftime(DATE '2024-01-01' + CAST(doc_id % 50 AS INTEGER), '%Y-%m-%d') "
             "END AS lastmod FROM d), "
             "r AS (SELECT loc, lastmod, "
             "CASE WHEN doc_id % 2 = 1 THEN 'new' "
-            "WHEN doc_id % 3 = 0 THEN 'unknown' "
+            "WHEN doc_id % 3 = 0 OR doc_id % 9 = 1 THEN 'unknown' "
             "WHEN doc_id % 50 >= doc_id % 40 THEN 'modified' END AS reason "
             "FROM e) "
             "SELECT loc, lastmod, reason FROM r "

@@ -111,7 +111,12 @@ def detect_charset_expr(
     )
     header = None
     if content_type is not None:
-        h = F.regexp_extract(F.lower(content_type), f"charset=({_LABEL_RE})", 1)
+        # optional quote before the label: RFC 9110 allows the charset
+        # parameter as a quoted-string (charset="utf-8"), mirroring the
+        # ["']? tolerance the in-body meta regex already has
+        h = F.regexp_extract(
+            F.lower(content_type), f"charset=[\"']?({_LABEL_RE})", 1
+        )
         header = F.when(h != "", _normalize_label_expr(h))
     sniff = F.lower(F.decode(F.substring(body, 1, sniff_bytes), "ISO-8859-1"))
     meta = F.regexp_extract(

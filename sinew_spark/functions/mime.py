@@ -39,6 +39,29 @@ _SIGNATURES: list[tuple[str, str]] = [
 # first 64 bytes all in {TAB, LF, CR, 0x20-0x7E} => printable ASCII text
 _ASCII_HEX = r"^(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])+$"
 
+# markup markers for the decoded-prefix sniff (WHATWG-mimesniff-lite)
+_MARKUP: tuple[tuple[str, str], ...] = (
+    ("<!doctype html", "text/html"),
+    ("<html", "text/html"),
+    ("<head", "text/html"),
+    ("<body", "text/html"),
+    ("<script", "text/html"),
+    ("<?xml", "text/xml"),
+)
+
+
+def _u16_hex_marker(marker: str, le: bool) -> str:
+    """Hex-encoded regex for ``marker`` as UTF-16 code units (case-
+    insensitive for letters) — lets the markup sniff run on NUL-
+    interleaved text without ``decode()`` (which throws on a prefix
+    truncated mid code unit under Spark 4's coding-error policy)."""
+    parts = []
+    for ch in marker:
+        alts = sorted({f"{ord(ch.lower()):02X}", f"{ord(ch.upper()):02X}"})
+        units = [(a + "00") if le else ("00" + a) for a in alts]
+        parts.append("(" + "|".join(units) + ")" if len(units) > 1 else units[0])
+    return "".join(parts)
+
 
 def sniff_mime_expr(col: F.Column) -> F.Column:
     """MIME type sniffed from a binary column's leading bytes.
@@ -62,22 +85,37 @@ def sniff_mime_expr(col: F.Column) -> F.Column:
             F.hex(F.substring(col, 1, 3)).rlike(r"^50(35|36)(09|0A|0D|20)"),
             "image/x-portable-pixmap",
         ),
-        # MPEG audio frame sync FF Ex/Fx
-        (F.hex(F.substring(col, 1, 2)).rlike(r"^FF[EF]"), "audio/mpeg"),
     ]
+    # BOMs BEFORE the MPEG frame-sync heuristic: UTF-16LE's FF FE would
+    # otherwise match ^FF[EF] and sniff BOM-prefixed UTF-16 HTML as
+    # audio/mpeg (and is_textual_mime_expr would then gate real text
+    # pages out of the parse stage). UTF-8: strip the 3-byte BOM and
+    # rerun the string markup sniff; UTF-16: match markup on the hex
+    # encoding of the code units (total — never decodes).
+    bom8 = hx.startswith("EFBBBF")
+    s8 = F.lower(
+        F.regexp_replace(F.substring(col, 4, 256).cast("string"), r"^\s+", "")
+    )
+    for pfx, mime in _MARKUP:
+        branches.append((bom8 & s8.startswith(pfx), mime))
+    branches.append((bom8, "text/plain"))
+    for le, bom_hex in ((True, "FFFE"), (False, "FEFF")):
+        is_bom = hx.startswith(bom_hex)
+        ws = "(0900|0A00|0D00|2000)*" if le else "(0009|000A|000D|0020)*"
+        u16 = F.hex(F.substring(col, 3, 256))
+        for pfx, mime in _MARKUP:
+            branches.append(
+                (is_bom & u16.rlike("^" + ws + _u16_hex_marker(pfx, le)), mime)
+            )
+        branches.append((is_bom, "text/plain"))
+    # MPEG audio frame sync FF Ex/Fx (after the BOM branches)
+    branches.append((F.hex(F.substring(col, 1, 2)).rlike(r"^FF[EF]"), "audio/mpeg"))
     # markup: trim leading whitespace of the ASCII prefix, case-fold.
     # NOT ltrim — Spark ltrim strips only 0x20, not TAB/LF/CR.
     s = F.lower(
         F.regexp_replace(F.substring(col, 1, 256).cast("string"), r"^\s+", "")
     )
-    for pfx, mime in (
-        ("<!doctype html", "text/html"),
-        ("<html", "text/html"),
-        ("<head", "text/html"),
-        ("<body", "text/html"),
-        ("<script", "text/html"),
-        ("<?xml", "text/xml"),
-    ):
+    for pfx, mime in _MARKUP:
         branches.append((s.startswith(pfx), mime))
     branches.append(
         (F.hex(F.substring(col, 1, 64)).rlike(_ASCII_HEX), "text/plain")

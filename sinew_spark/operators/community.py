@@ -51,8 +51,17 @@ def label_propagation(
     """
     if rounds <= 0:
         raise ValueError("rounds must be positive")
-    sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("w")).union(
-        edges.select(F.col(dst).alias("v"), F.col(src).alias("w"))
+    # canonical simple-graph preamble (matching kcore_vertices): distinct
+    # the symmetrized list and drop self-loops — an edge list that already
+    # carries both (a,b) and (b,a), duplicate rows, or loops would
+    # otherwise double-count neighbor label frequencies and let a vertex
+    # vote for its own label, deviating from synchronous-LPA semantics.
+    sym = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("w")))
+        .where(F.col("v") != F.col("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select("v")

@@ -95,9 +95,14 @@ def canonicalize_media_refs(
     too large to broadcast — the join then shuffles on media_ref.
     """
     canon = digests.groupBy("digest").agg(F.min("media_ref").alias("_canon"))
+    # one canonical per media_ref BEFORE the per-doc map fold: a ref that
+    # carries two digests (re-fetch with changed bytes) would otherwise
+    # produce duplicate map keys, which raise DUPLICATED_MAP_KEY under
+    # Spark's default EXCEPTION policy. min keeps the fold deterministic.
     mapping = (
         digests.join(canon, "digest")
-        .select(F.col("media_ref").alias("_mref"), F.col("_canon"))
+        .groupBy(F.col("media_ref").alias("_mref"))
+        .agg(F.min("_canon").alias("_canon"))
         .where(F.col("_mref") != F.col("_canon"))
     )
     if broadcast_mapping:

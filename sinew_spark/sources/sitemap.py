@@ -109,7 +109,11 @@ def sitemap_stale(
     at frontier scale both sides are url-hashed — the same safe shape as
     anti_join_seen. Compose: ``crawler.seed_df(sitemap_stale(...))``
     with ``expires``/``force`` crawl options for the refetch."""
-    lm_day = F.unix_date(F.to_date(F.substring(F.col(lastmod_col), 1, 10)))
+    # try_to_date, not to_date: under Spark 4's default ANSI mode a single
+    # malformed <lastmod> (common in real sitemaps) would raise
+    # CAST_INVALID_INPUT and abort the job; try_to_date yields NULL so the
+    # entry falls into the conservative 'unknown' (refetch) bucket.
+    lm_day = F.unix_date(F.try_to_date(F.substring(F.col(lastmod_col), 1, 10)))
     s = seen.groupBy(F.col(seen_url_col).alias("_u")).agg(
         F.max(fetched_at_col).alias("_fa")
     )

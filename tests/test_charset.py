@@ -143,3 +143,13 @@ def test_detect_charset_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_header_quoted_charset_param(spark):
+    """RFC 9110 quoted-string parameter (charset="utf-8") must match the
+    header layer instead of silently falling through to the body sniff
+    (ADVICE r4)."""
+    assert _detect(spark, b"no declarations", 'text/html; charset="iso-8859-1"') == "iso-8859-1"
+    assert _detect(spark, b"no declarations", "text/html; charset='utf-16le'") == "utf-16le"
+    # unquoted still works
+    assert _detect(spark, b"no declarations", "text/html; charset=utf-16be") == "utf-16be"

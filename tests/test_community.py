@@ -74,3 +74,21 @@ def test_rounds_validation(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+def test_duplicate_and_loop_edges_do_not_skew_votes(spark):
+    """An edge list that already carries both (a,b) and (b,a), duplicate
+    rows, and self-loops must relabel exactly like the clean simple
+    graph (ADVICE r4): the symmetrized list is distinct'd and loops
+    dropped, so no neighbor label is double-counted and no vertex votes
+    for its own label."""
+    clean = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    noisy = clean + [("b", "a"), ("b", "c"), ("d", "d"), ("a", "a"), ("c", "b")]
+    want = _ref_lpa(clean, 3)
+    got = {
+        r.v: r.label
+        for r in label_propagation(
+            spark.createDataFrame(noisy, ["src", "dst"]), rounds=3
+        ).collect()
+    }
+    assert got == want

@@ -82,3 +82,23 @@ def test_roundtrip_asset_table_after_canonicalize(spark):
     out = canonicalize_media_refs(_docs(spark), _digests(spark))
     t = {r.asset_key: r.n_spans for r in media_asset_table(out).collect()}
     assert t == {"img://logo": 3, "img://a": 2, "aud://x": 1}
+
+
+def test_canonicalize_ref_with_two_digests_no_duplicate_map_key(spark):
+    """A media_ref that carries TWO digests (re-fetch with changed bytes)
+    must not raise DUPLICATED_MAP_KEY under Spark's default EXCEPTION
+    policy (ADVICE r4): the mapping dedupes to one canonical (min) per
+    ref before the per-doc map fold."""
+    docs = spark.createDataFrame(
+        [("d1", [("image", None, "img://flappy", 0)])], SCHEMA
+    )
+    digests = spark.createDataFrame(
+        [
+            ("img://flappy", "h_old"), ("img://flappy", "h_new"),
+            ("img://a", "h_old"), ("img://b", "h_new"),
+        ],
+        "media_ref string, digest string",
+    )
+    out = canonicalize_media_refs(docs, digests).collect()
+    # min canonical across its digest groups: h_old -> img://a
+    assert [s.media_ref for s in out[0].spans] == ["img://a"]

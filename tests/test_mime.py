@@ -27,6 +27,15 @@ CASES = [
     (b"Just some words, punctuation; 123.", "text/plain"),
     (b"\x00\x01\x02\x03garbage", "application/octet-stream"),
     (b"caf\xc3\xa9 utf8 text", "application/octet-stream"),  # non-ASCII: conservative
+    # BOM branches (ADVICE r4): UTF-16LE's FF FE must NOT hit the MPEG
+    # frame-sync heuristic; markup still sniffs through the BOM.
+    (b"\xef\xbb\xbf<!DOCTYPE html><html>", "text/html"),
+    (b"\xef\xbb\xbfjust utf8 bom text", "text/plain"),
+    (b"\xff\xfe" + "<html><body>x</body></html>".encode("utf-16-le"), "text/html"),
+    (b"\xff\xfe" + " \t<HTML>".encode("utf-16-le"), "text/html"),  # ws + case
+    (b"\xff\xfe" + "hello utf16 page".encode("utf-16-le"), "text/plain"),
+    (b"\xfe\xff" + '<?xml version="1.0"?>'.encode("utf-16-be"), "text/xml"),
+    (b"\xfe\xff" + "plain big endian".encode("utf-16-be"), "text/plain"),
 ]
 
 

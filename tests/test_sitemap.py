@@ -204,3 +204,33 @@ def test_sitemap_stale_plan_shape(spark):
         sitemap_stale(entries, seen)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sitemap_stale_malformed_lastmod_is_unknown(spark):
+    """A malformed <lastmod> (common in real sitemaps) must neither abort
+    the job under Spark 4 ANSI mode (try_to_date, ADVICE r4) nor be
+    trusted: it falls into the conservative 'unknown' refetch bucket."""
+    from sinew_spark.sources.sitemap import sitemap_stale
+
+    day = 86400.0
+    entries = spark.createDataFrame(
+        [
+            ("http://e.test/bad", "TBD-soon"),
+            ("http://e.test/also-bad", "2024-13-45"),
+            ("http://e.test/good-old", "2024-01-02"),
+        ],
+        "loc string, lastmod string",
+    )
+    seen = spark.createDataFrame(
+        [
+            ("http://e.test/bad", 19730 * day),
+            ("http://e.test/also-bad", 19730 * day),
+            ("http://e.test/good-old", 19730 * day),  # 2024-01-08: unchanged
+        ],
+        "url string, fetched_at double",
+    )
+    out = {r.loc: r.reason for r in sitemap_stale(entries, seen).collect()}
+    assert out == {
+        "http://e.test/bad": "unknown",
+        "http://e.test/also-bad": "unknown",
+    }
