@@ -4018,16 +4018,67 @@ def q_kcore(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
-    # (prefix-stable 50 in rounds 1-3): never-driver-sampled queries come
-    # FIRST (22), then the former r1 reds fixed-but-unconfirmed (3), then
-    # queries last green in r1/r2 only (14 — local_supplier_volume and
-    # pricing_summary, pure relational and lowest-risk, yielded their
-    # slots to the new revalidate_crawl and wet_export), then r3-green
-    # queries whose code round 4 touched -- so slot 50 ends exactly at
-    # the highest-information boundary. The 49 past the marker are
-    # r3-green/unchanged, low-risk relational, or new round-4 queries
-    # that are locally oracle-mirrored (nofollow_links, url_scope,
-    # host_budget, warc_bootstrap).
+    # (prefix-stable 50). Round-5 reorder: ALL 42 queries that have never
+    # appeared in a CORRECTNESS_r* sample come first -- the composed /
+    # iterative ones lead (dedup_pipeline, index_update, neighborhood,
+    # ..., where a local-vs-driver environment difference could most
+    # plausibly bite), then the rest of the 42. Slots 43-50 are
+    # re-confirmation fills: queries whose code THIS round touches
+    # (ann_ivf multi-probe, crawl_rounds via fetch.py) plus the
+    # longest-unconfirmed r3-green canaries. Everything past slot 50 is
+    # driver-green in r3/r4 with unchanged code and stays locally
+    # mirrored by tests/test_entry_oracle.py.
+        "dedup_pipeline": q_dedup_pipeline,
+        "index_update": q_index_update,
+        "neighborhood": q_neighborhood,
+        "containment": q_containment,
+        "cdc_dedup": q_cdc_dedup,
+        "search_bm25": q_search_bm25,
+        "trustrank": q_trustrank,
+        "hits_scores": q_hits_scores,
+        "kcore": q_kcore,
+        "corpus_mix": q_corpus_mix,
+        "host_fairness": q_host_fairness,
+        "redirect_chains": q_redirect_chains,
+        "snapshot_expire": q_snapshot_expire,
+        "communities": q_communities,
+        "nofollow_links": q_nofollow_links,
+        "url_scope": q_url_scope,
+        "host_budget": q_host_budget,
+        "warc_bootstrap": q_warc_bootstrap,
+        "streaming_archive": q_streaming_archive,
+        "c4_clean": q_c4_clean,
+        "wat_export": q_wat_export,
+        "canonical_collapse": q_canonical_collapse,
+        "charset_detect": q_charset_detect,
+        "sitemap_lastmod": q_sitemap_lastmod,
+        "host_report": q_host_report,
+        "frontier_opic": q_frontier_opic,
+        "robots_wildcard": q_robots_wildcard,
+        "soft404_detect": q_soft404_detect,
+        "feed_extract": q_feed_extract,
+        "mime_sniff": q_mime_sniff,
+        "hreflang_cluster": q_hreflang_cluster,
+        "host_pagerank": q_host_pagerank,
+        "host_boilerplate": q_host_boilerplate,
+        "link_farms": q_link_farms,
+        "media_assets": q_media_assets,
+        "dust_rules": q_dust_rules,
+        "budget_apportion": q_budget_apportion,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "cocitation": q_cocitation,
+        "bigram_coverage": q_bigram_coverage,
+        "diversified_select": q_diversified_select,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "ann_ivf": q_ann_ivf,
+        "crawl_rounds": q_crawl_rounds,
+        "cache_probe": q_cache_probe,
+        "priority_topk": q_priority_topk,
+        "robots_gate": q_robots_gate,
+        "canonicalize_urls": q_canonicalize_urls,
+        "dedup_minhash": q_dedup_minhash,
+        "pagerank": q_pagerank,
+        # --- end of the 50-slot driver-sample prefix ---
         "cookie_scope": q_cookie_scope,
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_dedup": q_streaming_dedup,
@@ -4054,7 +4105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "streaming_rollup": q_streaming_rollup,
         "cookie_last": q_cookie_last,
-        "crawl_rounds": q_crawl_rounds,
         "emit_seq": q_emit_seq,
         "force_errors": q_force_errors,
         "frontier_setops": q_frontier_setops,
@@ -4078,46 +4128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_requeue": q_retry_requeue,
         "per_host_cap": q_per_host_cap,
         "warc_roundtrip": q_warc_roundtrip,
-        # --- end of the 50-slot driver-sample prefix ---
-        "nofollow_links": q_nofollow_links,
-        "url_scope": q_url_scope,
-        "host_budget": q_host_budget,
-        "warc_bootstrap": q_warc_bootstrap,
-        "streaming_archive": q_streaming_archive,
-        "c4_clean": q_c4_clean,
-        "wat_export": q_wat_export,
-        "canonical_collapse": q_canonical_collapse,
-        "charset_detect": q_charset_detect,
-        "sitemap_lastmod": q_sitemap_lastmod,
-        "host_report": q_host_report,
-        "frontier_opic": q_frontier_opic,
-        "robots_wildcard": q_robots_wildcard,
-        "soft404_detect": q_soft404_detect,
-        "hits_scores": q_hits_scores,
-        "trustrank": q_trustrank,
-        "feed_extract": q_feed_extract,
-        "mime_sniff": q_mime_sniff,
-        "hreflang_cluster": q_hreflang_cluster,
-        "host_pagerank": q_host_pagerank,
-        "host_boilerplate": q_host_boilerplate,
-        "search_bm25": q_search_bm25,
-        "link_farms": q_link_farms,
-        "media_assets": q_media_assets,
-        "dust_rules": q_dust_rules,
-        "budget_apportion": q_budget_apportion,
-        "dup_ngram_stats": q_dup_ngram_stats,
-        "cocitation": q_cocitation,
-        "bigram_coverage": q_bigram_coverage,
-        "diversified_select": q_diversified_select,
         "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "robots_longest_match": q_robots_longest_match,
-        "robots_sitemap_discovery": q_robots_sitemap_discovery,
-        "canonicalize_urls": q_canonicalize_urls,
         "request_identity": q_request_identity,
         "ttl_expiry": q_ttl_expiry,
-        "priority_topk": q_priority_topk,
-        "robots_gate": q_robots_gate,
         "tally": q_tally,
         "header_projection": q_header_projection,
         "normalize_ascii": q_normalize_ascii,
@@ -4129,16 +4144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
-        "ann_ivf": q_ann_ivf,
-        "cache_probe": q_cache_probe,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "interleave_linearize": q_interleave_linearize,
         "dedup_clusters": q_dedup_clusters,
-        "pagerank": q_pagerank,
         "pagerank_dangling": q_pagerank_dangling,
         "surt_index": q_surt_index,
         "recrawl_priority": q_recrawl_priority,
@@ -4154,19 +4165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": q_sample_k,
         "quality_classifier": q_quality_classifier,
         "multimodal_image_meta": q_multimodal_image_meta,
-        # round-4 session-5 additions (past the 50-slot prefix; locally
-        # mirrored by tests/test_entry_oracle.py like everything else)
-        "redirect_chains": q_redirect_chains,
-        "cdc_dedup": q_cdc_dedup,
-        "host_fairness": q_host_fairness,
-        "communities": q_communities,
-        "containment": q_containment,
-        "snapshot_expire": q_snapshot_expire,
-        "kcore": q_kcore,
-        "index_update": q_index_update,
-        "dedup_pipeline": q_dedup_pipeline,
-        "neighborhood": q_neighborhood,
-        "corpus_mix": q_corpus_mix,
     }
 
 
