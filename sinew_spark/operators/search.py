@@ -36,12 +36,22 @@ idf uses the rank-preserving rational (N - df + 1)/(df + 1) instead of
 the classic log form: log() is not correctly-rounded and may differ by
 1 ulp across libm implementations, which breaks cross-engine replay;
 the rational form keeps the same ordering (monotone decreasing in df)
-and is exact. Overflow bound: the largest intermediate is
-idf_s * tfc_s <= SCALE*N * SCALE*(k1+1) / 1 — with the default
-SCALE=1e6 this stays inside int64 for corpora up to ~1e6 docs; at the
-1e10-doc design point pass scale=1_000 (bound ~1e3*1e10 * 2.2e6 =
-2.2e19... use scale=100) or shard N into per-index segments, as noted
-on the parameter.
+and is exact.
+
+Overflow doctrine (fairness.py's): every PRODUCT that can exceed int64
+runs in decimal(38,0); every `div` QUOTIENT provably fits int64, and
+Spark's `div` on decimal operands returns that exact bigint quotient.
+The per-term score sum accumulates in decimal(38,0) and checked-casts
+to BIGINT at the end. Envelope, all exact with SCALE = 1e6 fixed:
+
+    idf_s   <= SCALE * N            -> N      <= ~9e12 docs
+    products<= SCALE^2 * 2.2 * N    ~  2.2e22 at N = 1e10  (decimal ok)
+    score   <= |query| * 2.2e10 * SCALE -> ~400 distinct query terms
+               at the full 1e10-doc design point before the final cast
+               would overflow (it raises, never wraps, under ANSI)
+
+No user-tunable `scale` remains — the resolution is constant at any
+corpus size, and DuckDB replays the identical math in HUGEINT.
 """
 
 from __future__ import annotations
@@ -92,44 +102,52 @@ def build_inverted_index(
     )
 
 
+SCALE = 1_000_000  # fixed-point score resolution (x1e6, any corpus size)
+
+
 def bm25_topk(
     index: InvertedIndex,
     query_terms: Sequence[str],
     k: int = 10,
     k1_x1000: int = 1200,
     b_x1000: int = 750,
-    scale: int = 1_000_000,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query, columns
-    ``doc_id, score`` (score x ``scale``, int64), ordered score desc
-    then doc_id asc — fully deterministic including ties at rank k.
+    ``doc_id, score`` (score x 1e6, int64), ordered score desc then
+    doc_id asc — fully deterministic including ties at rank k.
 
-    ``scale``: fixed-point score resolution. The default 1e6 is safe to
-    ~1e6 docs; drop it (e.g. 100) for billion-doc indexes to keep
-    idf_s * tfc_s inside int64 (see module docstring bound).
+    Scale-proof by construction: products that can exceed int64 run in
+    decimal(38,0) and every quotient provably fits bigint (module
+    docstring envelope — exact to ~9e12 docs), so the same scores come
+    out at any corpus size with no tuning knob.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if not (0 <= b_x1000 <= 1000) or k1_x1000 < 0:
         raise ValueError("k1_x1000 must be >= 0 and b_x1000 in [0, 1000]")
     n, total = index.n_docs, max(index.total_dl, 1)
+    scale = SCALE
     qt = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order irrelevant
     q_stats = index.terms.filter(F.col("term").isin(qt))
     p = index.postings.filter(F.col("term").isin(qt)).join(
         F.broadcast(q_stats), "term"
     )
-    # one SQL expression so every division is truncating `div`
+    # one SQL expression so every division is truncating `div`; DECIMAL
+    # casts sit exactly where a product can exceed int64 (the math value
+    # is unchanged — decimal arithmetic is exact, and `div` on decimal
+    # operands yields the exact integral quotient as BIGINT)
     contrib = F.expr(
-        f"(( ({scale} * ({n} - df + 1)) div (df + 1) ) * "
-        f"(( tf * ({k1_x1000} + 1000) * {scale} ) div "
+        f"CAST((CAST((CAST({scale} AS DECIMAL(38,0)) * ({n} - df + 1)) div (df + 1) "
+        f"AS DECIMAL(38,0)) * "
+        f"(( CAST(tf AS DECIMAL(38,0)) * ({k1_x1000} + 1000) * {scale} ) div "
         f"( tf * 1000 + ({k1_x1000} * "
-        f"(1000 - {b_x1000} + ({b_x1000} * dl * {n}) div {total})) div 1000 ))"
-        f") div {scale}"
+        f"(1000 - {b_x1000} + (CAST({b_x1000} AS DECIMAL(38,0)) * dl * {n}) div {total})) div 1000 ))"
+        f") div {scale} AS BIGINT)"
     )
     scored = p.select("doc_id", contrib.alias("_c"))
     return (
         scored.groupBy("doc_id")
-        .agg(F.sum("_c").alias("score"))
+        .agg(F.sum(F.col("_c").cast("decimal(38,0)")).cast("long").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -90,3 +90,30 @@ def test_validation(spark):
         bm25_topk(idx, [])
     with pytest.raises(ValueError):
         bm25_topk(idx, ["x"], b_x1000=2000)
+
+
+def test_bm25_exact_at_design_point_scalars(spark):
+    """Scale-proofing evidence: with n = 1e10 docs and total_dl = 2e11
+    (the design-point scalars), the pre-decimal int64 formulation
+    overflowed idf_s * tfc_s (~2.2e22). The decimal(38,0) path must
+    match a pure-Python arbitrary-precision replay of the documented
+    formula bit-for-bit — same resolution (x1e6), no tuning knob."""
+    from sinew_spark.operators.search import InvertedIndex
+
+    n, total = 10**10, 2 * 10**11
+    postings = spark.createDataFrame(
+        [("w", "d1", 3, 20), ("w", "d2", 1, 2_000_000), ("v", "d1", 5, 20)],
+        "term string, doc_id string, tf long, dl long",
+    )
+    terms = spark.createDataFrame([("w", 2), ("v", 1)], "term string, df long")
+    idx = InvertedIndex(postings, terms, n_docs=n, total_dl=total)
+    got = {r.doc_id: r.score for r in bm25_topk(idx, ["w", "v"], k=10).collect()}
+
+    def py(tf, dl, df, k1=1200, b=750, s=10**6):
+        idf = (s * (n - df + 1)) // (df + 1)
+        bn = 1000 - b + (b * dl * n) // total
+        tfc = (tf * (k1 + 1000) * s) // (tf * 1000 + (k1 * bn) // 1000)
+        return (idf * tfc) // s
+
+    want = {"d1": py(3, 20, 2) + py(5, 20, 1), "d2": py(1, 2_000_000, 2)}
+    assert got == want
