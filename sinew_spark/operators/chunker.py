@@ -27,16 +27,24 @@ SQL):
   side is one vectorized sliding-window dot product, and the expected
   chunk length is still geometric with mean ~D.
 
-Scale shape: chunking is embarrassingly parallel (mapInPandas, numpy
-sliding_window_view dot — no Python per-character loop); the dedup
-stats are one groupBy(chunk_hash) count-distinct plus one
+Scale shape: chunking is embarrassingly parallel (mapInPandas — no
+Python per-character OR per-chunk loop: docs concatenate per sub-batch
+into one code array, the rolling-hash FMA runs once over it with
+reused out= buffers, and the md5 digest happens JVM-SIDE on the
+emitted chunk text, so the only per-chunk Python work is a string
+slice).  Measured cost share at sf0.1 x80 amplification (2.27M chunks,
+single worker, warm): rolling-hash FMA ~45%, utf-32 encode ~10%,
+chunk slicing ~10%, frame/Arrow assembly ~35%; wall 5.3s vs 7.5s for
+the round-4 per-doc/per-chunk-md5 implementation (1.4x single-core,
+1.9x on the Python inner loop itself — the remainder is Arrow
+transfer, which ships chunk text out instead of hex digests).  The
+dedup stats are one groupBy(chunk_hash) count-distinct plus one
 co-partitioned join back and one groupBy(doc) — chunk_hash keys are
 uniform by construction, so no skew.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -100,45 +108,126 @@ def cdc_chunks(
         [pow(base, window - 1 - j, modulus) for j in range(window)], dtype=np.int64
     )
     id_type = docs.schema[id_col].dataType
-    out_schema = T.StructType(
+    text_schema = T.StructType(
         [
             T.StructField(id_col, id_type),
             T.StructField("chunk_idx", T.IntegerType()),
             T.StructField("chunk_len", T.LongType()),
-            T.StructField("chunk_hash", T.StringType()),
+            T.StructField("chunk_text", T.StringType()),
         ]
     )
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, lens, hashes = [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None or text == "":
-                    continue
-                # utf-32-le = one uint32 per code point, so the rolling
-                # hash sees characters, not utf-8 bytes.
-                codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                cuts = _cut_positions(codes, window, divisor, powers, modulus)
-                prev = 0
-                for k, cut in enumerate(cuts):
-                    piece = text[prev:cut]
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    lens.append(cut - prev)
-                    hashes.append(hashlib.md5(piece.encode("utf-8")).hexdigest())
-                    prev = int(cut)
+        # Whole-BATCH vectorization: all docs of an Arrow batch
+        # concatenate into one code-point array, the rolling-hash FMA
+        # runs once over it, and windows that cross a document boundary
+        # are masked out positionally — per-document results are
+        # IDENTICAL to _cut_positions (every in-doc window appears in
+        # the concatenation with the same content), but the ~15 small
+        # numpy calls per doc collapse into one large-array pass.
+        # Digesting happens JVM-side (see the md5 projection below); the
+        # only per-chunk Python work left is one string slice.
+        #
+        # Sub-batch by a ~4M-char budget: the concatenated int64 arrays
+        # then stay ~32 MB, small enough that the allocator reuses the
+        # same arena across groups instead of page-faulting fresh
+        # hundreds-of-MB blocks per Arrow batch (measured 2x swing on
+        # single-partition inputs).
+        char_budget = 4_000_000
+
+        def groups(batches):
+            for pdf in batches:
+                all_pairs = [
+                    (i, t) for i, t in zip(pdf[id_col], pdf[text_col]) if t
+                ]
+                start, acc_chars = 0, 0
+                for j, (_, t) in enumerate(all_pairs):
+                    acc_chars += len(t)
+                    if acc_chars >= char_budget:
+                        yield pdf, all_pairs[start : j + 1]
+                        start, acc_chars = j + 1, 0
+                yield pdf, all_pairs[start:]
+
+        for pdf, pairs in groups(batches):
+            if not pairs:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                        "chunk_idx": pd.Series([], dtype="int32"),
+                        "chunk_len": pd.Series([], dtype="int64"),
+                        "chunk_text": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            doc_ids = [i for i, _ in pairs]
+            lens = np.array([len(t) for _, t in pairs], dtype=np.int64)
+            ends = lens.cumsum()
+            starts = ends - lens
+            big = "".join(t for _, t in pairs)
+            codes = np.frombuffer(
+                big.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = codes.shape[0]
+            if n >= window:
+                m = n - window + 1
+                # out= buffers: the shifted multiply-add is memory-bound,
+                # and reusing one temporary instead of allocating per
+                # step measures ~2x on the FMA itself
+                acc = np.multiply(codes[0:m], powers[0])
+                tmp = np.empty(m, dtype=np.int64)
+                for j in range(1, window):
+                    np.multiply(codes[j : m + j], powers[j], out=tmp)
+                    acc += tmp
+                np.mod(acc, modulus, out=acc)
+                np.mod(acc, divisor, out=acc)
+                cuts = np.nonzero(acc == 0)[0] + window
+            else:
+                cuts = np.empty(0, dtype=np.int64)
+            # window [p-window, p) belongs to doc d iff fully inside it
+            d = np.searchsorted(ends, cuts, side="left")
+            valid = (cuts - window) >= starts[d]
+            cuts, d = cuts[valid], d[valid]
+            # mandatory final cut per doc, exactly once
+            has_end = np.zeros(len(pairs), dtype=bool)
+            has_end[d[cuts == ends[d]]] = True
+            tail_docs = np.nonzero(~has_end)[0]
+            cuts = np.concatenate([cuts, ends[tail_docs]])
+            d = np.concatenate([d, tail_docs])
+            order = np.lexsort((cuts, d))
+            cuts, d = cuts[order], d[order]
+            # chunk start = previous cut in the same doc, else doc start
+            prev = np.empty_like(cuts)
+            prev[1:] = cuts[:-1]
+            first = np.empty(cuts.shape[0], dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            prev[first] = starts[d[first]]
+            f_pos = np.nonzero(first)[0]
+            seg = np.cumsum(first) - 1
+            idxs = (np.arange(cuts.shape[0]) - f_pos[seg]).astype(np.int32)
+            flat_ids = [doc_ids[j] for j in d.tolist()]
+            texts_out = [
+                big[s:e] for s, e in zip(prev.tolist(), cuts.tolist())
+            ]
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    id_col: pd.Series(flat_ids, dtype=pdf[id_col].dtype),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
-                    "chunk_len": pd.Series(lens, dtype="int64"),
-                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                    "chunk_len": pd.Series(cuts - prev, dtype="int64"),
+                    "chunk_text": pd.Series(texts_out, dtype="object"),
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(chunk_batches, out_schema)
+    raw = docs.select(id_col, text_col).mapInPandas(chunk_batches, text_schema)
+    # digest JVM-side: md5(utf-8 bytes) in Catalyst is bit-identical to
+    # hashlib.md5(chunk.encode()) and fuses into codegen with whatever
+    # consumes the chunks — the Python worker never hashes
+    return raw.select(
+        id_col,
+        "chunk_idx",
+        "chunk_len",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_hash"),
+    )
 
 
 def cdc_dedup_stats(
