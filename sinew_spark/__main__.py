@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--host-budget", type=int, default=None, metavar="N",
         help="lifetime cap on pages fetched per host",
     )
+    p.add_argument(
+        "--no-utf8", dest="utf8", action="store_false", default=True,
+        help="skip charset transcoding; bodies keep wire bytes 1:1 "
+        "(reference `utf8: false`, base.rb:50)",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[*])")
     p.add_argument("--version", action="version", version=f"sinew-spark {__version__}")
     return p
@@ -144,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
         opt_kwargs["url_deny"] = tuple(args.url_deny)
     if args.host_budget is not None:
         opt_kwargs["host_budget"] = args.host_budget
+    if not args.utf8:
+        opt_kwargs["utf8"] = False
     options = CrawlOptions(
         force=args.force, force_errors=args.force_errors, **opt_kwargs
     )
@@ -155,7 +162,8 @@ def main(argv: list[str] | None = None) -> int:
         from sinew_spark.sources.fetch import HttpFetcher
 
         fetcher = HttpFetcher(
-            timeout=options.timeout, headers=options.headers, insecure=options.insecure
+            timeout=options.timeout, headers=options.headers,
+            insecure=options.insecure, utf8=options.utf8,
         )
 
     tm = time.time()

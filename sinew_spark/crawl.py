@@ -246,6 +246,11 @@ class CrawlOptions:
     params: dict = field(default_factory=dict)
     headers: dict = field(default_factory=dict)  # default headers per request
     insecure: bool = False  # skip SSL verification (README.md:150)
+    # utf8=False opts OUT of charset transcoding (reference base.rb:50):
+    # bodies keep their wire bytes 1:1 (ISO-8859-1 view — total and
+    # byte-reversible), no sniff, no U+FFFD -> '?' substitution. For
+    # binary scrapes or recipes that do their own decoding.
+    utf8: bool = True
     proxies: tuple = ()
     limit: int | None = None  # emitted-row limit (recipes)
     # distributed knobs

@@ -365,12 +365,12 @@ def hits_fixedpoint(
     max-degree) by ``scale`` before the DIV — at 10^9 the product stays
     under int64 for degrees up to ~9e18/1e18; keep scale^2 * maxdeg
     within int64 if you raise it. The normalization total is a 1-row
-    aggregate per half-iteration (a driver scalar, never an O(rows)
-    pull).
+    aggregate per half-iteration that stays in the dataflow (broadcast
+    crossJoin — never a driver collect, never an O(rows) pull).
 
     Scale shape per iteration: two hash joins (hub->in-edges,
     auth->out-edges) + two groupBy-sums with map-side partials + two
-    1-row aggs; ``localCheckpoint`` keeps the plan O(1) deep.
+    broadcast 1-row aggs; ``localCheckpoint`` keeps the plan O(1) deep.
 
     Returns (v, auth: long, hub: long).
     """
@@ -400,18 +400,27 @@ def hits_fixedpoint(
 
     def _spread(vec: DataFrame, val: str, edge_key: str, out_key: str) -> DataFrame:
         """sum vec[val] over edges grouped by the other endpoint, then
-        L1-renormalize to total ``scale`` (x * scale div total)."""
+        L1-renormalize to total ``scale`` (x * scale div total).
+
+        The normalization total stays IN the dataflow: a 1-row aggregate
+        broadcast back via crossJoin — no driver action, so each
+        half-iteration is as lazy as pagerank's update and the eager
+        localCheckpoint on the caller's side remains the only
+        materialization point (two fewer jobs per iteration than the
+        collect() formulation)."""
         raw = (
             vec.select(F.col("v").alias(edge_key), F.col(val))
             .join(ed, edge_key)
             .groupBy(F.col(out_key).alias("v"))
             .agg(F.sum(val).alias("_s"))
         )
-        total = raw.agg(F.coalesce(F.sum("_s"), F.lit(0)).alias("t")).collect()[0].t
-        if total == 0:
-            return raw.select("v", F.lit(0).cast("long").alias(val))
-        return raw.select(
-            "v", F.expr(f"_s * {int(scale)}L div {int(total)}L").alias(val)
+        total = raw.agg(F.coalesce(F.sum("_s"), F.lit(0)).alias("_t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "v",
+            F.when(F.col("_t") == 0, F.lit(0))
+            .otherwise(F.expr(f"_s * {int(scale)}L div _t"))
+            .cast("long")
+            .alias(val),
         )
 
     for _ in range(iters):

@@ -113,21 +113,54 @@ def assign_cells(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embeddin
     return emb.withColumn("cell", F.array_position(dists, F.array_min(dists)) - 1)
 
 
+def ivf_probe_cells(
+    centroids: np.ndarray,
+    query_vec,
+    n_probe: int = 4,
+    probe_ratio: float | None = None,
+) -> list[int]:
+    """Deterministic probe set for a query: the ``n_probe`` nearest
+    cells, optionally EXTENDED by adaptive multi-probe — every cell
+    whose centroid distance is within ``probe_ratio`` x the nearest
+    centroid's distance also probes (Multi-probe LSH, Lv et al.
+    VLDB'07, transplanted to IVF: a query near a Voronoi boundary has
+    its true neighbors split across the boundary cells, and the
+    distance RATIO detects exactly that case — fixed n_probe can't).
+
+    Driver-side on the (n_cells x dim) centroid array only — O(cells),
+    never touches the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(1)
+    order = np.argsort(d2, kind="stable")
+    probe = set(order[:n_probe].tolist())
+    if probe_ratio is not None:
+        if probe_ratio < 1.0:
+            raise ValueError("probe_ratio must be >= 1.0")
+        near = float(d2[order[0]])
+        # squared-distance space: ratio r on distances = r^2 on d2
+        probe |= set(np.nonzero(d2 <= near * probe_ratio * probe_ratio)[0].tolist())
+    return sorted(probe)
+
+
 def ivf_topk(
     emb_with_cells: DataFrame,
     centroids: np.ndarray,
     query_vec,
     k: int = 10,
     n_probe: int = 4,
+    probe_ratio: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the n_probe nearest cells.
-    With cell-partitioned storage this is partition pruning — the scan
-    touches n_probe/n_cells of the data."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    cell_order = np.argsort(((centroids - q) ** 2).sum(1))[:n_probe].tolist()
-    cand = emb_with_cells.where(F.col("cell").isin(cell_order))
+    """Approximate top-k: score only rows in the probed cells (the
+    ``n_probe`` nearest, plus — when ``probe_ratio`` is set — every
+    cell within that distance ratio of the nearest: adaptive
+    multi-probe for boundary queries). With cell-partitioned storage
+    this is partition pruning — the scan touches |probe|/n_cells of
+    the data. Recall@k against brute force is pinned per n_probe in
+    tests/test_similarity.py's recall harness."""
+    cells = ivf_probe_cells(centroids, query_vec, n_probe, probe_ratio)
+    cand = emb_with_cells.where(F.col("cell").isin(cells))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 

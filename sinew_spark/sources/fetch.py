@@ -251,14 +251,18 @@ class HttpFetcher(Fetcher):
 
     ``headers`` = default headers on every request; ``insecure`` skips SSL
     verification (reference runtime options ``headers``/``insecure``,
-    /root/reference/README.md:147-155)."""
+    /root/reference/README.md:147-155); ``utf8=False`` opts out of charset
+    transcoding entirely (reference base.rb:50): the body keeps its wire
+    bytes 1:1 through a total ISO-8859-1 view — no sniff, no U+FFFD."""
 
     def __init__(
-        self, timeout: float = 30.0, headers: dict | None = None, insecure: bool = False
+        self, timeout: float = 30.0, headers: dict | None = None,
+        insecure: bool = False, utf8: bool = True,
     ):
         self.timeout = timeout
         self.headers = headers or {}
         self.insecure = insecure
+        self.utf8 = utf8
 
     def resolve(self, url, method, body, attempt):
         status, ct, text, redirect, _set, _e, _lm = self._request(url, method, body, None)
@@ -372,15 +376,25 @@ class HttpFetcher(Fetcher):
             with opener.open(req, timeout=self.timeout) as resp:
                 ct = resp.headers.get("Content-Type", "")
                 raw = self._decode_body(resp.read(), resp.headers)
-                # browser-order charset pick: BOM > header param > in-body
-                # <meta>/XML declaration > utf-8 (functions/charset.py) —
-                # header-less pages no longer decode blind
-                from sinew_spark.functions.charset import decode_text, sniff_charset
+                if not self.utf8:
+                    # utf8: false (reference base.rb:50) — no transcoding:
+                    # ISO-8859-1 maps every byte 1:1, so the wire bytes
+                    # survive exactly (text.encode('iso-8859-1') == raw)
+                    text = raw.decode("iso-8859-1")
+                else:
+                    # browser-order charset pick: BOM > header param >
+                    # in-body <meta>/XML declaration > utf-8
+                    # (functions/charset.py) — header-less pages no
+                    # longer decode blind
+                    from sinew_spark.functions.charset import (
+                        decode_text,
+                        sniff_charset,
+                    )
 
-                charset = sniff_charset(raw, resp.headers.get_content_charset())
-                # decode_text: BOM stripped, unknown labels fall back,
-                # malformed -> U+FFFD -> '?' (reference parity)
-                text = decode_text(raw, charset).replace("�", "?")
+                    charset = sniff_charset(raw, resp.headers.get_content_charset())
+                    # decode_text: BOM stripped, unknown labels fall back,
+                    # malformed -> U+FFFD -> '?' (reference parity)
+                    text = decode_text(raw, charset).replace("�", "?")
                 return (
                     resp.status, ct, text, None,
                     resp.headers.get_all("Set-Cookie") or [],

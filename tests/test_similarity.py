@@ -88,3 +88,61 @@ def test_cosine_lsh_pairs_narrow_shuffle_plan(spark):
     for line in plan.splitlines():
         if "HashAggregate" in line:
             assert "va" not in line and "vb" not in line and "embedding" not in line, line
+
+
+def test_ivf_recall_curve_pinned(spark, emb):
+    """Recall@10-vs-brute-force harness over n_probe = 1,2,4,8 on the
+    driver-generated embeddings: recall must be monotone non-decreasing
+    in n_probe, reach 1.0 at full probe, and the multi-probe ratio
+    extension must never probe fewer cells or lose recall vs its fixed
+    baseline. Averaged over 5 query vectors for stability (everything
+    is deterministic — seeds, sample, tie-breaks)."""
+    from sinew_spark.operators.similarity import ivf_probe_cells
+
+    n_cells, k = 8, 10
+    cent = train_ivf_centroids(emb, n_cells=n_cells, sample=500)
+    cells = assign_cells(emb, cent).persist()
+    queries = [r.embedding for r in emb.orderBy("vec_id").limit(5).collect()]
+    recalls = {}
+    for n_probe in (1, 2, 4, 8):
+        hits = 0
+        for q in queries:
+            exact = {r.vec_id for r in brute_force_topk(emb, q, k=k).collect()}
+            approx = {
+                r.vec_id
+                for r in ivf_topk(cells, cent, q, k=k, n_probe=n_probe).collect()
+            }
+            hits += len(exact & approx)
+        recalls[n_probe] = hits / (k * len(queries))
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8]
+    assert recalls[8] == 1.0  # full probe == exact
+    assert recalls[4] >= 0.6  # half the cells: the useful operating point
+
+    # adaptive multi-probe: ratio extension is a superset of the fixed
+    # probe set and can only help recall
+    for q in queries:
+        fixed = ivf_probe_cells(cent, q, n_probe=2)
+        multi = ivf_probe_cells(cent, q, n_probe=2, probe_ratio=1.2)
+        assert set(fixed) <= set(multi)
+    q = queries[0]
+    r_fixed = {r.vec_id for r in ivf_topk(cells, cent, q, k=k, n_probe=2).collect()}
+    r_multi = {
+        r.vec_id
+        for r in ivf_topk(cells, cent, q, k=k, n_probe=2, probe_ratio=1.5).collect()
+    }
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=k).collect()}
+    assert len(exact & r_multi) >= len(exact & r_fixed)
+
+
+def test_ivf_probe_cells_validation_and_boundary(spark):
+    """A query equidistant from two centroids must probe both under any
+    probe_ratio > 1 even with n_probe=1 (the boundary case fixed
+    n_probe misses); ratio < 1 rejected."""
+    from sinew_spark.operators.similarity import ivf_probe_cells
+
+    cent = np.array([[0.0, 0.0], [2.0, 0.0], [10.0, 10.0]])
+    q = [1.0, 0.0]  # exactly on the 0/1 boundary
+    assert ivf_probe_cells(cent, q, n_probe=1, probe_ratio=1.01) == [0, 1]
+    assert len(ivf_probe_cells(cent, q, n_probe=1)) == 1
+    with pytest.raises(ValueError):
+        ivf_probe_cells(cent, q, n_probe=1, probe_ratio=0.5)

@@ -108,6 +108,15 @@ class _Recorder(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/mislabeled":
+            # deliberately WRONG label: header says utf-8, bytes are
+            # iso-8859-1 — the utf8:false parity case (base.rb:50)
+            body = "caf\xe9 br\xfbl\xe9".encode("iso-8859-1")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             body = b"plain"
             self.send_response(200)
@@ -330,3 +339,25 @@ def test_bom_stripped_and_wins(loopback):
     f = HttpFetcher(timeout=5.0)
     status, _ct, text, _r, _sc, _e, _lm = f._request(base + "/utf8bom", "GET", "", None)
     assert status == 200 and text == "bom caf\xe9"
+
+
+def test_utf8_false_survives_untranscoded(loopback):
+    """`utf8: false` parity (reference base.rb:50): a body whose header
+    LIES about its charset must survive byte-for-byte — no sniff, no
+    U+FFFD -> '?' substitution. The default (utf8=True) transcodes and
+    replaces the malformed bytes."""
+    base, _seen = loopback
+    raw = "caf\xe9 br\xfbl\xe9".encode("iso-8859-1")
+
+    f_raw = HttpFetcher(timeout=5.0, utf8=False)
+    status, _ct, text, _r, _sc, _e, _lm = f_raw._request(
+        base + "/mislabeled", "GET", "", None
+    )
+    assert status == 200
+    assert text.encode("iso-8859-1") == raw  # wire bytes, exactly
+
+    f_utf8 = HttpFetcher(timeout=5.0)
+    status2, _ct2, text2, _r2, _sc2, _e2, _lm2 = f_utf8._request(
+        base + "/mislabeled", "GET", "", None
+    )
+    assert status2 == 200 and "?" in text2 and text2 != text
