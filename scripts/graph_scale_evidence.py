@@ -94,8 +94,39 @@ def main() -> None:
     ap.add_argument("--edges", type=int, default=20_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--ops", default="pagerank,hits,trustrank,lpa,anf,kcore,chains")
+    ap.add_argument(
+        "--one", action="store_true",
+        help="run the given --ops/--edges in THIS process (child mode)",
+    )
     args = ap.parse_args()
     ops = set(args.ops.split(","))
+
+    if not args.one:
+        # orchestrator: one subprocess per (op, size) — localCheckpoint
+        # blocks from one measurement can never pressure the next (py4j
+        # refs pin them until a Python GC, which OOM'd a single-session
+        # run of the full matrix at 20M edges)
+        import subprocess
+
+        lines = []
+        for n_edges in (args.edges // 4, args.edges):
+            for op in args.ops.split(","):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     "--ops", op, "--edges", str(n_edges), "--cpus", str(args.cpus)],
+                    capture_output=True, text=True,
+                    env={**os.environ, "PYTHONPATH": REPO},
+                )
+                for ln in p.stdout.splitlines():
+                    if ln.startswith("{"):
+                        print(ln, flush=True)
+                        lines.append(json.loads(ln))
+                if p.returncode != 0:
+                    print(json.dumps({"op": op, "edges": n_edges,
+                                      "error": p.stderr.strip()[-400:]}), flush=True)
+        _summary(lines)
+        return
+
     spark = get_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,7 +146,7 @@ def main() -> None:
         results.append(kw)
         print(json.dumps(kw), flush=True)
 
-    for n_edges in (args.edges // 4, args.edges):
+    for n_edges in (args.edges,):
         e = make_edges(spark, n_edges)
         e_cnt = e.count()
         seeds = (
@@ -146,7 +177,10 @@ def main() -> None:
         if "lpa" in ops:
             curve("lpa", lambda k: label_propagation(e, rounds=k), (1, 2, 3))
         if "anf" in ops:
-            curve("anf", lambda k: neighborhood_function(e, rounds=k, p=5), (1, 2, 3))
+            # p=4 (16 registers): the per-radius sketch state is
+            # #vertices x m rows — p=5 at 20M edges held ~3 radii of
+            # 160M-row checkpoints live in one session and OOM'd 48g
+            curve("anf", lambda k: neighborhood_function(e, rounds=k, p=4), (1, 2, 3))
         if "kcore" in ops:
             w, st, n = timed(lambda: kcore_vertices(e, k=3).count())
             record(op="kcore", edges=e_cnt, wall_s=round(w, 2), steal_s=round(st, 1),
@@ -160,7 +194,9 @@ def main() -> None:
                    note="chain len 16 -> resolves in ~5 doubling rounds (early break)")
         e.unpersist()
 
-    # summary: edges-scaling ratio per op (small -> large leg)
+
+def _summary(results: list) -> None:
+    """Edges-scaling ratio per op (small -> large leg)."""
     print("\n== edges-scaling (wall ratio at 4x edges; flat per-edge cost == ~4) ==")
     by_op: dict = {}
     for r in results:
