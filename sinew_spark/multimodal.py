@@ -121,7 +121,20 @@ def extract_image_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
-                w, h, c = decode_image(content, fake=fake)
+                # per-item tolerance: at corpus scale corrupt bytes are
+                # guaranteed (truncated PNG, bad zlib stream) and must
+                # not abort the stage — dimensions go NULL, sha256 and
+                # n_bytes stay real so the row remains accountable.
+                # NotImplementedError (missing codec CAPABILITY, e.g.
+                # JPEG without Pillow) still raises: that is a pipeline
+                # configuration fact, deterministic on the first item,
+                # not a data defect to paper over.
+                try:
+                    w, h, c = decode_image(content, fake=fake)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    w = h = c = None
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -202,10 +215,18 @@ def resize_images(
                     scale = min(1.0, max_side / max(w, h))
                     out_w, out_h, out_bytes = int(w * scale), int(h * scale), content
                 else:
-                    px = decode_image_pixels(content)
-                    small = imagecodec.resize_nearest(px, max_side)
-                    out_h, out_w = small.shape[:2]
-                    out_bytes = imagecodec.encode_png(small)
+                    # corrupt bytes -> NULL output row (media_id kept for
+                    # accounting); missing-codec NotImplementedError still
+                    # raises — see extract_image_metadata
+                    try:
+                        px = decode_image_pixels(content)
+                        small = imagecodec.resize_nearest(px, max_side)
+                        out_h, out_w = small.shape[:2]
+                        out_bytes = imagecodec.encode_png(small)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        out_w = out_h = out_bytes = None
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -255,10 +276,15 @@ def extract_audio_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
                             "not RIFF/WAVE — compressed audio needs "
                             "ffmpeg/soundfile, absent in this container"
                         )
-                    info = imagecodec.wav_info(content)
-                    dur = round(info["duration_sec"], 6)
-                    rate = info["sample_rate"]
-                    nch = info["n_channels"]
+                    # corrupt RIFF (bad fmt chunk, truncated data) -> NULL
+                    # metadata instead of a stage abort; sha256 stays real
+                    try:
+                        info = imagecodec.wav_info(content)
+                        dur = round(info["duration_sec"], 6)
+                        rate = info["sample_rate"]
+                        nch = info["n_channels"]
+                    except Exception:
+                        dur = rate = nch = None
                 rows.append(
                     {
                         "media_id": r.media_id,

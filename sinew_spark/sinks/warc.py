@@ -430,7 +430,14 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         if head_end < 0:
             return
         head = _parse_headers(data[pos:head_end])
-        clen = int(head.get("content-length", "0"))
+        # tolerant: a non-numeric Content-Length loses the record framing
+        # entirely — nothing after it can be trusted, so end THIS member's
+        # parse instead of raising and killing the task (other .gz members
+        # of the archive still import)
+        clen_raw = head.get("content-length", "0")
+        if not clen_raw.isdigit():
+            return
+        clen = int(clen_raw)
         content = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
         wtype = head.get("warc-type")
@@ -447,7 +454,12 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
             http_head = content[:http_end]
             body = content[http_end + 4 :]
             first = http_head.split(b"\r\n", 1)[0].split()
-            status = int(first[1]) if len(first) > 1 else 0
+            # tolerant: a malformed status token in an external archive
+            # ("HTTP/1.1 abc") must not kill the reader task — it maps to
+            # 0, the same bucket as a missing status line
+            status = (
+                int(first[1]) if len(first) > 1 and first[1].isdigit() else 0
+            )
             ctype = _parse_headers(http_head).get("content-type", "")
         yield {
             "url": head.get("warc-target-uri", ""),
@@ -562,7 +574,17 @@ def bootstrap_crawl_from_warc(
             # (A blanket decode(body,'UTF-8') THROWS on the first mojibake
             # page under Spark 4's strict coding-error behavior.)
             decode_auto(F.col("body"), F.col("content_type")).alias("resp_body"),
-            F.unix_timestamp(F.to_timestamp("date")).cast("double").alias("fetched_at"),
+            # try_to_timestamp, not to_timestamp: a single malformed
+            # WARC-Date in an external archive would CAST_INVALID_INPUT
+            # under Spark 4's ANSI default and abort the bootstrap.
+            # Unparseable -> epoch 0.0 = "oldest", so the latest-wins
+            # window below always prefers a dated record and an undated
+            # page stays maximally recrawl-eligible (the conservative
+            # bucket, matching sitemap_stale's posture).
+            F.coalesce(
+                F.unix_timestamp(F.try_to_timestamp("date")).cast("double"),
+                F.lit(0.0),
+            ).alias("fetched_at"),
         )
     )
     base = (

@@ -182,3 +182,50 @@ def test_audio_metadata(spark):
     assert len(meta) == 1
     m = meta[0]
     assert m.duration_sec > 1.0 and m.sample_rate in (16000, 44100) and m.n_channels in (1, 2)
+
+
+def test_corrupt_media_degrades_to_null_not_abort(spark):
+    """Per-item tolerance in real-decode mode: a truncated PNG and a
+    corrupt RIFF yield NULL decoded fields (sha256/n_bytes stay real)
+    instead of killing the stage — at corpus scale corrupt bytes are
+    guaranteed. Missing-codec NotImplementedError still raises (that's
+    a capability fact, pinned in test_real_decode's JPEG case)."""
+    import hashlib as _h
+    import numpy as np
+
+    from sinew_spark.functions.imagecodec import encode_png
+    from sinew_spark.multimodal import (
+        extract_audio_metadata,
+        extract_image_metadata,
+        resize_images,
+    )
+
+    ok_png = encode_png(
+        np.random.default_rng(3).integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    )
+    bad_png = ok_png[:20]  # magic + truncated IHDR: sniffs as png, can't decode
+    media = spark.createDataFrame(
+        [
+            ("ok", "image", bytearray(ok_png), "image/png", "http://x/ok.png"),
+            ("bad", "image", bytearray(bad_png), "image/png", "http://x/bad.png"),
+        ],
+        "media_id string, kind string, content binary, content_type string, source_url string",
+    )
+    meta = {m.media_id: m for m in extract_image_metadata(media, fake=False).collect()}
+    assert (meta["ok"].width, meta["ok"].height) == (7, 5)
+    assert meta["bad"].width is None and meta["bad"].height is None
+    assert meta["bad"].sha256 == _h.sha256(bad_png).hexdigest()
+    assert meta["bad"].n_bytes == len(bad_png)
+
+    out = {r.media_id: r for r in resize_images(media, max_side=4, fake=False).collect()}
+    assert out["ok"].content is not None and out["ok"].width == 4
+    assert out["bad"].content is None and out["bad"].width is None
+
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEjunkjunk"
+    audio = spark.createDataFrame(
+        [("aw", "audio", bytearray(bad_wav), "audio/wav", "http://x/a.wav")],
+        "media_id string, kind string, content binary, content_type string, source_url string",
+    )
+    a = extract_audio_metadata(audio, fake=False).collect()[0]
+    assert a.sample_rate is None and a.duration_sec is None
+    assert a.sha256 == _h.sha256(bad_wav).hexdigest()

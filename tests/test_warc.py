@@ -330,3 +330,75 @@ def test_wat_coexists_and_point_lookup(spark, src, tmp_path):
     r0 = idx.iloc[0]
     rec = read_warc_record(out, r0["filename"], int(r0["offset"]), int(r0["length"]))
     assert rec["warc_type"] == "metadata" and rec["url"] == r0["url"]
+
+
+def _raw_record(url: str, date: str, status_line: bytes, body: bytes,
+                content_length: bytes | None = None) -> bytes:
+    http = status_line + b"\r\nContent-Type: text/html\r\n\r\n" + body
+    clen = content_length if content_length is not None else str(len(http)).encode()
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + date.encode() + b"\r\n"
+        b"Content-Length: " + clen + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+def test_malformed_archive_records_tolerated(spark, tmp_path):
+    """External archives carry garbage: a non-numeric HTTP status token
+    maps to status 0 (same bucket as a missing status line) and a
+    malformed WARC-Date bootstraps as fetched_at 0.0 (oldest = most
+    recrawl-eligible) — neither kills the job (ADVICE sitemap posture)."""
+    import gzip as _gz
+
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    good = _raw_record("http://t.test/good", "2024-01-01T00:00:00Z",
+                       b"HTTP/1.1 200 OK", b"<p>fine</p>")
+    bad_status = _raw_record("http://t.test/badstatus", "not-a-date",
+                             b"HTTP/1.1 abc NOPE", b"<p>odd</p>")
+    (arch / "part-0.warc.gz").write_bytes(_gz.compress(good + bad_status))
+    back = read_warc(spark, str(arch)).toPandas().set_index("url")
+    assert back.loc["http://t.test/good", "status"] == 200
+    assert back.loc["http://t.test/badstatus", "status"] == 0
+
+    from sinew_spark.crawl import Crawler, CrawlOptions
+    from sinew_spark.sinks.warc import bootstrap_crawl_from_warc
+    from sinew_spark.sources.fetch import FixtureFetcher
+
+    c = Crawler(
+        spark, str(tmp_path / "crawl"), FixtureFetcher(seed=1),
+        CrawlOptions(retries=0),
+    )
+    assert bootstrap_crawl_from_warc(c, str(arch)) == 2
+    ts = {
+        r.url: r.fetched_at
+        for r in c.fetched_t.read().select("url", "fetched_at").collect()
+    }
+    assert ts["http://t.test/badstatus"] == 0.0
+    assert ts["http://t.test/good"] > 0.0
+
+
+def test_garbage_content_length_ends_member_parse(spark, tmp_path):
+    """A non-numeric Content-Length loses the framing — the member's
+    parse ends at that record instead of raising; earlier records and
+    other members still import."""
+    import gzip as _gz
+
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    good = _raw_record("http://t.test/a", "2024-01-01T00:00:00Z",
+                       b"HTTP/1.1 200 OK", b"x")
+    broken = _raw_record("http://t.test/b", "2024-01-01T00:00:01Z",
+                         b"HTTP/1.1 200 OK", b"y", content_length=b"oops")
+    # member 1: good record then broken framing; member 2: another good one
+    m1 = _gz.compress(good + broken)
+    m2 = _gz.compress(_raw_record("http://t.test/c", "2024-01-01T00:00:02Z",
+                                  b"HTTP/1.1 200 OK", b"z"))
+    (arch / "part-0.warc.gz").write_bytes(m1)
+    (arch / "part-1.warc.gz").write_bytes(m2)
+    urls = set(read_warc(spark, str(arch)).toPandas()["url"])
+    assert "http://t.test/a" in urls and "http://t.test/c" in urls
+    assert "http://t.test/b" not in urls
