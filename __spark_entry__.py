@@ -4613,7 +4613,8 @@ def oracle_sql() -> dict[str, str]:
         "'hub' || CAST(doc_id // 40 AS VARCHAR) FROM documents WHERE doc_id % 20 < 2), "
         "e AS (SELECT DISTINCT v, w FROM (SELECT src AS v, dst AS w FROM e0 "
         "UNION ALL SELECT dst, src FROM e0) WHERE v <> w), "
-        "l0 AS (SELECT DISTINCT v, v AS label FROM e), "
+        "l0 AS (SELECT DISTINCT v, v AS label FROM "
+        "(SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0)), "
         + _lpa_round(0)
         + ", "
         + _lpa_round(1)

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 
 def get_spark(cpus: int) -> SparkSession:
+    # deliberately NOT sinew_spark.session.get_spark: this measurement
+    # pins its own driver heap (48g — the 20M-edge register state) and
+    # must stay insulated from library session-default changes so old
+    # and new evidence runs remain comparable
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))

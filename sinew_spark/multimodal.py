@@ -122,17 +122,19 @@ def extract_image_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
                 # per-item tolerance: at corpus scale corrupt bytes are
-                # guaranteed (truncated PNG, bad zlib stream) and must
-                # not abort the stage — dimensions go NULL, sha256 and
-                # n_bytes stay real so the row remains accountable.
-                # NotImplementedError (missing codec CAPABILITY, e.g.
-                # JPEG without Pillow) still raises: that is a pipeline
-                # configuration fact, deterministic on the first item,
-                # not a data defect to paper over.
+                # guaranteed (truncated PNG, bad zlib stream, mislabeled
+                # or garbage leading bytes) and must not abort the stage
+                # — dimensions go NULL, sha256 and n_bytes stay real so
+                # the row remains accountable. NotImplementedError is
+                # caught too: the sniff that raises it is data-dependent
+                # (corrupt magic bytes look identical to an unsupported
+                # format), so "raise on the first JPEG" would really be
+                # "abort the whole stage on one bad row". A no-Pillow
+                # misconfiguration shows up as the null-fraction of this
+                # output, which callers should monitor; decode_image
+                # itself still raises for direct callers.
                 try:
                     w, h, c = decode_image(content, fake=fake)
-                except NotImplementedError:
-                    raise
                 except Exception:
                     w = h = c = None
                 rows.append(
@@ -215,16 +217,15 @@ def resize_images(
                     scale = min(1.0, max_side / max(w, h))
                     out_w, out_h, out_bytes = int(w * scale), int(h * scale), content
                 else:
-                    # corrupt bytes -> NULL output row (media_id kept for
-                    # accounting); missing-codec NotImplementedError still
-                    # raises — see extract_image_metadata
+                    # corrupt/undecodable bytes -> NULL output row
+                    # (media_id kept for accounting) — incl. the
+                    # data-dependent NotImplementedError, see
+                    # extract_image_metadata
                     try:
                         px = decode_image_pixels(content)
                         small = imagecodec.resize_nearest(px, max_side)
                         out_h, out_w = small.shape[:2]
                         out_bytes = imagecodec.encode_png(small)
-                    except NotImplementedError:
-                        raise
                     except Exception:
                         out_w = out_h = out_bytes = None
                 rows.append(
@@ -271,14 +272,15 @@ def extract_audio_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
                     rate = 16000 if h[3] % 2 == 0 else 44100
                     nch = 1 + h[4] % 2
                 else:
-                    if imagecodec.sniff(content) != "wav":
-                        raise NotImplementedError(
-                            "not RIFF/WAVE — compressed audio needs "
-                            "ffmpeg/soundfile, absent in this container"
-                        )
-                    # corrupt RIFF (bad fmt chunk, truncated data) -> NULL
-                    # metadata instead of a stage abort; sha256 stays real
+                    # non-WAV (compressed audio needs ffmpeg/soundfile,
+                    # absent here) and corrupt RIFF (bad fmt chunk,
+                    # truncated data) both -> NULL metadata instead of a
+                    # stage abort: the sniff is data-dependent, so one
+                    # garbage row must not kill the job; sha256 stays
+                    # real and the null-fraction is the capability signal
                     try:
+                        if imagecodec.sniff(content) != "wav":
+                            raise ValueError("not RIFF/WAVE")
                         info = imagecodec.wav_info(content)
                         dur = round(info["duration_sec"], 6)
                         rate = info["sample_rate"]

@@ -63,8 +63,13 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # vertex set from the PRE-filter endpoints: a vertex whose only edges
+    # are self-loops has no one to vote with but is still an endpoint —
+    # it must appear in the output with its own label ("every distinct
+    # endpoint"), not vanish because the loop filter emptied its rows
     labels = (
-        sym.select("v")
+        edges.select(F.col(src).alias("v"))
+        .union(edges.select(F.col(dst).alias("v")))
         .distinct()
         .select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)

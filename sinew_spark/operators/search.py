@@ -44,11 +44,15 @@ Spark's `div` on decimal operands returns that exact bigint quotient.
 The per-term score sum accumulates in decimal(38,0) and checked-casts
 to BIGINT at the end. Envelope, all exact with SCALE = 1e6 fixed:
 
-    idf_s   <= SCALE * N            -> N      <= ~9e12 docs
-    products<= SCALE^2 * 2.2 * N    ~  2.2e22 at N = 1e10  (decimal ok)
-    score   <= |query| * 2.2e10 * SCALE -> ~400 distinct query terms
-               at the full 1e10-doc design point before the final cast
-               would overflow (it raises, never wraps, under ANSI)
+    idf_s   <= SCALE * N / 2 (df >= 1)    -> fits int64 to N ~ 1.8e13
+    products<= SCALE^2 * 1.1 * N    ~  1.1e22 at N = 1e10  (decimal ok)
+    per-term quotient <= 1.1 * SCALE * N  -> the binding bound:
+               fits int64 to N <= ~8e12 docs at the default k1
+               (= 9.2e18 / ((k1_x1000+1000)/2000 * SCALE) — shrinks
+               with larger k1)
+    score   <= |query| * 1.1e16 at N = 1e10 -> ~800 distinct query
+               terms at the full design point before the final checked
+               cast would overflow (it raises, never wraps, under ANSI)
 
 No user-tunable `scale` remains — the resolution is constant at any
 corpus size, and DuckDB replays the identical math in HUGEINT.
@@ -118,8 +122,8 @@ def bm25_topk(
 
     Scale-proof by construction: products that can exceed int64 run in
     decimal(38,0) and every quotient provably fits bigint (module
-    docstring envelope — exact to ~9e12 docs), so the same scores come
-    out at any corpus size with no tuning knob.
+    docstring envelope — exact to ~8e12 docs at the default k1), so the
+    same scores come out at any corpus size with no tuning knob.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")

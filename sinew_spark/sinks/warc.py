@@ -430,14 +430,24 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
         if head_end < 0:
             return
         head = _parse_headers(data[pos:head_end])
-        # tolerant: a non-numeric Content-Length loses the record framing
-        # entirely — nothing after it can be trusted, so end THIS member's
-        # parse instead of raising and killing the task (other .gz members
-        # of the archive still import)
-        clen_raw = head.get("content-length", "0")
-        if not clen_raw.isdigit():
-            return
-        clen = int(clen_raw)
+        # tolerant: a malformed Content-Length loses THIS record's framing
+        # (and python's gzip reader concatenates every member of a .warc.gz
+        # into one stream, so ending the parse here would silently drop all
+        # remaining records in the FILE). Resync to the next record-separator
+        # + header marker instead — best-effort recovery that loses only the
+        # corrupt record. try/except, not .isdigit(): latin-1-decoded header
+        # garbage like '²' passes isdigit() yet raises in int(); a negative
+        # length is equally unframeable (and would walk pos backwards).
+        try:
+            clen = int(head.get("content-length", "0"))
+            if clen < 0:
+                raise ValueError("negative Content-Length")
+        except ValueError:
+            nxt = data.find(b"\r\n\r\nWARC/1.0\r\n", head_end)
+            if nxt < 0:
+                return
+            pos = nxt + 4
+            continue
         content = data[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
         wtype = head.get("warc-type")

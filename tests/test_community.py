@@ -92,3 +92,19 @@ def test_duplicate_and_loop_edges_do_not_skew_votes(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_self_loop_only_vertex_keeps_own_label(spark):
+    """A vertex whose ONLY edges are self-loops is still an endpoint:
+    it must appear in the output with its own label ("every distinct
+    endpoint"), not vanish because the simple-graph preamble dropped
+    its rows (self-canonical links are common on the web)."""
+    got = {
+        r.v: r.label
+        for r in label_propagation(
+            spark.createDataFrame([("a", "b"), ("c", "c")], ["src", "dst"]),
+            rounds=2,
+        ).collect()
+    }
+    assert got["c"] == "c"
+    assert set(got) == {"a", "b", "c"}

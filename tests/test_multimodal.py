@@ -185,11 +185,13 @@ def test_audio_metadata(spark):
 
 
 def test_corrupt_media_degrades_to_null_not_abort(spark):
-    """Per-item tolerance in real-decode mode: a truncated PNG and a
-    corrupt RIFF yield NULL decoded fields (sha256/n_bytes stay real)
-    instead of killing the stage — at corpus scale corrupt bytes are
-    guaranteed. Missing-codec NotImplementedError still raises (that's
-    a capability fact, pinned in test_real_decode's JPEG case)."""
+    """Per-item tolerance in real-decode mode: a truncated PNG, a
+    corrupt RIFF, AND unsupported/garbage leading bytes (a JPEG with no
+    Pillow — the sniff that raises NotImplementedError is
+    data-dependent) all yield NULL decoded fields (sha256/n_bytes stay
+    real) instead of killing the stage — at corpus scale corrupt bytes
+    are guaranteed. decode_image itself still raises for direct
+    callers (pinned above)."""
     import hashlib as _h
     import numpy as np
 
@@ -204,18 +206,21 @@ def test_corrupt_media_degrades_to_null_not_abort(spark):
         np.random.default_rng(3).integers(0, 256, (5, 7, 3), dtype=np.uint8)
     )
     bad_png = ok_png[:20]  # magic + truncated IHDR: sniffs as png, can't decode
+    jpeg = b"\xff\xd8\xff\xe0junk"  # unsupported container without Pillow
     media = spark.createDataFrame(
         [
             ("ok", "image", bytearray(ok_png), "image/png", "http://x/ok.png"),
             ("bad", "image", bytearray(bad_png), "image/png", "http://x/bad.png"),
+            ("jpg", "image", bytearray(jpeg), "image/jpeg", "http://x/j.jpg"),
         ],
         "media_id string, kind string, content binary, content_type string, source_url string",
     )
     meta = {m.media_id: m for m in extract_image_metadata(media, fake=False).collect()}
     assert (meta["ok"].width, meta["ok"].height) == (7, 5)
-    assert meta["bad"].width is None and meta["bad"].height is None
-    assert meta["bad"].sha256 == _h.sha256(bad_png).hexdigest()
-    assert meta["bad"].n_bytes == len(bad_png)
+    for bad_id, raw in (("bad", bad_png), ("jpg", jpeg)):
+        assert meta[bad_id].width is None and meta[bad_id].height is None
+        assert meta[bad_id].sha256 == _h.sha256(raw).hexdigest()
+        assert meta[bad_id].n_bytes == len(raw)
 
     out = {r.media_id: r for r in resize_images(media, max_side=4, fake=False).collect()}
     assert out["ok"].content is not None and out["ok"].width == 4

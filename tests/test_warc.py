@@ -381,24 +381,27 @@ def test_malformed_archive_records_tolerated(spark, tmp_path):
     assert ts["http://t.test/good"] > 0.0
 
 
-def test_garbage_content_length_ends_member_parse(spark, tmp_path):
-    """A non-numeric Content-Length loses the framing — the member's
-    parse ends at that record instead of raising; earlier records and
-    other members still import."""
+def test_garbage_content_length_resyncs_to_next_record(spark, tmp_path):
+    """A malformed Content-Length (non-numeric — including latin-1
+    digit lookalikes like '²' that pass str.isdigit but not int() —
+    or negative) loses only THAT record: the parser resyncs to the
+    next record-separator + WARC/1.0 marker, so later records in the
+    SAME gzip stream still import (python's gzip concatenates all
+    members of a file into one stream — 'end the parse' would silently
+    drop everything after the corrupt record)."""
     import gzip as _gz
 
     arch = tmp_path / "arch"
     arch.mkdir()
-    good = _raw_record("http://t.test/a", "2024-01-01T00:00:00Z",
-                       b"HTTP/1.1 200 OK", b"x")
-    broken = _raw_record("http://t.test/b", "2024-01-01T00:00:01Z",
-                         b"HTTP/1.1 200 OK", b"y", content_length=b"oops")
-    # member 1: good record then broken framing; member 2: another good one
-    m1 = _gz.compress(good + broken)
-    m2 = _gz.compress(_raw_record("http://t.test/c", "2024-01-01T00:00:02Z",
-                                  b"HTTP/1.1 200 OK", b"z"))
-    (arch / "part-0.warc.gz").write_bytes(m1)
-    (arch / "part-1.warc.gz").write_bytes(m2)
+    rec = lambda path, clen=None: _raw_record(  # noqa: E731
+        f"http://t.test/{path}", "2024-01-01T00:00:00Z",
+        b"HTTP/1.1 200 OK", b"x", content_length=clen,
+    )
+    # good, bad(non-numeric), good, bad(latin-1 superscript-two),
+    # bad(negative), good — all in ONE gzip stream
+    blob = (rec("a") + rec("b", b"oops") + rec("c")
+            + rec("d", "²".encode("latin-1")) + rec("e", b"-7") + rec("f"))
+    (arch / "part-0.warc.gz").write_bytes(_gz.compress(blob))
     urls = set(read_warc(spark, str(arch)).toPandas()["url"])
-    assert "http://t.test/a" in urls and "http://t.test/c" in urls
-    assert "http://t.test/b" not in urls
+    assert {"http://t.test/a", "http://t.test/c", "http://t.test/f"} <= urls
+    assert not {"http://t.test/b", "http://t.test/d", "http://t.test/e"} & urls
