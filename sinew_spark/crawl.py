@@ -145,10 +145,15 @@ def host_report(fetched: DataFrame) -> DataFrame:
     groupBy (a single hash shuffle carrying one row per host), safe at
     any frontier scale.
 
-    Outcome classes: ok = 2xx, redirects = 3xx, http_errors = 4xx/5xx,
-    transport_errors = rows with a non-null ``error`` (DNS/timeout/TLS —
-    status 0). ``bytes`` sums stored body octets (post-decode); rows
-    whose body was never stored (304s, errors) contribute 0."""
+    Outcome classes are DISJOINT: ok = 2xx, redirects = 3xx,
+    http_errors = 4xx/5xx, transport_errors = status < 100, i.e. below
+    the HTTP status space (the live transport stamps -1 on DNS/timeout/
+    TLS, fetch.py). Classifying transport by status, not by ``error``:
+    retry-exhausted 5xx rows also carry a non-null ``error``
+    ("status 503"), and counting those would report phantom DNS/TLS
+    failures equal to the 5xx count. ``bytes`` sums
+    stored body octets (post-decode); rows whose body was never stored
+    (304s, errors) contribute 0."""
     status = F.col("status")
     return (
         fetched.groupBy("host")
@@ -157,7 +162,9 @@ def host_report(fetched: DataFrame) -> DataFrame:
             F.sum(status.between(200, 299).cast("long")).alias("ok"),
             F.sum(status.between(300, 399).cast("long")).alias("redirects"),
             F.sum(status.between(400, 599).cast("long")).alias("http_errors"),
-            F.sum(F.col("error").isNotNull().cast("long")).alias("transport_errors"),
+            F.sum((F.coalesce(status, F.lit(-1)) < 100).cast("long")).alias(
+                "transport_errors"
+            ),
             F.sum(
                 F.coalesce(F.octet_length("resp_body"), F.lit(0)).cast("long")
             ).alias("bytes"),
@@ -307,6 +314,11 @@ class Crawler:
             default_params=self.opts.params,
             ignore_params=self.opts.ignore_params,
         )
+        # one Crawler = one run: force/force_errors re-admission (step 8)
+        # distinguishes "attempted THIS run" from "seen in a previous run"
+        # by fetched_at >= this stamp — the same cross-machine clock
+        # doctrine the TTL (expires) comparison already relies on
+        self._run_started_at = time.time()
         self.frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"), FRONTIER_SCHEMA)
         self.seen_t = SnapshotTable(spark, os.path.join(workdir, "seen"), SEEN_SCHEMA)
         self.fetched_t = SnapshotTable(spark, os.path.join(workdir, "fetched"), _FETCHED_WITH_ROUND)
@@ -560,7 +572,9 @@ class Crawler:
         else:
             selected = cand
         selected = take_round_budget(selected, round_budget)
-        n_candidates = cand.count() if round_budget else None
+        # `is not None`, not truthiness: an explicit budget=0 round must
+        # still report its real candidate count
+        n_candidates = cand.count() if round_budget is not None else None
 
         # Pin fetch parallelism. AQE sizes shuffle partitions by BYTES
         # (64 MB advisory), but frontier rows are slim while per-row fetch
@@ -726,14 +740,24 @@ class Crawler:
         if has_redirects:
             # deterministic key-dedup: a directly-fetched row beats a hop
             # row for the same key (replay determinism — dropDuplicates
-            # picks arbitrarily)
+            # picks arbitrarily). (kind, url) alone can tie — two pages
+            # redirecting to the SAME final URL produce two finals rows
+            # with identical key and url — so the ordering continues
+            # through (status, fetched_at, hop_of) to stay total: lowest
+            # status, then earliest stamp, then lexicographic hop parent.
             union = seen_new.unionByName(hops).unionByName(finals)
             all_seen_new = (
                 union.groupBy("key")
                 .agg(
                     F.min_by(
                         F.struct(*[f.name for f in SEEN_SCHEMA.fields]),
-                        F.struct(F.col("hop_of").isNotNull().cast("int"), F.col("url")),
+                        F.struct(
+                            F.col("hop_of").isNotNull().cast("int"),
+                            F.col("url"),
+                            F.col("status"),
+                            F.col("fetched_at"),
+                            F.coalesce(F.col("hop_of"), F.lit("")),
+                        ),
                     ).alias("r")
                 )
                 .select("r.*")
@@ -861,7 +885,15 @@ class Crawler:
                     F.col("depth").alias("parent_depth"),
                     F.posexplode("links").alias("link_idx", "url"),
                 )
-                # deterministic seq: parent slot + in-document order
+                # deterministic seq: parent slot + in-document order. The
+                # per-page outlink cap (standard crawler practice — Heritrix
+                # and Nutch both cap outlinks) keeps every link's seq inside
+                # its parent's LINK_STRIDE slot: without it link 1000 of
+                # parent p would collide with link 1 of parent p+1, and seq
+                # collisions break the replay-determinism the within-round
+                # dedup and budget selection are built on. Dropped links are
+                # deterministically the TRAILING ones in document order.
+                links = links.where(F.col("link_idx") < LINK_STRIDE - 1)
                 links = links.select(
                     F.col("url"),
                     F.lit("GET").alias("method"),
@@ -899,22 +931,74 @@ class Crawler:
                 next_frontier = leftover.unionByName(new_frontier_rows)
             else:
                 next_frontier = leftover
-            # drop already-seen rows (incl. this round's commits) — PLAIN key
-            # semantics here even in TTL/force modes: a key fetched this run is
-            # out of the frontier, and the next round's start re-applies the
-            # semantic filter to whatever re-enters. The shard path absorbs the
-            # fresh delta into its shards (the sync the next round would do
-            # anyway) and probes shard-local — the per-round O(seen) shuffle
-            # this join used to cost is gone. Semantic runs keep only the
-            # valued store in sync (it answers the plain probe too).
+            # drop rows that can never be fetched again THIS RUN. Plain key
+            # semantics (blocked iff ever seen) for the normal and pure-TTL
+            # paths: a key fetched this run is out of the frontier, and in TTL
+            # mode a still-fresh key cannot be fetched before the loop drains —
+            # recrawl re-enters it by re-seeding (module doctrine). The shard
+            # path absorbs the fresh delta into its shards (the sync the next
+            # round would do anyway) and probes shard-local — the per-round
+            # O(seen) shuffle this join used to cost is gone. Semantic runs
+            # keep only the valued store in sync (it answers every probe
+            # flavor below).
+            #
+            # force/force_errors are DIFFERENT: a key seen only in a PREVIOUS
+            # run is exactly what these modes exist to refetch (C6,
+            # frontier.py anti_join_seen force semantics) — plain rejection
+            # here would evict a rediscovered link before any round-start
+            # filter ever saw it. Instead drop only
+            #   - keys ATTEMPTED THIS RUN (any status): fetched_at >=
+            #     _run_started_at, expressed as the probe's TTL cutoff — this
+            #     is what guarantees drain (at most one fetch per key per
+            #     run, even for a host that 500s forever);
+            #   - for force_errors additionally every ever-OK key, which that
+            #     mode never refetches.
             store = self._seen_vals if semantic else self._seen_keys
             if use_shards:
                 store.sync(self.seen_t)
+            refetch_mode = self.opts.force or self.opts.force_errors
+            # expires=0 with now pinned at run start makes the probe's TTL
+            # cutoff EXACTLY _run_started_at (blocked iff fetched_at >= run
+            # start = attempted this run) — no clock re-read, no race with
+            # stamps taken earlier this round
             if use_shards and store.in_sync_with(self.seen_t):
-                next_frontier = store.reject_seen(next_frontier)
+                if refetch_mode:
+                    if self.opts.force_errors and not self.opts.force:
+                        next_frontier = store.reject_seen(
+                            next_frontier, force_errors=True
+                        )
+                    next_frontier = store.reject_seen(
+                        next_frontier, expires=0.0, now=self._run_started_at
+                    )
+                elif semantic:
+                    next_frontier = store.reject_seen(next_frontier)
+                else:
+                    # keys store: fuse the bloom short-circuit exactly like
+                    # the round-start probe — it was synced to the same
+                    # post-commit snapshot above, and next_frontier is the
+                    # mostly-NEW population (fresh links) the bloom exists
+                    # to skip binary searches for
+                    bloom = (
+                        self._bloom
+                        if self._bloom.in_sync_with(self.seen_t)
+                        else None
+                    )
+                    next_frontier = store.reject_seen(next_frontier, bloom=bloom)
             else:
                 seen_after = self.seen_t.read()
-                next_frontier = next_frontier.join(seen_after.select("key"), "key", "left_anti")
+                if refetch_mode:
+                    if self.opts.force_errors and not self.opts.force:
+                        next_frontier = anti_join_seen(
+                            next_frontier, seen_after, force_errors=True
+                        )
+                    next_frontier = anti_join_seen(
+                        next_frontier, seen_after, expires=0.0,
+                        now=self._run_started_at,
+                    )
+                else:
+                    next_frontier = next_frontier.join(
+                        seen_after.select("key"), "key", "left_anti"
+                    )
             if self.opts.max_depth is not None:
                 next_frontier = next_frontier.where(F.col("depth") <= self.opts.max_depth)
             if self.robots is not None:
@@ -1025,17 +1109,18 @@ class Crawler:
         the handle is (table dir, identity key) rather than a per-request
         file.
 
-        Fast path: when the exact seen-key shards are warm and in sync
-        with the seen table, a MISS is answered entirely on the driver
-        (local canonicalize + hash + shard binary search — no Spark job,
-        matching the reference's O(1) local probe). Only a HIT (needs the
-        row's status/fetched_at) or a cold shard store runs the 1-row
-        Spark lookup."""
+        Fast path: when EITHER exact shard sidecar (key store, or the
+        valued store — the one semantic TTL/force_errors runs keep in
+        sync) is warm and in sync with the seen table, a MISS is answered
+        entirely on the driver (local canonicalize + hash + shard binary
+        search — no Spark job, matching the reference's O(1) local
+        probe). Only a HIT (needs the row's status/fetched_at) or a cold
+        store runs the 1-row Spark lookup."""
         key, curl = self._key_for(url, method, body)
         diskpath = os.path.join(self.workdir, "fetched")
-        if self._seen_keys.in_sync_with(self.seen_t):
-            if self._seen_keys.probe_local(key) is False:
-                return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
+        probe_store = self._local_probe_store()
+        if probe_store is not None and probe_store.probe_local(key) is False:
+            return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
         rows = self.seen_t.read().where(F.col("key") == key).limit(1).collect()
         if not rows:
             return {"status": "miss", "key": key, "url": curl, "diskpath": diskpath}
@@ -1050,13 +1135,24 @@ class Crawler:
 
     def cached(self, url: str, method: str = "GET", body: str = "") -> bool:
         """Boolean probe (sinew's ``cached?``): fully driver-local when the
-        key shards are warm — membership alone answers it, no Spark job in
-        either direction."""
-        if self._seen_keys.in_sync_with(self.seen_t):
-            hit = self._seen_keys.probe_local(self._key_for(url, method, body)[0])
+        key OR valued shards are warm — membership alone answers it, no
+        Spark job in either direction."""
+        probe_store = self._local_probe_store()
+        if probe_store is not None:
+            hit = probe_store.probe_local(self._key_for(url, method, body)[0])
             if hit is not None:
                 return hit
         return self.status(url, method, body)["status"] != "miss"
+
+    def _local_probe_store(self):
+        """Whichever exact shard sidecar is in sync with the seen table —
+        the key store (plain crawls) or the valued store (semantic
+        TTL/force_errors crawls sync only that one) — for O(1)
+        driver-local probes; None when both are cold."""
+        for s in (self._seen_keys, self._seen_vals):
+            if s.in_sync_with(self.seen_t):
+                return s
+        return None
 
     def uncache(self, url: str, method: str = "GET", body: str = "") -> None:
         """Row-level delete (sinew's uncache) — O(delta) end to end at the

@@ -827,9 +827,14 @@ class SeenKeyShardStore:
         if bloom is not None and (bloom.n_added == 0 or bloom.snapshot_id != self.snapshot_id):
             bloom = None  # empty or differently-synced bloom: exact-only
         if bloom is not None and bloom.n_shards != self.n_shards:
-            raise ValueError(
-                f"bloom/key shard routing mismatch: {bloom.n_shards} != {self.n_shards}"
-            )
+            # shard-routing mismatch (e.g. one sidecar deleted and rebuilt
+            # under a different bloom_shards setting): the bloom's shard
+            # files don't correspond to this store's routing, so its
+            # "definitely new" answers are untrustworthy — degrade to
+            # exact-only, same discipline as the out-of-sync branch above.
+            # Raising here would put the crawl in a permanent per-round
+            # crash loop that only manual sidecar deletion could clear.
+            bloom = None
         dirpath = self.path
         bloom_dir = bloom.path if bloom is not None else None
 
@@ -1068,7 +1073,6 @@ class SeenValueShardStore(SeenKeyShardStore):
             dead = np.unique(pdf["key"].to_numpy("int64"))
             entries = _val_entries(dirpath, shard)
             nxt = max((g for g, _k, _p in entries), default=0) + 1
-            tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
             if len(entries) + 1 > KEYS_COMPACT_RUNS:  # fold to one resolved run
                 loaded = []
                 for g, k, p in entries:
@@ -1090,6 +1094,7 @@ class SeenValueShardStore(SeenKeyShardStore):
                         pass
             else:
                 target = os.path.join(dirpath, f"vdel-{shard:05d}.r{nxt:06d}.npy")
+                tmp = os.path.join(dirpath, f"tmp-{shard}-{os.getpid()}.npy")
                 np.save(tmp, dead)
                 os.replace(tmp, target)
             return pd.DataFrame({"shard": [shard], "n_keys": [len(dead)]})

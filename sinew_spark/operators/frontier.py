@@ -78,9 +78,17 @@ def dedup_within_round(frontier: DataFrame) -> DataFrame:
     (verified via explain: no Exchange between this aggregate and the
     SortMergeJoin's left side)."""
     others = [f.name for f in FRONTIER_SCHEMA.fields if f.name != "key"]
+    # ordering struct, not bare seq: seq is unique across parents only up
+    # to the per-page outlink cap, and seed seqs share the link namespace
+    # — on a residual (key, seq) tie the (depth, priority, attempt)
+    # components keep the pick total instead of arbitrary (replay
+    # determinism is the whole point of this dedup)
+    ordering = F.struct(
+        F.col("seq"), F.col("depth"), F.col("priority"), F.col("attempt")
+    )
     return (
         frontier.groupBy("key")
-        .agg(F.min_by(F.struct(*others), F.col("seq")).alias("r"))
+        .agg(F.min_by(F.struct(*others), ordering).alias("r"))
         .select("key", *[F.col(f"r.{c}").alias(c) for c in others])
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
@@ -278,19 +286,31 @@ def take_round_budget(
     Range sampling is NOT stable across actions (measured), so phase 2
     never reuses phase-1 partition placement: it filters the original
     frontier by the VALUE thresholds phase 1 derived, which select the
-    identical set under any partitioning. (priority, seq) is unique, so
-    ranges are total and struct comparison is a total order."""
+    identical set under any partitioning. When the frontier carries a
+    ``key`` column it joins the sort key as the final tiebreak, making
+    ranges total even if (priority, seq) collides (seed and link seqs
+    share a namespace; beyond the per-page outlink cap collisions are
+    possible) — boundary picks then replay identically. Null priorities
+    sort FIRST (most urgent) in both paths, matching orderBy's
+    nulls-first default, so the two paths agree on any input."""
     if budget is None:
         return frontier
+    has_key = "key" in frontier.columns
+    tie = [F.col("key")] if has_key else []
+    # priority normalized null -> -inf: orderBy sorts nulls FIRST, but a
+    # null inside the phase-2 range predicates would evaluate to NULL and
+    # silently DROP the row from both sides — normalizing makes the two
+    # paths agree on any input
+    prio = F.coalesce(F.col("priority"), F.lit(float("-inf"))).alias("priority")
     if budget <= large_threshold:
-        return frontier.orderBy("priority", "seq").limit(budget)
+        return frontier.orderBy(prio, "seq", *tie).limit(budget)
 
     par = frontier.sparkSession.sparkContext.defaultParallelism
-    sk = F.struct(F.col("priority"), F.col("seq"))
+    sk = F.struct(prio, F.col("seq"), *tie)
     # phase 1 (one action, internally consistent): per-range row count and
     # actual [min, max] sort-key, ranges contiguous and pid-ordered
     stats = (
-        frontier.repartitionByRange(par * 2, F.col("priority"), F.col("seq"))
+        frontier.repartitionByRange(par * 2, prio, F.col("seq"), *tie)
         .select(F.spark_partition_id().alias("pid"), sk.alias("sk"))
         .groupBy("pid")
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("sk").alias("lo"), F.max("sk").alias("hi"))
@@ -306,10 +326,13 @@ def take_round_budget(
         return frontier
 
     def _sk_lit(v):
-        return F.struct(
+        fields = [
             F.lit(v.priority).cast("double").alias("priority"),
             F.lit(v.seq).cast("bigint").alias("seq"),
-        )
+        ]
+        if has_key:
+            fields.append(F.lit(v.key).alias("key"))
+        return F.struct(*fields)
 
     lo, hi = _sk_lit(boundary.lo), _sk_lit(boundary.hi)
     # phase 2: keys strictly below the boundary range all pass (exactly
@@ -320,7 +343,7 @@ def take_round_budget(
     passed = frontier.where(sk < lo)
     edge = (
         frontier.where((sk >= lo) & (sk <= hi))
-        .orderBy("priority", "seq")
+        .orderBy(prio, "seq", *tie)
         .limit(budget - acc)
     )
     return passed.unionByName(edge)

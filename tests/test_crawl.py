@@ -505,3 +505,138 @@ def test_host_state_append_joined_on_tail_failure(spark, tmpdir_path):
     assert c.host_state_t.current_snapshot() is not None
     rows = c.host_state_t.read().collect()
     assert any("tok" in (r.cookies or "") for r in rows)
+
+
+def test_force_refetches_rediscovered_links(spark, tmpdir_path):
+    """force + follow_links + a workdir with prior seen state: a link
+    DISCOVERED this run whose target was crawled in a previous run must
+    be refetched (anti_join_seen force semantics) — the next-frontier
+    filter may only drop keys attempted THIS run, or the rediscovered
+    target is evicted before any round-start filter sees it. Drain is
+    preserved: each key is fetched at most once per run. exact_shards
+    forces the valued-shard probe path (the anti-join fallback path is
+    covered by the force_errors test below)."""
+    pages = {
+        "http://fw.test/": '<a href="/leaf">leaf</a>',
+        "http://fw.test/leaf": "leaf",
+    }
+    opts = dict(
+        follow_links=True, max_depth=2, max_rounds=5, retries=0,
+        exact_shards=True,
+    )
+    c = Crawler(
+        spark, tmpdir_path + "/c", FixtureFetcher(seed=42, extra_pages=pages),
+        CrawlOptions(**opts),
+    )
+    c.seed(["http://fw.test/"])
+    c.run()
+    assert c.fetched_t.read().count() == 2  # root + leaf
+
+    # run 2, force: only the root is seeded; the leaf re-enters ONLY via
+    # link discovery, and force must refetch it exactly once
+    c2 = Crawler(
+        spark, tmpdir_path + "/c", FixtureFetcher(seed=42, extra_pages=pages),
+        CrawlOptions(force=True, **opts),
+    )
+    c2.seed(["http://fw.test/"])
+    stats = c2.run()
+    per_url = (
+        c2.fetched_t.read().groupBy("url").count().orderBy("url").collect()
+    )
+    assert {r.url: r["count"] for r in per_url} == {
+        "http://fw.test/": 2,
+        "http://fw.test/leaf": 2,
+    }
+    # drain: the run terminated by emptying the frontier, not max_rounds
+    assert len(stats) < 5
+
+
+def test_force_errors_refetches_rediscovered_error_link(spark, tmpdir_path):
+    """force_errors + follow_links: a rediscovered link whose target
+    ERRORED in a previous run is refetched; an OK target is not; and an
+    always-erroring target is attempted at most once per run (drain)."""
+    pages = {
+        "http://fe.test/": '<a href="http://error/boom">b</a> <a href="/ok">ok</a>',
+        "http://fe.test/ok": "fine",
+    }
+    opts = dict(follow_links=True, max_depth=2, max_rounds=6, retries=0)
+    c = Crawler(
+        spark, tmpdir_path + "/c", FixtureFetcher(seed=42, extra_pages=pages),
+        CrawlOptions(**opts),
+    )
+    c.seed(["http://fe.test/"])
+    c.run()
+    first = {r.url: r.status for r in c.fetched_t.read().collect()}
+    assert first["http://error/boom"] >= 500 and first["http://fe.test/ok"] == 200
+
+    # run 2 seeds a NEW page that links to both targets: the rediscovered
+    # error link must be refetched, the rediscovered OK link must not
+    pages2 = dict(pages)
+    pages2["http://fe.test/new"] = (
+        '<a href="http://error/boom">b</a> <a href="/ok">ok</a>'
+    )
+    c2 = Crawler(
+        spark, tmpdir_path + "/c", FixtureFetcher(seed=42, extra_pages=pages2),
+        CrawlOptions(force_errors=True, **opts),
+    )
+    c2.seed(["http://fe.test/new"])
+    stats = c2.run()
+    counts = {
+        r.url: r["count"]
+        for r in c2.fetched_t.read().groupBy("url").count().collect()
+    }
+    assert counts["http://error/boom"] == 2  # errored before -> refetched once
+    assert counts["http://fe.test/ok"] == 1  # OK before -> not refetched
+    assert counts["http://fe.test/new"] == 1  # new seed fetched once
+    # drain: the always-erroring key was attempted once this run, then
+    # left the frontier — the loop emptied before max_rounds
+    assert len(stats) < 6
+
+
+def test_outlink_cap_keeps_seq_in_parent_slot(spark, tmpdir_path):
+    """A page with more outlinks than LINK_STRIDE-1 keeps only the first
+    LINK_STRIDE-1 in document order: link seqs stay inside the parent's
+    slot, so they can never collide with the next parent's slot (the
+    invariant the within-round dedup and budget selection sort on)."""
+    from sinew_spark.crawl import LINK_STRIDE
+
+    n_links = LINK_STRIDE + 5
+    body = " ".join(f'<a href="/l{i}">x</a>' for i in range(n_links))
+    pages = {"http://big.test/": body}
+    pages.update({f"http://big.test/l{i}": "leaf" for i in range(n_links)})
+    c = Crawler(
+        spark, tmpdir_path + "/c", FixtureFetcher(seed=42, extra_pages=pages),
+        CrawlOptions(follow_links=True, max_depth=1, max_rounds=1, retries=0),
+    )
+    c.seed(["http://big.test/"])
+    stats = c.run()
+    assert stats[0]["new_links"] == LINK_STRIDE - 1
+    fr = c.frontier_t.read().select("url", "seq").collect()
+    seed_seq = 0  # single seed
+    for r in fr:
+        assert seed_seq * LINK_STRIDE < r.seq < (seed_seq + 1) * LINK_STRIDE
+    # the kept links are the FIRST in document order
+    kept = {r.url for r in fr}
+    assert "http://big.test/l0" in kept
+    assert f"http://big.test/l{n_links - 1}" not in kept
+
+
+def test_probe_driver_local_in_semantic_crawls(spark, tmpdir_path):
+    """TTL (expires) runs keep only the VALUED shard store in sync — the
+    interactive miss/cached probes must use it and stay driver-local
+    (zero Spark jobs), not fall through to a per-probe Spark lookup
+    because the key store is cold."""
+    c = make_crawler(spark, tmpdir_path, exact_shards=True, expires=3600)
+    c.seed(["http://httpbingo.org/sem1", "http://httpbingo.org/sem2"])
+    c.run()
+    assert not c._seen_keys.in_sync_with(c.seen_t)  # semantic: keys cold
+    assert c._seen_vals.in_sync_with(c.seen_t)
+    sc = spark.sparkContext
+    sc.setJobGroup("semprobe", "driver-local probe check")
+    try:
+        assert c.cached("http://httpbingo.org/sem1")
+        assert not c.cached("http://httpbingo.org/never")
+        assert c.status("http://httpbingo.org/nope")["status"] == "miss"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert tuple(sc.statusTracker().getJobIdsForGroup("semprobe")) == ()

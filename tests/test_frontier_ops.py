@@ -102,3 +102,45 @@ def test_take_round_budget_scale_path_exact_topk(spark):
         assert len(b) == min(budget, 5_000)
 
     assert take_round_budget(df.limit(0), 10, large_threshold=0).count() == 0
+
+
+def test_take_round_budget_null_priority_and_ties_deterministic(spark):
+    """Null priority sorts first (most urgent) in BOTH paths — the
+    scale path must not silently drop it via a NULL range predicate —
+    and (priority, seq) collisions are tie-broken by key when present,
+    so boundary picks replay identically."""
+    from sinew_spark.operators.frontier import take_round_budget
+
+    rows = [
+        (None, 5, "knull"),      # null priority: most urgent
+        (1.0, 7, "ka"),          # (1.0, 7) collides ...
+        (1.0, 7, "kb"),          # ... tie broken by key: ka < kb
+        (2.0, 1, "kc"),
+    ]
+    df = spark.createDataFrame(rows, "priority double, seq long, key string")
+    for thresh in (10, 0):  # small path, scale path
+        got = sorted(
+            (r.key for r in take_round_budget(df, 3, large_threshold=thresh).collect())
+        )
+        assert got == ["ka", "kb", "knull"], f"threshold={thresh}: {got}"
+
+
+def test_dedup_within_round_breaks_seq_ties_deterministically(spark):
+    """Two frontier rows with the SAME (key, seq) — possible where seed
+    and link seq namespaces overlap — must dedup to the same row under
+    any partitioning: lowest (seq, depth, priority, attempt) wins."""
+    from sinew_spark.operators.frontier import FRONTIER_SCHEMA, dedup_within_round
+
+    base = {f.name: None for f in FRONTIER_SCHEMA.fields}
+    mk = lambda **kw: tuple({**base, **kw}[f.name] for f in FRONTIER_SCHEMA.fields)  # noqa: E731
+    rows = [
+        mk(key=1, url="u", canonical_url="u", method="GET", body="",
+           host="h", priority=9.0, depth=3, seq=100, attempt=0),
+        mk(key=1, url="u", canonical_url="u", method="GET", body="",
+           host="h", priority=2.0, depth=1, seq=100, attempt=0),
+    ]
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    for parts in (1, 7):
+        out = dedup_within_round(df.repartition(parts)).collect()
+        assert len(out) == 1
+        assert out[0].depth == 1 and out[0].priority == 2.0
