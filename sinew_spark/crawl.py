@@ -604,13 +604,16 @@ class Crawler:
             # single groupBy(site) stage: the per-record (modification
             # stamp) merge already supersedes a host's older rows, so no
             # separate per-host max_by pass is needed
+            run_stamp = self._run_started_at
+
             def _merge_site(pdf):
                 import pandas as _pd
 
                 from sinew_spark.functions.cookies import merge_host_jars
 
                 js = merge_host_jars(
-                    list(zip(pdf["round"], pdf["host"], pdf["cookies"]))
+                    list(zip(pdf["round"], pdf["host"], pdf["cookies"])),
+                    now=run_stamp,
                 )
                 return _pd.DataFrame(
                     {"site": [pdf["site"].iloc[0]], "host_cookies": [js]}
@@ -831,12 +834,19 @@ class Crawler:
             # within a round, each seeing only its own sets/deletes — the
             # record-level (modification-stamp) merge keeps all of them,
             # and tombstones let a delete beat an untouched stale copy.
+            run_stamp = self._run_started_at
+
             def _merge_host(pdf):
                 import pandas as _pd
 
                 from sinew_spark.functions.cookies import merge_host_jars
 
-                js = merge_host_jars(list(zip(pdf["seq"], pdf["host"], pdf["cookies"])))
+                js = merge_host_jars(
+                    list(zip(pdf["seq"], pdf["host"], pdf["cookies"])),
+                    # run-start stamp: replay-stable within the run; GC of
+                    # records expired >30d ago bounds long-crawl jar growth
+                    now=run_stamp,
+                )
                 return _pd.DataFrame({"host": [pdf["host"].iloc[0]], "cookies": [js]})
 
             jar_updates = (

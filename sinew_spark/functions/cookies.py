@@ -152,10 +152,24 @@ def cookies_for(
     is https — Secure-flagged records are withheld otherwise (§5.4 step 1;
     replaying a Secure session cookie over plain http is a credential
     leak). Returns a flat name→value dict (what the transport sends)."""
+    return {
+        n: jar[k]["v"]
+        for n, k in _supplier_keys(jar, host, req_path, now, secure).items()
+    }
+
+
+def _supplier_keys(
+    jar: dict[tuple, dict], host: str, req_path: str, now: float, secure: bool = True
+) -> dict:
+    """(name -> jar key) of the record whose value ``cookies_for`` sends
+    per name — the same §5.4 walk, returning the WINNING record's key so
+    deletion-by-absence can tombstone exactly the record the server saw
+    (not every record sharing the name on other paths / Secure records
+    that were withheld from this request)."""
     if not jar:
         return {}
     cands = []
-    for rec in jar.values():
+    for key, rec in jar.items():
         if rec.get("tomb"):
             continue
         if rec.get("exp") is not None and rec["exp"] <= now:
@@ -169,11 +183,11 @@ def cookies_for(
             continue
         if not path_match(req_path or "/", rec["p"]):
             continue
-        cands.append(rec)
-    cands.sort(key=lambda r: (-len(r["p"]), r.get("at", 0)))
+        cands.append((key, rec))
+    cands.sort(key=lambda kr: (-len(kr[1]["p"]), kr[1].get("at", 0)))
     out: dict = {}
-    for rec in cands:
-        out.setdefault(rec["n"], rec["v"])
+    for key, rec in cands:
+        out.setdefault(rec["n"], key)
     return out
 
 
@@ -254,6 +268,7 @@ def apply_response_cookies(
     host: str,
     req_path: str,
     now: float,
+    secure: bool = True,
 ) -> bool:
     """Fold a transport's post-request cookie view back into the scoped
     jar. The transport speaks flat dicts: a NEW or CHANGED name (or a
@@ -270,14 +285,17 @@ def apply_response_cookies(
             changed |= set_cookie(jar, n, v, host, req_path, now)
     gone = set(sent) - set(after or {})
     if gone:
-        for key in [
-            k
-            for k, rec in jar.items()
-            if not rec.get("tomb")
-            and rec["n"] in gone
-            and (host.lower() == rec["d"].lower() if rec.get("ho") else domain_match(host, rec["d"]))
-            and path_match(req_path or "/", rec["p"])
-        ]:
+        # tombstone ONLY the record that SUPPLIED each deleted name — the
+        # §5.4 winner cookies_for actually sent. A same-named cookie on
+        # another path (shadowed, never sent) or a Secure record withheld
+        # from this http request is a DIFFERENT RFC 6265 cookie the server
+        # never saw; deleting it on absence would destroy live state.
+        # ``secure`` must match the flag the caller's cookies_for used.
+        suppliers = _supplier_keys(jar, host, req_path, now, secure)
+        for n in gone:
+            key = suppliers.get(n)
+            if key is None:
+                continue
             rec = jar[key]
             _tombstone(
                 jar, key, rec["d"], rec["p"], rec["n"], rec.get("ho", False),
@@ -334,9 +352,16 @@ def parse_set_cookie_header(value: str, now: float | None = None) -> tuple[str, 
             out["secure"] = True
     if "max_age" not in out and expires_raw is not None and now is not None:
         try:
+            from datetime import timezone
             from email.utils import parsedate_to_datetime
 
             dt = parsedate_to_datetime(expires_raw)
+            if dt.tzinfo is None:
+                # tz-less Expires dates are common in the wild; RFC 6265
+                # cookie dates are GMT, and a naive .timestamp() would be
+                # interpreted in EXECUTOR-local time — skewing expiry by
+                # the UTC offset and making replay jars machine-dependent
+                dt = dt.replace(tzinfo=timezone.utc)
             out["max_age"] = dt.timestamp() - now
         except (TypeError, ValueError):
             pass
@@ -350,7 +375,11 @@ def cookie_header(cookies: dict) -> str:
     return "; ".join(f"{n}={v}" for n, v in cookies.items())
 
 
-def merge_host_jars(rows: list[tuple[int, str, str]]) -> str | None:
+def merge_host_jars(
+    rows: list[tuple[int, str, str]],
+    now: float | None = None,
+    gc_horizon: float = 30 * 86400,
+) -> str | None:
     """Merge jar rows (same host across partitions/rounds, or sibling
     hosts of one site) into one jar. ``rows`` are (order, host, jar_json).
     The merge is per-RECORD: for each (domain, path, name) the record with
@@ -358,7 +387,19 @@ def merge_host_jars(rows: list[tuple[int, str, str]]) -> str | None:
     — so a set or delete observed on one row beats every untouched stale
     copy of the same cookie carried by other rows, and concurrent
     same-stamp writes resolve deterministically. Legacy flat jars
-    normalize against their own host."""
+    normalize against their own host.
+
+    ``now`` (optional) enables LONG-expired-record GC, bounding jar
+    growth for hosts that mint varying-name cookies (csrf_<id>, A/B
+    tags) over a long crawl: post-merge, non-tombstone records whose
+    ``exp`` lies more than ``gc_horizon`` seconds before ``now`` are
+    dropped. The horizon keeps the expired record around long enough to
+    beat any older live copy still circulating in unmerged rows (the
+    merge window is rounds, the horizon is weeks). Callers must pass a
+    REPLAY-STABLE ``now`` (a round/commit stamp), never wall-clock at
+    merge time, or merged jars stop being a pure function of their
+    inputs. Tombstones are never GC'd here — they are the deletion
+    signal and carry no wall-clock."""
     merged: dict[tuple, dict] = {}
     for _ord, host, js in sorted(rows, key=lambda r: (r[0], r[1])):
         if not js:
@@ -369,4 +410,11 @@ def merge_host_jars(rows: list[tuple[int, str, str]]) -> str | None:
                 "mt", prev.get("at", 0)
             ):
                 merged[k] = rec
+    if now is not None:
+        cutoff = now - gc_horizon
+        merged = {
+            k: r
+            for k, r in merged.items()
+            if r.get("tomb") or r.get("exp") is None or r["exp"] > cutoff
+        }
     return dump_jar(merged)

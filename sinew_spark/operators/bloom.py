@@ -964,7 +964,8 @@ class SeenValueShardStore(SeenKeyShardStore):
     plain path.
 
     Per key two values: ``fa_ok`` = max fetched_at over non-error seen
-    entries (status < 400, matching ``anti_join_seen``'s live filter) and
+    entries (status 100..399, matching ``anti_join_seen``'s live filter;
+    the transport's -1 stamp is error-class) and
     ``fa_err`` = max over error entries; either is -inf when that class has
     no entry. These are sufficient for every predicate combination
     ``anti_join_seen`` evaluates, because its live-entry condition is a
@@ -1013,7 +1014,10 @@ class SeenValueShardStore(SeenKeyShardStore):
             # plain probe — a finite -1e308 reproduces both.
             status = pdf["status"].fillna(600).to_numpy("int64")
             fa = pdf["fetched_at"].fillna(-1e308).to_numpy("float64")
-            ok = status < 400
+            # ok-class = 100..399, matching anti_join_seen's live filter:
+            # status < 100 is the transport's -1 stamp (DNS/timeout/TLS,
+            # redirect-limit) — error-class, so force_errors retries it
+            ok = (status >= 100) & (status < 400)
             uk, inv = np.unique(keys, return_inverse=True)
             mok = np.full(len(uk), _NEG_INF)
             merr = np.full(len(uk), _NEG_INF)

@@ -108,7 +108,10 @@ def anti_join_seen(
     - expires: seen entries older than `expires` seconds don't block a
       refetch (TTL as miss, test_base.rb:13-20)
     - force: all seen entries ignored (test_main.rb:28-36)
-    - force_errors: seen entries with status>=400 ignored (base.rb:39)
+    - force_errors: error-class seen entries ignored (base.rb:39) —
+      status >= 400 AND status < 100 (the transport stamps -1 on
+      DNS/timeout/TLS and on a redirect-limit failure; those are errors
+      a recrawl must retry just as much as a 5xx). Live = 100..399.
     """
     if force:
         return frontier
@@ -117,7 +120,7 @@ def anti_join_seen(
         now = time.time() if now is None else now
         live = live.where(F.col("fetched_at") >= F.lit(now - expires))
     if force_errors:
-        live = live.where(F.col("status") < 400)
+        live = live.where(F.col("status").between(100, 399))
     return frontier.join(live.select("key"), "key", "left_anti")
 
 

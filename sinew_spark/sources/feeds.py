@@ -43,10 +43,18 @@ _PUBLISHED_IN = r"(?is)<published(?:\s[^>]*)?>\s*(.*?)\s*</published\s*>"
 _UPDATED_IN = r"(?is)<updated(?:\s[^>]*)?>\s*(.*?)\s*</updated\s*>"
 
 # Atom link: href in an attribute; rel="alternate" preferred, either
-# attribute order; bare <link href=...> (implied alternate) as fallback
-_ATOM_LINK_REL_HREF = r'(?is)<link\s[^>]*rel\s*=\s*"alternate"[^>]*href\s*=\s*"([^"]*)"'
-_ATOM_LINK_HREF_REL = r'(?is)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"alternate"'
-_ATOM_LINK_ANY = r'(?is)<link\s[^>]*href\s*=\s*"([^"]*)"'
+# attribute order; a REL-LESS <link href=...> (implied alternate per RFC
+# 4287 §4.2.7.2) as fallback — NOT any link: grabbing the first href of a
+# rel="self"/"enclosure" link would enqueue the feed's own URL or a media
+# file as the entry page. Quotes: ["'] on both sides — single-quoted
+# attributes are legal XML and common in the wild.
+_ATOM_LINK_REL_HREF = (
+    r"(?is)<link\s[^>]*rel\s*=\s*[\"']alternate[\"'][^>]*href\s*=\s*[\"']([^\"']*)[\"']"
+)
+_ATOM_LINK_HREF_REL = (
+    r"(?is)<link\s[^>]*href\s*=\s*[\"']([^\"']*)[\"'][^>]*rel\s*=\s*[\"']alternate[\"']"
+)
+_ATOM_LINK_ANY = r"(?is)<link\s(?![^>]*\brel\s*=)[^>]*href\s*=\s*[\"']([^\"']*)[\"']"
 
 
 def is_atom_feed(body_col: F.Column) -> F.Column:

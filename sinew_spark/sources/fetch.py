@@ -450,11 +450,26 @@ def _fetch_one(
     etag_out, lm_out = None, None
 
     # duck-typed transports (objects exposing only resolve_with_cookies /
-    # resolve, without subclassing Fetcher) get the base delegation
+    # resolve, without subclassing Fetcher) get the base delegation — each
+    # missing layer falls through to the Fetcher default applied to the
+    # duck, so a resolve-only object works end to end (the base
+    # resolve_validated would otherwise die on the duck's missing
+    # resolve_with_cookies attribute before ever delegating)
     resolve_validated = getattr(fetcher, "resolve_validated", None)
     if resolve_validated is None:
-        def resolve_validated(*a, **k):
-            return Fetcher.resolve_validated(fetcher, *a, **k)
+        if getattr(fetcher, "resolve_with_cookies", None) is not None:
+            # cookie-aware duck: the base delegation (incl. its proxy-kwarg
+            # signature sniff) works as an unbound call
+            def resolve_validated(*a, **k):
+                return Fetcher.resolve_validated(fetcher, *a, **k)
+        else:
+            # resolve-only duck: delegate straight to resolve — the base
+            # resolve_validated would die on the missing
+            # resolve_with_cookies attribute before ever delegating
+            def resolve_validated(url, method, body, attempt, cookies,
+                                  proxy=None, etag=None, last_modified=None):
+                r = fetcher.resolve(url, method, body, attempt)
+                return (*r, cookies, None, None)
 
     def _do(cur, m, b, attempt, first_hop):
         nonlocal jar_changed, etag_out, lm_out
@@ -473,7 +488,10 @@ def _fetch_one(
             )
         )
         etag_out, lm_out = e_out, l_out
-        jar_changed |= apply_response_cookies(jar, sent, after, host, req_path, now)
+        jar_changed |= apply_response_cookies(
+            jar, sent, after, host, req_path, now,
+            secure=(parts.scheme or "").lower() == "https",
+        )
         return status, ct, resp_body, redirect
 
     for attempt in range(retries + 1):
@@ -485,17 +503,39 @@ def _fetch_one(
         while redirect is not None and hop_count < MAX_REDIRECT_HOPS:
             hops.append(cur)
             cur = urljoin(cur, redirect)
-            cur_method, cur_body = "GET", ""  # 302 => GET, like faraday follow_redirects
+            if status not in (307, 308):
+                # 301/302/303 => GET, like faraday follow_redirects;
+                # 307/308 preserve method AND body per RFC 9110 (faraday
+                # does too) — rewriting them breaks POST endpoints that
+                # redirect to their canonical host
+                cur_method, cur_body = "GET", ""
             hop_count += 1
             status, ct, resp_body, redirect = _do(cur, cur_method, cur_body, attempt, False)
         final_url = cur
+        if redirect is not None:
+            # redirect limit exhausted (loop, or an over-long chain): the
+            # page was never retrieved. Recording the trailing 3xx as a
+            # success would commit an empty body and mark the URL seen
+            # forever; stamp the transport-failure status (-1, the same
+            # bucket as DNS/timeout — error-class, so force_errors can
+            # retry it) and stop: the chain is deterministic, in-attempt
+            # retries would replay it identically.
+            status = -1
+            error = f"redirect limit ({MAX_REDIRECT_HOPS} hops) exceeded at {cur}"
+            break
         if status is not None and (200 <= status < 500):
             error = None
             break
         error = f"status {status}"
         if attempt < retries:
-            # backoff capped at rate_limit (reference base.rb:233)
-            time.sleep(min(rate_limit, backoff_base * (2**attempt)))
+            # backoff capped at the politeness window (reference
+            # base.rb:233 caps at rate_limit) — but the engine's default
+            # is UNPACED (rate_limit=0, the reference defaults to 1 rps),
+            # where a zero cap would retry a failing origin back-to-back
+            # with no delay at all; floor the cap at 1s there so the
+            # documented exponential backoff actually happens
+            cap = rate_limit if rate_limit > 0 else 1.0
+            time.sleep(min(cap, backoff_base * (2**attempt)))
     return (status, ct, resp_body, final_url, n_attempts, hops, error, jar,
             jar_changed, etag_out, lm_out)
 

@@ -26,8 +26,16 @@ from pyspark.sql import functions as F
 # wrapper (<loc><![CDATA[...]]></loc> — permitted by the sitemap spec).
 # Lazy body stops at the first closing tag; CDATA content also flows
 # through the entity unescape (harmless for URLs, which the spec requires
-# to be entity-escaped OR CDATA-wrapped).
-_LOC_PATTERN = r"(?is)<(?:[\w.-]+:)?loc\s*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</(?:[\w.-]+:)?loc\s*>"
+# to be entity-escaped OR CDATA-wrapped). The prefix alternation EXCLUDES
+# the well-known sitemap-extension namespaces (image:/video:/news:/
+# xhtml:/mobile:) — a Google image sitemap nests <image:loc>photo.jpg
+# inside each <url>, and matching it would seed media URLs as pages and
+# shift document-order seqs for the real locs.
+_EXT_PREFIXES = r"(?:image|video|news|xhtml|mobile):"
+_LOC_PATTERN = (
+    r"(?is)<(?:(?!" + _EXT_PREFIXES + r")[\w.-]+:)?loc\s*>\s*(?:<!\[CDATA\[)?"
+    r"(.*?)(?:\]\]>)?\s*</(?:(?!" + _EXT_PREFIXES + r")[\w.-]+:)?loc\s*>"
+)
 
 
 def _xml_unescape(col: F.Column) -> F.Column:
@@ -89,6 +97,7 @@ def sitemap_stale(
     lastmod_col: str = "lastmod",
     seen_url_col: str = "url",
     fetched_at_col: str = "fetched_at",
+    canonicalize=None,
 ) -> DataFrame:
     """Sitemap-driven recrawl gate: of the sitemap's entries, the ones
     worth (re)fetching — never seen (``reason='new'``), no lastmod
@@ -108,7 +117,15 @@ def sitemap_stale(
     to max(fetched_at) per url, so the join ships one row per seen URL);
     at frontier scale both sides are url-hashed — the same safe shape as
     anti_join_seen. Compose: ``crawler.seed_df(sitemap_stale(...))``
-    with ``expires``/``force`` crawl options for the refetch."""
+    with ``expires``/``force`` crawl options for the refetch.
+
+    ``canonicalize``: the crawler's URL canonicalizer (a Column->Column
+    fn, e.g. ``crawler.canonicalize``). The seen table stores CANONICAL
+    urls (crawl.py commits canonical_url), so a raw sitemap loc the
+    canonicalizer rewrites (param order, tracking params) would never
+    match and be re-classified 'new' on EVERY poll — pass the same
+    canonicalizer the crawl uses so the join compares like with like.
+    The emitted ``loc`` stays raw (it is what gets seeded)."""
     # try_to_date, not to_date: under Spark 4's default ANSI mode a single
     # malformed <lastmod> (common in real sitemaps) would raise
     # CAST_INVALID_INPUT and abort the job; try_to_date yields NULL so the
@@ -117,7 +134,10 @@ def sitemap_stale(
     s = seen.groupBy(F.col(seen_url_col).alias("_u")).agg(
         F.max(fetched_at_col).alias("_fa")
     )
-    j = entries.join(s, entries[loc_col] == s["_u"], "left")
+    join_key = entries[loc_col]
+    if canonicalize is not None:
+        join_key = canonicalize(join_key)
+    j = entries.join(s, join_key == s["_u"], "left")
     fetched_day = F.floor(F.col("_fa") / 86400)
     reason = (
         F.when(F.col("_fa").isNull(), F.lit("new"))

@@ -363,3 +363,49 @@ def test_http_fetcher_cookie_round_trip_no_network():
     # plain resolve() stays cookie-free
     assert f.resolve("http://www.ex.test/p", "GET", "", 0)[0] == 200
     assert seen["cookie_hdr"] is None
+
+
+def test_deletion_by_absence_tombstones_only_the_supplier():
+    """Deletion-by-absence must tombstone exactly the record whose value
+    was SENT (the §5.4 longest-path winner) — a same-named cookie on a
+    shorter path is a different RFC 6265 cookie the server never saw,
+    and a Secure record withheld from an http request likewise."""
+    from sinew_spark.functions.cookies import (
+        apply_response_cookies,
+        cookies_for,
+        set_cookie,
+    )
+
+    jar = {}
+    set_cookie(jar, "sess", "root", "example.com", "/", now=0.0)
+    # default-path for a Set-Cookie on /app/x is /app (RFC 6265 §5.1.4)
+    set_cookie(jar, "sess", "app", "example.com", "/app/x", now=0.0)
+    sent = cookies_for(jar, "example.com", "/app/x", now=1.0)
+    assert sent == {"sess": "app"}  # longest path wins
+    # server deletes its 'sess' (absent from the response view)
+    apply_response_cookies(jar, sent, {}, "example.com", "/app/x", 1.0)
+    assert jar[("example.com", "/app", "sess")].get("tomb") is True
+    assert not jar[("example.com", "/", "sess")].get("tomb")  # untouched
+
+    # Secure record on an http request: never sent, never deleted
+    jar2 = {}
+    set_cookie(jar2, "tok", {"v": "s", "secure": True}, "example.com", "/", now=0.0)
+    sent2 = cookies_for(jar2, "example.com", "/", now=1.0, secure=False)
+    assert sent2 == {}
+    apply_response_cookies(jar2, {"tok": "s"}, {}, "example.com", "/", 1.0,
+                           secure=False)
+    assert not jar2[("example.com", "/", "tok")].get("tomb")
+
+
+def test_tzless_expires_parsed_as_utc():
+    """A tz-less Expires date (common in the wild) is GMT per RFC 6265 —
+    max_age must not depend on the executor's local timezone."""
+    import calendar
+
+    from sinew_spark.functions.cookies import parse_set_cookie_header
+
+    name, attrs = parse_set_cookie_header(
+        "a=b; Expires=Wed, 21 Oct 2026 07:28:00", now=0.0
+    )
+    want = calendar.timegm((2026, 10, 21, 7, 28, 0))
+    assert name == "a" and attrs["max_age"] == want

@@ -127,3 +127,32 @@ def test_autodiscovery(spark):
 
 def test_non_feed_document_yields_no_entries(spark):
     assert feed_entries(_df(spark, HTML_DISCOVERY)).count() == 0
+
+
+def test_atom_single_quotes_and_rel_fallback(spark):
+    """Single-quoted attributes are legal XML; and the any-link fallback
+    must only fire for REL-LESS links (implied alternate) — never grab a
+    rel='self'/'enclosure' href as the entry page."""
+    from sinew_spark.sources.feeds import feed_entries
+
+    body = (
+        "<feed xmlns='http://www.w3.org/2005/Atom'>"
+        "<entry><title>sq</title>"
+        "<link rel='alternate' href='http://e.test/sq'/>"
+        "<id>tag:1</id><updated>2024-01-01</updated></entry>"
+        "<entry><title>selfonly</title>"
+        '<link rel="self" href="http://e.test/feed.xml"/>'
+        '<link rel="enclosure" href="http://e.test/a.mp3"/>'
+        "<id>tag:2</id><updated>2024-01-02</updated></entry>"
+        "<entry><title>bare</title>"
+        "<link href='http://e.test/bare'/>"
+        "<id>tag:3</id><updated>2024-01-03</updated></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [("http://e.test/feed.xml", body)], "url string, resp_body string"
+    )
+    out = {r.title: r.link for r in feed_entries(df, id_cols=("url",)).collect()}
+    assert out["sq"] == "http://e.test/sq"          # single-quoted alternate
+    assert out["bare"] == "http://e.test/bare"      # rel-less implied alternate
+    assert not out["selfonly"]                      # no alternate -> no page URL

@@ -234,3 +234,51 @@ def test_sitemap_stale_malformed_lastmod_is_unknown(spark):
         "http://e.test/bad": "unknown",
         "http://e.test/also-bad": "unknown",
     }
+
+
+def test_extension_locs_not_extracted_as_pages(spark):
+    """A Google image-sitemap <image:loc> (or video:/news:) must not be
+    extracted as a page <loc> — media URLs would get seeded and crawled
+    as pages, and document-order seqs for real pages would shift."""
+    from sinew_spark.sources.sitemap import sitemap_locs
+
+    body = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+        'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">'
+        "<url><loc>http://s.test/page1</loc>"
+        "<image:image><image:loc>http://s.test/photo.jpg</image:loc></image:image>"
+        "</url>"
+        "<url><sm:loc>http://s.test/page2</sm:loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, body)], "seq long, resp_body string")
+    locs = [r.loc for r in sitemap_locs(df).orderBy("loc_idx").collect()]
+    assert locs == ["http://s.test/page1", "http://s.test/page2"]
+
+
+def test_sitemap_stale_canonicalized_join(spark):
+    """The seen table stores CANONICAL urls; a raw loc the canonicalizer
+    rewrites must still match (else every poll refetches it as 'new')."""
+    from pyspark.sql import functions as F
+
+    from sinew_spark.sources.sitemap import sitemap_stale
+
+    entries = spark.createDataFrame(
+        [("http://s.test/p?b=2&a=1", "2020-01-01")], "loc string, lastmod string"
+    )
+    seen = spark.createDataFrame(
+        [("http://s.test/p?a=1&b=2", 2_000_000_000.0)], "url string, fetched_at double"
+    )
+
+    def canon(c):  # stand-in for crawler.canonicalize: sort query params
+        return F.concat(
+            F.substring_index(c, "?", 1),
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(F.substring_index(c, "?", -1), "&")), "&"),
+        )
+
+    # raw join: no match -> wrongly 'new'; canonical join: provably
+    # unchanged (old lastmod vs recent fetch) -> dropped entirely
+    raw = sitemap_stale(entries, seen).collect()
+    assert len(raw) == 1 and raw[0].reason == "new"
+    assert sitemap_stale(entries, seen, canonicalize=canon).count() == 0

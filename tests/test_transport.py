@@ -361,3 +361,96 @@ def test_utf8_false_survives_untranscoded(loopback):
         base + "/mislabeled", "GET", "", None
     )
     assert status2 == 200 and "?" in text2 and text2 != text
+
+
+class _ScriptedFetcher:
+    """Minimal Fetcher subclass scripting (status, redirect) per URL and
+    recording every (url, method, body) the transport issues."""
+
+    def __init__(self, script):
+        from sinew_spark.sources.fetch import Fetcher
+
+        self.script = script
+        self.calls = []
+        self._base = Fetcher
+
+    def resolve(self, url, method, body, attempt):
+        self.calls.append((url, method, body))
+        status, redirect = self.script.get(url, (200, None))
+        return (status, "text/html", f"body:{url}", redirect)
+
+
+def _as_fetcher(scripted):
+    from sinew_spark.sources.fetch import Fetcher
+
+    class _F(Fetcher):
+        resolve = staticmethod(scripted.resolve)
+
+    return _F()
+
+
+def test_redirect_loop_fails_instead_of_succeeding():
+    """A redirect loop (A->B->A...) exhausts MAX_REDIRECT_HOPS: the fetch
+    must come back as an ERROR (status -1, error set) — not as a
+    'successful' 302 with an empty body that marks the URL seen forever."""
+    from sinew_spark.sources.fetch import MAX_REDIRECT_HOPS, _fetch_one
+
+    s = _ScriptedFetcher({
+        "http://l.test/a": (302, "/b"),
+        "http://l.test/b": (302, "/a"),
+    })
+    status, _ct, _body, final_url, n_att, hops, err, *_ = _fetch_one(
+        _as_fetcher(s), "http://l.test/a", "GET", "", retries=2, rate_limit=0.0
+    )
+    assert status == -1
+    assert err is not None and "redirect limit" in err
+    assert n_att == 1  # deterministic chain: no in-attempt retries
+    assert len(hops) == MAX_REDIRECT_HOPS
+
+
+def test_307_preserves_method_and_body():
+    """307/308 hops re-issue the ORIGINAL method and body (RFC 9110,
+    faraday parity); 301/302/303 downgrade to GET with an empty body."""
+    from sinew_spark.sources.fetch import _fetch_one
+
+    s = _ScriptedFetcher({
+        "http://m.test/post": (307, "/moved"),
+        "http://m.test/moved": (200, None),
+    })
+    status, *_ = _fetch_one(
+        _as_fetcher(s), "http://m.test/post", "POST", "a=1", retries=0, rate_limit=0.0
+    )
+    assert status == 200
+    assert s.calls == [
+        ("http://m.test/post", "POST", "a=1"),
+        ("http://m.test/moved", "POST", "a=1"),
+    ]
+
+    s2 = _ScriptedFetcher({
+        "http://m.test/post": (302, "/moved"),
+        "http://m.test/moved": (200, None),
+    })
+    _fetch_one(
+        _as_fetcher(s2), "http://m.test/post", "POST", "a=1", retries=0, rate_limit=0.0
+    )
+    assert s2.calls == [
+        ("http://m.test/post", "POST", "a=1"),
+        ("http://m.test/moved", "GET", ""),
+    ]
+
+
+def test_resolve_only_duck_transport_works():
+    """An object exposing ONLY resolve() — no Fetcher subclassing, no
+    resolve_with_cookies — must work through _fetch_one (the documented
+    duck contract); the base delegation used to die on the missing
+    attribute before ever delegating."""
+    from sinew_spark.sources.fetch import _fetch_one
+
+    class Duck:
+        def resolve(self, url, method, body, attempt):
+            return (200, "text/plain", f"ok:{url}", None)
+
+    status, ct, body, final_url, *_ = _fetch_one(
+        Duck(), "http://d.test/x", "GET", "", retries=0, rate_limit=0.0
+    )
+    assert status == 200 and body == "ok:http://d.test/x"
