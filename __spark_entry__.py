@@ -3181,6 +3181,60 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_image_phash_neardup(spark, sf_dir):
+    """Multimodal near-dup: perceptual dHash over REAL-decoded images +
+    banded Hamming LSH join. Synthesizes two genuine 9x8 PGM images per
+    document — pixel (y, x) = first-byte-of-md5('phs://<doc>:<y>:<x>'),
+    variant 1 perturbing one pixel (a re-encode/touch-up stand-in) —
+    pushes them through the real decode kernel (imagecodec.decode_ppm) and
+    dHash (multimodal.image_dhash), then finds all pairs within hamming 3
+    via the pivot-block candidate join + exact popcount verify
+    (dedup.hamming_block_pairs — never O(n^2) over images; pixels never
+    shuffle, signatures do). The oracle re-derives the 72 pixel values
+    from md5 arithmetic alone, packs the same 64-bit signature, and
+    verifies the exact pair set — the decode -> hash -> banded-join chain
+    must reproduce it bit-for-bit."""
+    from sinew_spark.multimodal import image_dhash
+    from sinew_spark.operators.dedup import hamming_block_pairs
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    refs = d.select(
+        F.concat(F.lit("phs://"), F.col("doc_id").cast("string")).alias("base"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    )
+
+    @F.pandas_udf("binary")
+    def gen_pgm(base: pd.Series, v: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for b, vv in zip(base, v):
+            px = np.empty((8, 9), dtype=np.uint8)
+            for y in range(8):
+                for x in range(9):
+                    g = int(hashlib.md5(f"{b}:{y}:{x}".encode()).hexdigest()[:2], 16)
+                    if vv == 1 and y == 3 and x == 4:
+                        g = (g + 128) % 256
+                    px[y, x] = g
+            out.append(b"P5\n9 8\n255\n" + px.tobytes())
+        return pd.Series(out)
+
+    media = refs.select(
+        F.md5(F.concat(F.col("base"), F.lit(":"), F.col("v").cast("string"))).alias(
+            "media_id"
+        ),
+        gen_pgm("base", "v").alias("content"),
+    )
+    sigs = image_dhash(media, fake=False)
+    return (
+        hamming_block_pairs(sigs, max_hamming=3, id_col="media_id", sig_col="dhash")
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 def q_multimodal_decode_real(spark, sf_dir):
     """Multimodal REAL decode (round 2): synthesize genuine PNG images and
     RIFF/WAVE PCM audio whose parameters are md5-derived, push them through
@@ -4076,9 +4130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_topk": q_priority_topk,
         "robots_gate": q_robots_gate,
         "canonicalize_urls": q_canonicalize_urls,
-        "dedup_minhash": q_dedup_minhash,
+        "image_phash_neardup": q_image_phash_neardup,
         "pagerank": q_pagerank,
         # --- end of the 50-slot driver-sample prefix ---
+        "dedup_minhash": q_dedup_minhash,
         "cookie_scope": q_cookie_scope,
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_dedup": q_streaming_dedup,
@@ -5853,6 +5908,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(trunc(w0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS width, "
             "CAST(trunc(h0 * least(1.0, 128.0 / greatest(w0, h0))) AS INT) AS height "
             "FROM d ORDER BY media_id"
+        ),
+        "image_phash_neardup": (
+            "WITH refs AS ("
+            "SELECT 'phs://' || CAST(doc_id AS VARCHAR) AS base, v "
+            "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
+            "px AS (SELECT base, v, CAST(y.range AS INT) AS y, "
+            "CAST(x.range AS INT) AS x, "
+            "CASE WHEN v = 1 AND y.range = 3 AND x.range = 4 "
+            "THEN (CAST(concat('0x', substr(md5(base || ':' || "
+            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+            "AS INT) + 128) % 256 "
+            "ELSE CAST(concat('0x', substr(md5(base || ':' || "
+            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+            "AS INT) END AS g "
+            "FROM refs CROSS JOIN range(8) y CROSS JOIN range(9) x), "
+            "bits AS (SELECT a.base, a.v, a.y, a.x, "
+            "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit "
+            "FROM px a JOIN px b ON a.base = b.base AND a.v = b.v "
+            "AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8), "
+            "h AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
+            "(CAST(1 AS HUGEINT) << CAST(y * 8 + x AS INT))) AS u "
+            "FROM bits GROUP BY base, v), "
+            "sigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
+            "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
+            "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dhash "
+            "FROM h) "
+            "SELECT s1.media_id AS a, s2.media_id AS b, "
+            "CAST(bit_count(xor(s1.dhash, s2.dhash)) AS INT) AS hamming "
+            "FROM sigs s1 JOIN sigs s2 ON s1.media_id < s2.media_id "
+            "WHERE bit_count(xor(s1.dhash, s2.dhash)) <= 3 "
+            "ORDER BY a, b"
         ),
         "multimodal_decode_real": (
             "WITH refs AS ("

@@ -329,3 +329,93 @@ def media_from_spans(documents: DataFrame, seed: int = 42) -> DataFrame:
         F.col("s.media_ref").alias("source_url"),
     )
     return media.dropDuplicates(["media_id"])
+
+
+# --- perceptual hash (image near-dup) -----------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_from_pixels(px) -> int:
+    """64-bit difference hash of an (H, W) / (H, W, C) uint8 array.
+
+    Fixed, SQL-replayable recipe (an independent oracle can re-derive it
+    from the pixel values alone):
+      1. grayscale: C==1 -> the channel; else floor-mean of the first
+         min(3, C) channels (alpha never contributes)
+      2. sample to 8 rows x 9 cols by index (ys = y*H//8, xs = x*W//9 —
+         the same nearest grid resize_nearest uses, identity for 9x8)
+      3. bit(y, x) = 1 iff g[y, x+1] > g[y, x]  (x, y in 0..7)
+      4. pack bit(y, x) at position y*8 + x, two's-complement int64
+
+    Gradient bits make the hash invariant to global brightness shifts and
+    stable under mild re-encoding — the classic dHash (Krawetz) — while
+    staying exact integer arithmetic end to end."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if a.ndim == 3:
+        c = a.shape[2]
+        k = min(3, c)
+        g = a[:, :, :k].astype(np.int64).sum(axis=2) // k
+    else:
+        g = a.astype(np.int64)
+    h, w = g.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    s = g[ys][:, xs]
+    bits = (s[:, 1:] > s[:, :-1]).astype(np.uint64)  # (8, 8)
+    weights = (np.uint64(1) << (np.arange(64, dtype=np.uint64))).reshape(8, 8)
+    return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+
+
+def image_dhash(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, dhash) per image — the perceptual-near-dup signature.
+
+    fake=False decodes for real (pure-numpy PNG/BMP/PPM/PGM, Pillow
+    fallback) and applies ``dhash_from_pixels``; corrupt/undecodable
+    bytes yield a NULL dhash (same per-item tolerance as
+    extract_image_metadata — one garbage row must not abort the stage,
+    and the null fraction is the capability signal). fake=True derives
+    the hash from sha256(content) (first 8 bytes, big-endian, signed)
+    for fixture bytes that aren't valid media — deterministic and
+    oracle-checkable.
+
+    Compose with ``operators.dedup.hamming_block_pairs(sigs, max_hamming,
+    id_col='media_id', sig_col='dhash')`` for the banded candidate join +
+    exact popcount verify: near-duplicate IMAGES (re-encoded, brightness-
+    shifted, lightly cropped copies) at corpus scale without an O(n^2)
+    pixel comparison. Scale shape: map-only Arrow batches (this stage)
+    then the block equi-join (dedup.py) — signatures shuffle, pixels
+    never do."""
+
+    def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in frames:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                if fake:
+                    d = hashlib.sha256(content).digest()[:8]
+                    v = int.from_bytes(d, "big", signed=True)
+                else:
+                    try:
+                        v = dhash_from_pixels(decode_image_pixels(content))
+                    except Exception:
+                        v = None
+                ids.append(r.media_id)
+                hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "dhash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batch, DHASH_SCHEMA)

@@ -295,28 +295,33 @@ def make_simhash_udf(seed: int = 42):
     return simhash
 
 
-def simhash_near_dups(
-    docs: DataFrame,
+def hamming_block_pairs(
+    sigs: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
     id_col: str = "doc_id",
+    sig_col: str = "simhash",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Pivot-block join: split the signature bits into (max_hamming+1)
+    """All pairs of rows within ``max_hamming`` bit flips of each other,
+    given precomputed integer signatures (simhash, image dHash, any
+    64-bit-or-narrower fingerprint in a BIGINT column).
+
+    Pivot-block join: split the signature bits into (max_hamming+1)
     blocks — any pair within hamming distance k shares at least one exact
     block (pigeonhole; bits outside the covered range only make blocks
     match more often, never less). Equi-join per block, then exact popcount
-    filter. Returns (a, b, hamming)."""
-    sigs = docs.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    filter — EXACT for any max_hamming (the blocks only generate
+    candidates; popcount decides), never O(n^2). Shuffle rows carry
+    (id, signature, block) only. Returns (a, b, hamming)."""
     nblocks = min(max_hamming + 1, bits)  # nblocks > bits would give 0-width blocks
     width = bits // nblocks
     blocks = sigs.select(
         id_col,
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                    F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(
                         F.lit((1 << width) - 1)
                     )
                     for i in range(nblocks)
@@ -325,10 +330,10 @@ def simhash_near_dups(
         ).alias("block_idx", "block_val"),
     )
     left = blocks.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
+        F.col(id_col).alias("a"), F.col("_sig").alias("sim_a"), "block_idx", "block_val"
     )
     right = blocks.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+        F.col(id_col).alias("b"), F.col("_sig").alias("sim_b"), "block_idx", "block_val"
     )
     pairs = (
         left.join(right, ["block_idx", "block_val"])
@@ -342,6 +347,22 @@ def simhash_near_dups(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate (a, b, hamming) pairs by token simhash: compute the
+    signature JVM-side (simhash_expr), then the pivot-block candidate join
+    + exact popcount filter (hamming_block_pairs)."""
+    sigs = docs.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    return hamming_block_pairs(
+        sigs, max_hamming=max_hamming, id_col=id_col, sig_col="simhash", bits=bits
     )
 
 

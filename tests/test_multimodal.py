@@ -234,3 +234,101 @@ def test_corrupt_media_degrades_to_null_not_abort(spark):
     a = extract_audio_metadata(audio, fake=False).collect()[0]
     assert a.sample_rate is None and a.duration_sec is None
     assert a.sha256 == _h.sha256(bad_wav).hexdigest()
+
+
+# --- perceptual hash (dHash) ---------------------------------------------------
+
+
+def test_dhash_from_pixels_ramps():
+    import numpy as np
+
+    from sinew_spark.multimodal import dhash_from_pixels
+
+    # increasing-in-x ramp: every right neighbor larger -> all 64 bits set
+    px = (np.tile(np.arange(9), (8, 1))).astype(np.uint8)
+    assert dhash_from_pixels(px) == -1
+    # decreasing -> no bit set
+    assert dhash_from_pixels(px[:, ::-1]) == 0
+    # flat -> strict > never fires
+    assert dhash_from_pixels(np.zeros((8, 9), dtype=np.uint8)) == 0
+
+
+def test_dhash_grayscale_rule():
+    import numpy as np
+
+    from sinew_spark.multimodal import dhash_from_pixels
+
+    # 3-channel image whose floor-mean equals a known single-channel image
+    g = (np.tile(np.arange(9), (8, 1)) * 7 % 256).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=2)
+    assert dhash_from_pixels(rgb) == dhash_from_pixels(g)
+    # alpha never contributes: RGBA with wild alpha == RGB
+    rgba = np.concatenate([rgb, np.full((8, 9, 1), 201, np.uint8)], axis=2)
+    assert dhash_from_pixels(rgba) == dhash_from_pixels(rgb)
+
+
+def test_image_dhash_real_and_tolerant(spark):
+    import numpy as np
+
+    from sinew_spark.functions.imagecodec import decode_ppm, encode_png
+    from sinew_spark.multimodal import dhash_from_pixels, image_dhash
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    pgm = b"P5\n9 8\n255\n" + px.tobytes()
+    png = encode_png(px)
+    rows = [
+        ("pgm", bytearray(pgm)),
+        ("png", bytearray(png)),
+        ("corrupt", bytearray(b"\x89PNG\r\n\x1a\nnot-a-real-png")),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r.media_id: r.dhash for r in image_dhash(media, fake=False).collect()}
+    want = dhash_from_pixels(decode_ppm(pgm))
+    # same pixels through either real container -> same signature
+    assert got["pgm"] == want
+    assert got["png"] == want
+    # corrupt bytes -> NULL, never a stage abort
+    assert got["corrupt"] is None
+
+
+def test_image_dhash_fake_deterministic(spark):
+    from sinew_spark.multimodal import image_dhash
+
+    media = spark.createDataFrame(
+        [("a", bytearray(b"xyz")), ("b", bytearray(b"xyz")), ("c", bytearray(b"other"))],
+        "media_id string, content binary",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(media, fake=True).collect()}
+    assert got["a"] == got["b"] != got["c"]
+    import hashlib
+
+    assert got["a"] == int.from_bytes(
+        hashlib.sha256(b"xyz").digest()[:8], "big", signed=True
+    )
+
+
+def test_dhash_neardup_pairs(spark):
+    from sinew_spark.operators.dedup import hamming_block_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("m0", base),
+        ("m1", base ^ 0b1),            # hamming 1
+        ("m2", base ^ 0b111),          # hamming 3 (boundary, kept)
+        ("m3", base ^ 0b11110000),     # hamming 4 from m0 (dropped)
+        ("m4", ~base),                 # hamming 64 (dropped)
+    ]
+    sigs = spark.createDataFrame(rows, "media_id string, dhash long")
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in hamming_block_pairs(
+            sigs, max_hamming=3, id_col="media_id", sig_col="dhash"
+        ).collect()
+    }
+    assert pairs[("m0", "m1")] == 1
+    assert pairs[("m0", "m2")] == 3
+    assert pairs[("m1", "m2")] == 2
+    # m1 ^ m3 = 0b11110001 -> 5, m2 ^ m3 -> hamming 7: none survive
+    assert ("m0", "m3") not in pairs
+    assert all("m4" not in k and "m3" not in k for k in pairs)
