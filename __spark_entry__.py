@@ -3235,6 +3235,50 @@ def q_image_phash_neardup(spark, sf_dir):
     )
 
 
+def q_media_perceptual_collapse(spark, sf_dir):
+    """Composed media near-dup collapse: the same real-decoded PGM corpus
+    as image_phash_neardup flows through perceptual_media_groups —
+    dHash -> banded Hamming pairs -> connected components -> min-id
+    canonical per group, singletons (and undecodable bytes) mapping to
+    themselves. The digest path of canonicalize_media_refs merges
+    byte-identical mirrors; this merges re-encoded/touched-up copies.
+    Oracle: the analytic dHash CTE + an exact pair join + a recursive-CTE
+    reachability closure (the same oracle pattern dedup_clusters pins)."""
+    from sinew_spark.operators.media import perceptual_media_groups
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    refs = d.select(
+        F.concat(F.lit("phs://"), F.col("doc_id").cast("string")).alias("base"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    )
+
+    @F.pandas_udf("binary")
+    def gen_pgm(base: pd.Series, v: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for b, vv in zip(base, v):
+            px = np.empty((8, 9), dtype=np.uint8)
+            for y in range(8):
+                for x in range(9):
+                    g = int(hashlib.md5(f"{b}:{y}:{x}".encode()).hexdigest()[:2], 16)
+                    if vv == 1 and y == 3 and x == 4:
+                        g = (g + 128) % 256
+                    px[y, x] = g
+            out.append(b"P5\n9 8\n255\n" + px.tobytes())
+        return pd.Series(out)
+
+    media = refs.select(
+        F.md5(F.concat(F.col("base"), F.lit(":"), F.col("v").cast("string"))).alias(
+            "media_id"
+        ),
+        gen_pgm("base", "v").alias("content"),
+    )
+    return perceptual_media_groups(media, max_hamming=3).orderBy("media_id")
+
+
 def q_multimodal_decode_real(spark, sf_dir):
     """Multimodal REAL decode (round 2): synthesize genuine PNG images and
     RIFF/WAVE PCM audio whose parameters are md5-derived, push them through
@@ -4127,12 +4171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "crawl_rounds": q_crawl_rounds,
         "cache_probe": q_cache_probe,
-        "priority_topk": q_priority_topk,
+        "media_perceptual_collapse": q_media_perceptual_collapse,
         "robots_gate": q_robots_gate,
         "canonicalize_urls": q_canonicalize_urls,
         "image_phash_neardup": q_image_phash_neardup,
         "pagerank": q_pagerank,
         # --- end of the 50-slot driver-sample prefix ---
+        "priority_topk": q_priority_topk,
         "dedup_minhash": q_dedup_minhash,
         "cookie_scope": q_cookie_scope,
         "multimodal_decode_real": q_multimodal_decode_real,
@@ -5939,6 +5984,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM sigs s1 JOIN sigs s2 ON s1.media_id < s2.media_id "
             "WHERE bit_count(xor(s1.dhash, s2.dhash)) <= 3 "
             "ORDER BY a, b"
+        ),
+        "media_perceptual_collapse": (
+            "WITH RECURSIVE refs AS ("
+            "SELECT 'phs://' || CAST(doc_id AS VARCHAR) AS base, v "
+            "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
+            "px AS (SELECT base, v, CAST(y.range AS INT) AS y, "
+            "CAST(x.range AS INT) AS x, "
+            "CASE WHEN v = 1 AND y.range = 3 AND x.range = 4 "
+            "THEN (CAST(concat('0x', substr(md5(base || ':' || "
+            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+            "AS INT) + 128) % 256 "
+            "ELSE CAST(concat('0x', substr(md5(base || ':' || "
+            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+            "AS INT) END AS g "
+            "FROM refs CROSS JOIN range(8) y CROSS JOIN range(9) x), "
+            "bits AS (SELECT a.base, a.v, a.y, a.x, "
+            "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit "
+            "FROM px a JOIN px b ON a.base = b.base AND a.v = b.v "
+            "AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8), "
+            "h AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
+            "(CAST(1 AS HUGEINT) << CAST(y * 8 + x AS INT))) AS u "
+            "FROM bits GROUP BY base, v), "
+            "sigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
+            "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
+            "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dhash "
+            "FROM h), "
+            "p AS (SELECT s1.media_id AS a, s2.media_id AS b "
+            "FROM sigs s1 JOIN sigs s2 ON s1.media_id < s2.media_id "
+            "WHERE bit_count(xor(s1.dhash, s2.dhash)) <= 3), "
+            "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(v, r) AS (SELECT media_id, media_id FROM sigs "
+            "UNION SELECT s.b, reach.r FROM sym s JOIN reach ON s.a = reach.v) "
+            "SELECT v AS media_id, min(r) AS canonical "
+            "FROM reach GROUP BY v ORDER BY media_id"
         ),
         "multimodal_decode_real": (
             "WITH refs AS ("

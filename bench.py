@@ -368,6 +368,11 @@ def headline_queries(spark) -> dict:
         "dedup_pipeline",
         "neighborhood",
         "corpus_mix",
+        # round-5 additions: image perceptual-hash near-dup (real PGM
+        # decode -> dHash -> banded Hamming join) and the composed
+        # media collapse (dHash -> pairs -> connected components)
+        "image_phash_neardup",
+        "media_perceptual_collapse",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -143,3 +143,52 @@ def canonicalize_media_refs(
         ),
     )
     return joined.withColumn(spans_col, patched).drop("_remap")
+
+
+def perceptual_media_groups(
+    media: DataFrame,
+    max_hamming: int = 3,
+    fake: bool = False,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Collapse near-duplicate IMAGE assets: (media_id, canonical) where
+    ``canonical`` is the min media_id of the perceptual-duplicate group.
+
+    The perceptual analogue of ``canonicalize_media_refs``'s digest path:
+    digests merge byte-identical mirrors; this merges re-encoded,
+    brightness-shifted, lightly-retouched copies — the dominant media
+    redundancy in a web corpus, invisible to content digests. Chain:
+    dHash signature (multimodal.image_dhash, map-only Arrow batches) ->
+    banded Hamming candidate join + exact popcount verify
+    (dedup.hamming_block_pairs; pixels never shuffle, signatures do) ->
+    connected components (graph.connected_components, min-id contract).
+    Undecodable bytes (NULL signature) and singletons stay their own
+    canonical. Output is a (ref -> canonical) mapping shaped for
+    ``canonicalize_media_refs``'s rewrite join.
+
+    Transitivity note: hamming is not transitive, so a component can span
+    pairs whose endpoints differ by more than ``max_hamming`` — the
+    standard union-find semantics of near-dup clustering (same contract
+    as minhash_dedup's LSH components)."""
+    from sinew_spark.multimodal import image_dhash
+    from sinew_spark.operators.dedup import hamming_block_pairs
+    from sinew_spark.operators.graph import connected_components
+
+    sigs = image_dhash(
+        media.select(F.col(id_col).alias("media_id"), "content"), fake=fake
+    ).where(F.col("dhash").isNotNull())
+    pairs = hamming_block_pairs(
+        sigs, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
+    )
+    # connected_components re-evaluates its edge plan once per label
+    # round — checkpoint so decode+dHash+join run ONCE, not per round
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(pairs, src="a", dst="b")
+    return (
+        media.select(F.col(id_col).alias("media_id"))
+        .join(cc.select(F.col("v").alias("media_id"), "cluster"), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("cluster", F.col("media_id")).alias("canonical"),
+        )
+    )

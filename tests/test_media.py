@@ -102,3 +102,28 @@ def test_canonicalize_ref_with_two_digests_no_duplicate_map_key(spark):
     out = canonicalize_media_refs(docs, digests).collect()
     # min canonical across its digest groups: h_old -> img://a
     assert [s.media_ref for s in out[0].spans] == ["img://a"]
+
+
+def test_perceptual_media_groups(spark):
+    import numpy as np
+
+    from sinew_spark.functions.imagecodec import encode_png
+    from sinew_spark.operators.media import perceptual_media_groups
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4] = (int(near[3, 4]) + 128) % 256  # <= 2 gradient bits flip
+    far = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    rows = [
+        ("m1", bytearray(encode_png(base))),
+        ("m2", bytearray(encode_png(near))),  # near-dup of m1
+        ("m3", bytearray(encode_png(far))),   # unrelated singleton
+        ("m4", bytearray(b"corrupt-bytes")),  # undecodable -> own canonical
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {
+        r.media_id: r.canonical
+        for r in perceptual_media_groups(media, max_hamming=3).collect()
+    }
+    assert got == {"m1": "m1", "m2": "m1", "m3": "m3", "m4": "m4"}
