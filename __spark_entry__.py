@@ -3181,22 +3181,47 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
-def q_image_phash_neardup(spark, sf_dir):
-    """Multimodal near-dup: perceptual dHash over REAL-decoded images +
-    banded Hamming LSH join. Synthesizes two genuine 9x8 PGM images per
-    document — pixel (y, x) = first-byte-of-md5('phs://<doc>:<y>:<x>'),
-    variant 1 perturbing one pixel (a re-encode/touch-up stand-in) —
-    pushes them through the real decode kernel (imagecodec.decode_ppm) and
-    dHash (multimodal.image_dhash), then finds all pairs within hamming 3
-    via the pivot-block candidate join + exact popcount verify
-    (dedup.hamming_block_pairs — never O(n^2) over images; pixels never
-    shuffle, signatures do). The oracle re-derives the 72 pixel values
-    from md5 arithmetic alone, packs the same 64-bit signature, and
-    verifies the exact pair set — the decode -> hash -> banded-join chain
-    must reproduce it bit-for-bit."""
-    from sinew_spark.multimodal import image_dhash
-    from sinew_spark.operators.dedup import hamming_block_pairs
+# Analytic replay of _phash_media + dhash_from_pixels for the DuckDB
+# oracles: re-derives every planted pixel from md5 arithmetic, packs the
+# 64-bit dHash in HUGEINT, and converts to signed BIGINT. CTE chain ends
+# at `sigs(media_id, dhash)`; prepend "WITH RECURSIVE". Must track
+# _phash_media's fixture recipe.
+_DHASH_SIGS_CTE = (
+    "refs AS ("
+    "SELECT 'phs://' || CAST(doc_id AS VARCHAR) AS base, v "
+    "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
+    "px AS (SELECT base, v, CAST(y.range AS INT) AS y, "
+    "CAST(x.range AS INT) AS x, "
+    "CASE WHEN v = 1 AND y.range = 3 AND x.range = 4 "
+    "THEN (CAST(concat('0x', substr(md5(base || ':' || "
+    "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+    "AS INT) + 128) % 256 "
+    "ELSE CAST(concat('0x', substr(md5(base || ':' || "
+    "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
+    "AS INT) END AS g "
+    "FROM refs CROSS JOIN range(8) y CROSS JOIN range(9) x), "
+    "bits AS (SELECT a.base, a.v, a.y, a.x, "
+    "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit "
+    "FROM px a JOIN px b ON a.base = b.base AND a.v = b.v "
+    "AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8), "
+    "h AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
+    "(CAST(1 AS HUGEINT) << CAST(y * 8 + x AS INT))) AS u "
+    "FROM bits GROUP BY base, v), "
+    "sigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
+    "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
+    "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dhash "
+    "FROM h)"
+)
 
+
+def _phash_media(spark, sf_dir):
+    """Shared fixture for the perceptual-hash queries: two genuine 9x8
+    single-channel PGM images per document. Pixel (y, x) = first byte of
+    md5('phs://<doc>:<y>:<x>'); variant 1 perturbs pixel (3, 4) by +128
+    mod 256 — a touched-up copy whose dHash lands within hamming 2 of the
+    original. media_id = md5(base ':' variant). Any change here must
+    track _DHASH_SIGS_CTE (the oracle's analytic replay of the same
+    pixels) or the oracle gate would silently test divergent fixtures."""
     d = _par(_t(spark, sf_dir, "documents"))
     refs = d.select(
         F.concat(F.lit("phs://"), F.col("doc_id").cast("string")).alias("base"),
@@ -3221,22 +3246,48 @@ def q_image_phash_neardup(spark, sf_dir):
             out.append(b"P5\n9 8\n255\n" + px.tobytes())
         return pd.Series(out)
 
-    media = refs.select(
+    return refs.select(
         F.md5(F.concat(F.col("base"), F.lit(":"), F.col("v").cast("string"))).alias(
             "media_id"
         ),
         gen_pgm("base", "v").alias("content"),
     )
-    sigs = image_dhash(media, fake=False)
+
+
+def _phash_sigs(spark, sf_dir):
+    """Real-decoded dHash signatures for the _phash_media fixture,
+    checkpointed so the decode stage runs once (the banded self-join
+    projects the same lineage differently per side)."""
+    from sinew_spark.multimodal import image_dhash
+
+    return image_dhash(_phash_media(spark, sf_dir)).localCheckpoint(eager=True)
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Multimodal near-dup: perceptual dHash over REAL-decoded images +
+    banded Hamming LSH join. The _phash_media PGM corpus goes through the
+    real decode kernel (imagecodec.decode_ppm) and dHash
+    (multimodal.image_dhash), then all pairs within hamming 3 come out of
+    the pivot-block candidate join + exact popcount verify
+    (dedup.hamming_block_pairs — never O(n^2) over images; pixels never
+    shuffle, signatures do). The oracle re-derives the 72 pixel values
+    from md5 arithmetic alone, packs the same 64-bit signature, and
+    verifies the exact pair set — the decode -> hash -> banded-join chain
+    must reproduce it bit-for-bit."""
+    from sinew_spark.operators.dedup import hamming_block_pairs
+
+    sigs = _phash_sigs(spark, sf_dir)
     return (
-        hamming_block_pairs(sigs, max_hamming=3, id_col="media_id", sig_col="dhash")
+        hamming_block_pairs(
+            sigs, max_hamming=3, id_col="media_id", sig_col="dhash", bits=64
+        )
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("a", "b")
     )
 
 
 def q_media_perceptual_collapse(spark, sf_dir):
-    """Composed media near-dup collapse: the same real-decoded PGM corpus
+    """Composed media near-dup collapse: the same _phash_media PGM corpus
     as image_phash_neardup flows through perceptual_media_groups —
     dHash -> banded Hamming pairs -> connected components -> min-id
     canonical per group, singletons (and undecodable bytes) mapping to
@@ -3246,36 +3297,7 @@ def q_media_perceptual_collapse(spark, sf_dir):
     reachability closure (the same oracle pattern dedup_clusters pins)."""
     from sinew_spark.operators.media import perceptual_media_groups
 
-    d = _par(_t(spark, sf_dir, "documents"))
-    refs = d.select(
-        F.concat(F.lit("phs://"), F.col("doc_id").cast("string")).alias("base"),
-        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
-    )
-
-    @F.pandas_udf("binary")
-    def gen_pgm(base: pd.Series, v: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        out = []
-        for b, vv in zip(base, v):
-            px = np.empty((8, 9), dtype=np.uint8)
-            for y in range(8):
-                for x in range(9):
-                    g = int(hashlib.md5(f"{b}:{y}:{x}".encode()).hexdigest()[:2], 16)
-                    if vv == 1 and y == 3 and x == 4:
-                        g = (g + 128) % 256
-                    px[y, x] = g
-            out.append(b"P5\n9 8\n255\n" + px.tobytes())
-        return pd.Series(out)
-
-    media = refs.select(
-        F.md5(F.concat(F.col("base"), F.lit(":"), F.col("v").cast("string"))).alias(
-            "media_id"
-        ),
-        gen_pgm("base", "v").alias("content"),
-    )
+    media = _phash_media(spark, sf_dir)
     return perceptual_media_groups(media, max_hamming=3).orderBy("media_id")
 
 
@@ -5955,30 +5977,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM d ORDER BY media_id"
         ),
         "image_phash_neardup": (
-            "WITH refs AS ("
-            "SELECT 'phs://' || CAST(doc_id AS VARCHAR) AS base, v "
-            "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
-            "px AS (SELECT base, v, CAST(y.range AS INT) AS y, "
-            "CAST(x.range AS INT) AS x, "
-            "CASE WHEN v = 1 AND y.range = 3 AND x.range = 4 "
-            "THEN (CAST(concat('0x', substr(md5(base || ':' || "
-            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
-            "AS INT) + 128) % 256 "
-            "ELSE CAST(concat('0x', substr(md5(base || ':' || "
-            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
-            "AS INT) END AS g "
-            "FROM refs CROSS JOIN range(8) y CROSS JOIN range(9) x), "
-            "bits AS (SELECT a.base, a.v, a.y, a.x, "
-            "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit "
-            "FROM px a JOIN px b ON a.base = b.base AND a.v = b.v "
-            "AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8), "
-            "h AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
-            "(CAST(1 AS HUGEINT) << CAST(y * 8 + x AS INT))) AS u "
-            "FROM bits GROUP BY base, v), "
-            "sigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
-            "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
-            "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dhash "
-            "FROM h) "
+            "WITH RECURSIVE " + _DHASH_SIGS_CTE + " "
             "SELECT s1.media_id AS a, s2.media_id AS b, "
             "CAST(bit_count(xor(s1.dhash, s2.dhash)) AS INT) AS hamming "
             "FROM sigs s1 JOIN sigs s2 ON s1.media_id < s2.media_id "
@@ -5986,30 +5985,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY a, b"
         ),
         "media_perceptual_collapse": (
-            "WITH RECURSIVE refs AS ("
-            "SELECT 'phs://' || CAST(doc_id AS VARCHAR) AS base, v "
-            "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
-            "px AS (SELECT base, v, CAST(y.range AS INT) AS y, "
-            "CAST(x.range AS INT) AS x, "
-            "CASE WHEN v = 1 AND y.range = 3 AND x.range = 4 "
-            "THEN (CAST(concat('0x', substr(md5(base || ':' || "
-            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
-            "AS INT) + 128) % 256 "
-            "ELSE CAST(concat('0x', substr(md5(base || ':' || "
-            "CAST(y.range AS VARCHAR) || ':' || CAST(x.range AS VARCHAR)), 1, 2)) "
-            "AS INT) END AS g "
-            "FROM refs CROSS JOIN range(8) y CROSS JOIN range(9) x), "
-            "bits AS (SELECT a.base, a.v, a.y, a.x, "
-            "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit "
-            "FROM px a JOIN px b ON a.base = b.base AND a.v = b.v "
-            "AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8), "
-            "h AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
-            "(CAST(1 AS HUGEINT) << CAST(y * 8 + x AS INT))) AS u "
-            "FROM bits GROUP BY base, v), "
-            "sigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
-            "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
-            "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS dhash "
-            "FROM h), "
+            "WITH RECURSIVE " + _DHASH_SIGS_CTE + ", "
             "p AS (SELECT s1.media_id AS a, s2.media_id AS b "
             "FROM sigs s1 JOIN sigs s2 ON s1.media_id < s2.media_id "
             "WHERE bit_count(xor(s1.dhash, s2.dhash)) <= 3), "

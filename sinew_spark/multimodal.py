@@ -346,8 +346,9 @@ def dhash_from_pixels(px) -> int:
 
     Fixed, SQL-replayable recipe (an independent oracle can re-derive it
     from the pixel values alone):
-      1. grayscale: C==1 -> the channel; else floor-mean of the first
-         min(3, C) channels (alpha never contributes)
+      1. grayscale: C==1 -> the channel; C==2 (gray+alpha, PNG color
+         type 4) -> channel 0; else floor-mean of the first min(3, C)
+         channels (alpha never contributes in any layout)
       2. sample to 8 rows x 9 cols by index (ys = y*H//8, xs = x*W//9 —
          the same nearest grid resize_nearest uses, identity for 9x8)
       3. bit(y, x) = 1 iff g[y, x+1] > g[y, x]  (x, y in 0..7)
@@ -361,8 +362,14 @@ def dhash_from_pixels(px) -> int:
     a = np.asarray(px)
     if a.ndim == 3:
         c = a.shape[2]
-        k = min(3, c)
-        g = a[:, :, :k].astype(np.int64).sum(axis=2) // k
+        if c <= 2:
+            # 1 channel, or gray+alpha (PNG color type 4): the luma IS
+            # channel 0 — folding alpha into the mean would hash a flat
+            # gray with an alpha ramp to the opposite corner of hamming
+            # space from its opaque twin
+            g = a[:, :, 0].astype(np.int64)
+        else:
+            g = a[:, :, :3].astype(np.int64).sum(axis=2) // 3
     else:
         g = a.astype(np.int64)
     h, w = g.shape
@@ -376,25 +383,31 @@ def dhash_from_pixels(px) -> int:
     return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
 
 
-def image_dhash(media: DataFrame, fake: bool = True) -> DataFrame:
+def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
     """(media_id, dhash) per image — the perceptual-near-dup signature.
 
-    fake=False decodes for real (pure-numpy PNG/BMP/PPM/PGM, Pillow
+    The default decodes for real (pure-numpy PNG/BMP/PPM/PGM, Pillow
     fallback) and applies ``dhash_from_pixels``; corrupt/undecodable
     bytes yield a NULL dhash (same per-item tolerance as
     extract_image_metadata — one garbage row must not abort the stage,
-    and the null fraction is the capability signal). fake=True derives
-    the hash from sha256(content) (first 8 bytes, big-endian, signed)
-    for fixture bytes that aren't valid media — deterministic and
-    oracle-checkable.
+    and the null fraction is the capability signal). Unlike the
+    extract_*/resize family this defaults to the REAL path: degradation
+    to NULL makes it safe without Pillow, and a sha256 pseudo-hash
+    (fake=True, first 8 bytes big-endian signed — kept for fixture
+    bytes that aren't valid media) has NO perceptual meaning, so a
+    near-dup pipeline silently finding nothing would be the trap.
 
     Compose with ``operators.dedup.hamming_block_pairs(sigs, max_hamming,
-    id_col='media_id', sig_col='dhash')`` for the banded candidate join +
-    exact popcount verify: near-duplicate IMAGES (re-encoded, brightness-
-    shifted, lightly cropped copies) at corpus scale without an O(n^2)
-    pixel comparison. Scale shape: map-only Arrow batches (this stage)
-    then the block equi-join (dedup.py) — signatures shuffle, pixels
-    never do."""
+    id_col='media_id', sig_col='dhash', bits=64)`` for the banded
+    candidate join + exact popcount verify — pass ``bits=64`` (the
+    default 60 is simhash's width; exactness would hold either way, but
+    15-bit bands generate ~2x the candidate pairs 16-bit bands do).
+    Near-duplicate IMAGES (re-encoded, brightness-shifted, lightly
+    cropped copies) at corpus scale without an O(n^2) pixel comparison;
+    checkpoint the signatures first so the decode doesn't re-run per
+    join side. Scale shape: map-only Arrow batches (this stage) then
+    the block equi-join (dedup.py) — signatures shuffle, pixels never
+    do."""
 
     def batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in frames:

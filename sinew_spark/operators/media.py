@@ -177,11 +177,15 @@ def perceptual_media_groups(
     sigs = image_dhash(
         media.select(F.col(id_col).alias("media_id"), "content"), fake=fake
     ).where(F.col("dhash").isNotNull())
+    # checkpoint BEFORE the block self-join: left and right project the
+    # same lineage differently, so without this the Python decode stage
+    # runs twice (once per join side)
+    sigs = sigs.localCheckpoint(eager=True)
     pairs = hamming_block_pairs(
-        sigs, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
+        sigs, max_hamming=max_hamming, id_col="media_id", sig_col="dhash", bits=64
     )
     # connected_components re-evaluates its edge plan once per label
-    # round — checkpoint so decode+dHash+join run ONCE, not per round
+    # round — checkpoint so the banded join runs ONCE, not per round
     pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(pairs, src="a", dst="b")
     return (

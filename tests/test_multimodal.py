@@ -265,6 +265,12 @@ def test_dhash_grayscale_rule():
     # alpha never contributes: RGBA with wild alpha == RGB
     rgba = np.concatenate([rgb, np.full((8, 9, 1), 201, np.uint8)], axis=2)
     assert dhash_from_pixels(rgba) == dhash_from_pixels(rgb)
+    # gray+alpha (PNG color type 4): luma is channel 0; a varying alpha
+    # ramp must not turn a flat gray into the all-bits hash
+    flat = np.zeros((8, 9), dtype=np.uint8)
+    ga = np.stack([flat, np.tile(np.arange(9), (8, 1)).astype(np.uint8) * 20], axis=2)
+    assert dhash_from_pixels(ga) == dhash_from_pixels(flat) == 0
+    assert dhash_from_pixels(np.stack([g, flat], axis=2)) == dhash_from_pixels(g)
 
 
 def test_image_dhash_real_and_tolerant(spark):
@@ -323,7 +329,7 @@ def test_dhash_neardup_pairs(spark):
     pairs = {
         (r.a, r.b): r.hamming
         for r in hamming_block_pairs(
-            sigs, max_hamming=3, id_col="media_id", sig_col="dhash"
+            sigs, max_hamming=3, id_col="media_id", sig_col="dhash", bits=64
         ).collect()
     }
     assert pairs[("m0", "m1")] == 1
