@@ -4135,6 +4135,90 @@ def q_kcore(spark, sf_dir):
     return kcore_vertices(e1.union(e2).union(e3), k=3).orderBy("v")
 
 
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup (operators/similarity.py semdedup — SemDeDup,
+    Abbas et al. 2023): k-means-cell-scoped cosine near-dup pruning,
+    min-id representative per duplicate set. Corpus = embeddings plus
+    planted exact copies (vec_id%40==0 cloned at +100000 — the same
+    construction as embedding_lsh_neardup, whose docstring pins that
+    planted copies are the ONLY pairs >= 0.95 in this data); centroids
+    are the first 8 embedding rows themselves (seed centroids = Lloyd
+    iteration zero) so the oracle replays cell assignment in pure SQL
+    (argmin of |e|^2 - 2e.c + |c|^2, ties to the lowest centroid id —
+    the same first-min-index rule as assign_cells). Expect kept=false
+    exactly on the planted clones: a clone's cell equals its original's
+    (identical vector -> identical distance vector) and its id is
+    larger."""
+    from sinew_spark.operators.similarity import semdedup
+
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    cent = np.array(
+        [r.embedding for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    return semdedup(corpus, cent, threshold=0.95).orderBy("vec_id")
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/quality.py lm_score):
+    add-one-smoothed bigram LM trained on the even-doc_id half of the
+    corpus (the 'clean reference'), every document scored with total /
+    per-bigram negative log-likelihood in 1e6 fixed point. Exactness:
+    each bigram's probability is a ratio of exact BIGINTs (so the
+    double is bit-identical cross-engine), its single ln() quantized to
+    int64 BEFORE the per-doc sum — no float-accumulation-order hazard
+    (the reason bigram_coverage's docstring called naive log-prob sums
+    non-replayable; this formulation removes that hazard). Pruned
+    tables: top-20 contexts / top-60 bigrams, ties by token string."""
+    from sinew_spark.operators.quality import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    return lm_score(docs, reference=ref, top_unigrams=20, top_bigrams=60).orderBy(
+        "doc_id"
+    )
+
+
+def q_adaptive_politeness(spark, sf_dir):
+    """Latency-adaptive per-host politeness (operators/scheduler.py
+    adaptive_host_delay — Heritrix's delay-factor rule + AIMD backoff
+    on 429/5xx; the reference's fixed rate_limit=1, base.rb:21,47, is
+    the constant special case). Fetch log derived from events: host =
+    user_id%20, latency = md5-derived %3000 ms, status 503/429 on
+    event_id %11/%13. Integer fixed-point throughout (x1000 factors,
+    truncating div) — one combinable groupBy(host)."""
+    from sinew_spark.operators.scheduler import adaptive_host_delay
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lat|"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3000
+        ).alias("latency_ms"),
+        F.when(F.col("event_id") % 11 == 0, 503)
+        .when(F.col("event_id") % 13 == 0, 429)
+        .otherwise(200)
+        .alias("status"),
+    )
+    return adaptive_host_delay(log).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -4190,15 +4274,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_coverage": q_bigram_coverage,
         "diversified_select": q_diversified_select,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "semdedup": q_semdedup,
+        "lm_perplexity": q_lm_perplexity,
+        "adaptive_politeness": q_adaptive_politeness,
         "ann_ivf": q_ann_ivf,
         "crawl_rounds": q_crawl_rounds,
-        "cache_probe": q_cache_probe,
         "media_perceptual_collapse": q_media_perceptual_collapse,
+        "image_phash_neardup": q_image_phash_neardup,
+        "cache_probe": q_cache_probe,
+        # --- end of the 50-slot driver-sample prefix (the three
+        # session-2 additions semdedup/lm_perplexity/adaptive_politeness
+        # are never-sampled and take the slots of the r3-green canaries
+        # robots_gate/canonicalize_urls/pagerank) ---
         "robots_gate": q_robots_gate,
         "canonicalize_urls": q_canonicalize_urls,
-        "image_phash_neardup": q_image_phash_neardup,
         "pagerank": q_pagerank,
-        # --- end of the 50-slot driver-sample prefix ---
         "priority_topk": q_priority_topk,
         "dedup_minhash": q_dedup_minhash,
         "cookie_scope": q_cookie_scope,
@@ -4744,6 +4834,81 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # semdedup: replay cell assignment from the 8 seed centroids
+        # (argmin of |e|^2 - 2e.c + |c|^2, ties to lowest centroid id =
+        # assign_cells' first-min-index), then the min-id-survivor rule
+        # on round(cos,4) >= 0.95 pairs within a cell
+        "semdedup": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "planted AS (SELECT vec_id + 100000 AS vec_id, e FROM base WHERE vec_id % 40 = 0), "
+            "s AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+            "c AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 8), "
+            "d AS (SELECT s.vec_id, c.cid, "
+            "list_dot_product(s.e, s.e) - 2*list_dot_product(s.e, c.ce) + "
+            "list_dot_product(c.ce, c.ce) AS dist FROM s CROSS JOIN c), "
+            "cells AS (SELECT vec_id, cid AS cell FROM ("
+            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), "
+            "sv AS (SELECT s.vec_id, s.e, cells.cell FROM s JOIN cells USING (vec_id)), "
+            "dropped AS (SELECT DISTINCT a.vec_id FROM sv a JOIN sv b "
+            "ON a.cell = b.cell AND b.vec_id < a.vec_id "
+            "WHERE round(list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95) "
+            "SELECT sv.vec_id, CAST(sv.cell AS INTEGER) AS cell, "
+            "(dropped.vec_id IS NULL) AS kept FROM sv "
+            "LEFT JOIN dropped ON sv.vec_id = dropped.vec_id ORDER BY sv.vec_id"
+        ),
+        # lm_perplexity: identical tokenization (lower, [^a-z0-9]+ ->
+        # space, split, drop empties), identical pruned tables (ties by
+        # token string), identical per-bigram int64 quantization of
+        # ln((c12+1)/(c1+V)) — the sums are then exact integers
+        "lm_perplexity": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "rtok AS (SELECT * FROM tok WHERE doc_id % 2 = 0), "
+            "v AS (SELECT count(DISTINCT tkn) AS vn FROM "
+            "(SELECT unnest(t) AS tkn FROM rtok)), "
+            "rbg AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM rtok, "
+            "unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2), "
+            "big AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY 1,2 "
+            "ORDER BY c12 DESC, w1, w2 LIMIT 60), "
+            "ctx AS (SELECT w1 AS cw, count(*) AS c1 FROM rbg GROUP BY 1 "
+            "ORDER BY c1 DESC, cw LIMIT 20), "
+            "dbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM tok, "
+            "unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2), "
+            "lp AS (SELECT doc_id, CAST(round(ln("
+            "CAST(coalesce(big.c12, 0) + 1 AS DOUBLE) / "
+            "CAST(coalesce(ctx.c1, 0) + (SELECT vn FROM v) AS DOUBLE)"
+            ") * 1000000) AS BIGINT) AS lp FROM dbg "
+            "LEFT JOIN big USING (w1, w2) LEFT JOIN ctx ON dbg.w1 = ctx.cw), "
+            "sc AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "CAST(-sum(lp) AS BIGINT) AS sum_nll_x FROM lp GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, sum_nll_x, "
+            "sum_nll_x // n_bigrams AS avg_nll_x FROM sc "
+            "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+            "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
+        ),
+        # adaptive_politeness: integer fixed-point replay (// == div on
+        # non-negative operands)
+        "adaptive_politeness": (
+            "WITH log AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+            "CAST(('0x' || substr(md5('lat|' || CAST(event_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) % 3000 AS latency_ms, "
+            "CASE WHEN event_id % 11 = 0 THEN 503 WHEN event_id % 13 = 0 THEN 429 "
+            "ELSE 200 END AS status FROM events), "
+            "g AS (SELECT host, count(*) AS n_fetches, sum(latency_ms) AS lat_sum, "
+            "sum(CASE WHEN status = 429 OR (status >= 500 AND status < 600) "
+            "THEN 1 ELSE 0 END) AS n_err FROM log GROUP BY host), "
+            "c AS (SELECT host, n_fetches, lat_sum // n_fetches AS avg_latency_ms, "
+            "(n_err * 1000) // n_fetches AS err_x1000, "
+            "(2000 * (lat_sum // n_fetches)) // 1000 AS base_ms FROM g) "
+            "SELECT host, n_fetches, CAST(avg_latency_ms AS BIGINT) AS avg_latency_ms, "
+            "CAST(err_x1000 AS BIGINT) AS err_x1000, "
+            "CAST(least(greatest(CASE WHEN err_x1000 >= 100 "
+            "THEN base_ms * 4000 // 1000 ELSE base_ms END, 250), 30000) AS BIGINT) "
+            "AS delay_ms FROM c ORDER BY host"
+        ),
         "canonicalize_urls": (
             f"WITH m AS ({_MESSY_URL_SQL}) "
             f"SELECT event_id, {_CANON_SQL} AS canonical_url FROM m ORDER BY event_id"

@@ -325,3 +325,133 @@ def bigram_coverage(
         F.lit(0).cast("long").alias("coverage_x"),
     )
     return scored.unionByName(empties)
+
+
+def lm_score(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    top_unigrams: int = 100_000,
+    top_bigrams: int = 1_000_000,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    lp_scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — docs are ranked by perplexity under an LM trained on a
+    clean reference corpus). The model here is an add-one-smoothed
+    bigram LM over ``reference`` (default: ``docs`` itself):
+
+        p(w2 | w1) = (c(w1,w2) + 1) / (c1(w1) + V)
+
+    with c(w1,w2) the bigram count in the PRUNED top-``top_bigrams``
+    table (0 when absent), c1(w1) the count of w1 as a bigram left-
+    context in the pruned top-``top_unigrams`` table (0 when absent —
+    OOV contexts back off to the uniform 1/V), and V the reference's
+    exact distinct-token count. Output per doc: ``n_bigrams``,
+    ``sum_nll_x`` and ``avg_nll_x`` — total and per-bigram negative
+    log-likelihood in ``lp_scale`` fixed point (avg_nll_x is the log-
+    perplexity up to the scale; ranking by it IS ranking by CCNet
+    perplexity). Docs with <2 tokens emit an explicit zero row.
+
+    Cross-engine determinism (why this is exact where a naive log-prob
+    sum is not): the per-bigram probability's numerator/denominator are
+    exact BIGINTs, their ratio one correctly-rounded IEEE division —
+    bit-identical in Spark and DuckDB — and the single ``ln`` of that
+    shared double is quantized to an integer (round(ln(r)*lp_scale))
+    BEFORE aggregation, so the per-doc sum is pure int64 arithmetic
+    with no float-accumulation-order hazard. (sum of |lp| <= doc_tokens
+    * ln(V + max_c1) * lp_scale ~ 1e4 * 30 * 1e6 — far inside int64.)
+
+    Scale shape: training = ONE explode over the reference + two
+    combinable groupBys with distributed top-m pruning
+    (TakeOrderedAndProject, ties by token string — deterministic);
+    both pruned tables are bounded by construction and BROADCAST to
+    the scoring side. Scoring = map-only bigram explode -> two
+    broadcast joins -> one combinable groupBy(doc). Nothing joins on
+    corpus-sized keys; the reference tables are the only state and
+    they are capped at top_m rows regardless of corpus size.
+    """
+    if top_unigrams < 1 or top_bigrams < 1:
+        raise ValueError("top_unigrams/top_bigrams must be >= 1")
+    from sinew_spark.operators.search import tokenize_expr
+
+    def bigram_rows(df: DataFrame, with_doc: bool):
+        toks = tokenize_expr(F.col(text_col))
+        bg = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        cols = [F.col(doc_col).alias("_doc")] if with_doc else []
+        return df.select(*cols, F.explode(bg).alias("_b")).select(
+            *(["_doc"] if with_doc else []),
+            F.col("_b.w1").alias("w1"),
+            F.col("_b.w2").alias("w2"),
+        )
+
+    ref = reference if reference is not None else docs
+    ref_bg = bigram_rows(ref, with_doc=False)
+    # V: exact distinct tokens in the reference (both bigram positions
+    # plus the tokens of 1-token docs would differ; CCNet's V is the LM
+    # vocabulary = distinct tokens of the training text, so count over
+    # ALL token positions, not just bigram members)
+    vocab_n = (
+        ref.select(F.explode(tokenize_expr(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0][0]
+    )
+    big = (
+        ref_bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_bigrams)
+    )
+    ctx = (
+        ref_bg.groupBy(F.col("w1").alias("cw"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .orderBy(F.col("c1").desc(), F.col("cw").asc())
+        .limit(top_unigrams)
+    )
+    scored_rows = (
+        bigram_rows(docs, with_doc=True)
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), F.col("w1") == F.col("cw"), "left")
+        .select(
+            "_doc",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + vocab_n).cast(
+                            "double"
+                        )
+                    )
+                    * lp_scale
+                ).cast("long")
+            ).alias("_lp"),
+        )
+    )
+    scored = scored_rows.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("_lp")).cast("long").alias("sum_nll_x"),
+    )
+    out = scored.select(
+        F.col("_doc").alias(doc_col),
+        "n_bigrams",
+        "sum_nll_x",
+        F.expr("sum_nll_x div n_bigrams").alias("avg_nll_x"),
+    )
+    toks = tokenize_expr(F.col(text_col))
+    empties = docs.where(F.size(toks) < 2).select(
+        F.col(doc_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("sum_nll_x"),
+        F.lit(0).cast("long").alias("avg_nll_x"),
+    )
+    return out.unionByName(empties)

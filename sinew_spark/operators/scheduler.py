@@ -271,3 +271,86 @@ def allocate_host_budget(
         ).alias("alloc"),
     )
     return out
+
+
+def adaptive_host_delay(
+    fetchlog: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    status_col: str = "status",
+    delay_factor_x1000: int = 2000,
+    min_delay_ms: int = 250,
+    max_delay_ms: int = 30_000,
+    backoff_x1000: int = 4000,
+    err_threshold_x1000: int = 100,
+    robots_delay_col: str | None = None,
+) -> DataFrame:
+    """Latency-adaptive per-host politeness (the Heritrix crawl-engine
+    rule: next fetch delay = delay-factor x the host's observed fetch
+    duration, clamped to [min, max] — a slow server automatically gets
+    a gentler schedule; reference parity note: sinew's fixed
+    ``rate_limit`` of 1 req/s, /root/reference/lib/sinew/base.rb:21,47,
+    is the degenerate constant form of this). Plus AIMD-style backoff:
+    a host whose recent error fraction (HTTP 429 or 5xx — the
+    overload/throttle signals) meets ``err_threshold_x1000`` has its
+    delay multiplied by ``backoff_x1000`` before clamping.
+
+    All arithmetic is integer fixed-point (x1000 factors, truncating
+    ``div``) so the schedule replays bit-identically across engines
+    and partitionings:
+
+        avg_ms   = sum(latency) div n
+        base     = (delay_factor_x1000 * avg_ms) div 1000
+        raw      = base * backoff_x1000 div 1000   if err-rate trips
+        delay_ms = clamp(raw, min_delay_ms, max_delay_ms), and never
+                   below ``robots_delay_col`` (robots.txt Crawl-delay,
+                   seconds -> ms, when the caller provides it)
+
+    Input: one row per completed fetch (host, latency_ms, status).
+    Output: one row per host — (host, n_fetches, avg_latency_ms,
+    err_x1000, delay_ms).
+
+    Scale shape: ONE combinable groupBy(host) — map-side partial sums,
+    output is O(distinct hosts). Feed delay_ms to the fetch stage's
+    per-host pacing (sources/fetch.py politeness) or divide a round
+    budget by it for frontier admission.
+    """
+    if min_delay_ms > max_delay_ms:
+        raise ValueError("min_delay_ms must be <= max_delay_ms")
+    if delay_factor_x1000 < 0 or backoff_x1000 < 1000:
+        raise ValueError("delay_factor_x1000 >= 0, backoff_x1000 >= 1000")
+    is_err = (F.col(status_col) == 429) | (
+        (F.col(status_col) >= 500) & (F.col(status_col) < 600)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col(latency_col).cast("long")).alias("_lat_sum"),
+        F.sum(is_err.cast("long")).alias("_n_err"),
+    ]
+    if robots_delay_col is not None:
+        aggs.append(
+            F.max(F.coalesce(F.col(robots_delay_col), F.lit(0)))
+            .cast("long")
+            .alias("_robots_s")
+        )
+    g = fetchlog.groupBy(F.col(host_col).alias("host")).agg(*aggs)
+    avg = F.expr("_lat_sum div n_fetches")
+    err_x = F.expr("(_n_err * 1000) div n_fetches")
+    base = F.expr(f"({delay_factor_x1000} * (_lat_sum div n_fetches)) div 1000")
+    raw = F.when(
+        err_x >= err_threshold_x1000, F.expr(f"base_ms * {backoff_x1000} div 1000")
+    ).otherwise(F.col("base_ms"))
+    floor = F.lit(min_delay_ms).cast("long")
+    if robots_delay_col is not None:
+        floor = F.greatest(floor, (F.col("_robots_s") * 1000).cast("long"))
+    delay = F.least(
+        F.greatest(raw.cast("long"), floor), F.lit(max_delay_ms).cast("long")
+    )
+    g = g.withColumn("base_ms", base)
+    return g.select(
+        "host",
+        "n_fetches",
+        avg.cast("long").alias("avg_latency_ms"),
+        err_x.cast("long").alias("err_x1000"),
+        delay.alias("delay_ms"),
+    )

@@ -223,3 +223,70 @@ def cosine_lsh_pairs(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# --- SemDeDup: cluster-scoped semantic deduplication -----------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are partitioned into k-means cells,
+    and WITHIN each cell any pair with cosine >= ``threshold`` is a
+    semantic duplicate — of every duplicate set, only the smallest-id
+    member survives. The paper drops all-but-one of each high-similarity
+    group inside a cluster (its tie-break is distance-to-centroid; the
+    min-id rule used here is the deterministic equivalent the oracle can
+    replay: a row is dropped iff SOME smaller-id row in its cell matches
+    it, so exactly the id-minima of the duplicate relation survive).
+
+    Returns one row per input: (id, cell, kept) — ``kept=false`` rows
+    are the semantic duplicates a training pipeline would discard.
+    Pair with a join back onto the document table to materialize the
+    pruned corpus.
+
+    Scale shape: the candidate join is cell-scoped — both sides hash-
+    shuffle on ``cell`` and pairs form only within a cell (the whole
+    point of SemDeDup: k is chosen so cells are ~|corpus|/k rows and the
+    quadratic term is bounded per cell; at the 100 TB design point k is
+    ~1e5 so cells are ~1e5 rows of a 1e10 corpus). The pair join carries
+    (cell, id, vector-on-one-side) and the cosine gate applies inside
+    the join's projection — survivors ship ids only. Nothing is ever
+    all-pairs across cells, and the final membership join is a
+    broadcast-able anti-set of dropped ids when duplicates are sparse.
+
+    Determinism: the cosine is rounded to ``round_digits`` BEFORE the
+    threshold compare (both engines round-half-away-from-zero on
+    doubles), the same convention as ``cosine_lsh_pairs``' oracle; cell
+    assignment ties break to the first (lowest-index) centroid in both
+    engines.
+    """
+    cells = assign_cells(emb, centroids, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    left = cells.select(F.col("cell"), F.col(id_col).alias("_a"), v.alias("_ea"))
+    right = cells.select(F.col("cell"), F.col(id_col).alias("_b"), v.alias("_eb"))
+    dropped = (
+        left.join(right, "cell")
+        .where(F.col("_b") < F.col("_a"))
+        .where(
+            F.round(cosine_expr(F.col("_ea"), F.col("_eb")), round_digits)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_a").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -245,3 +245,67 @@ def test_bigram_coverage_validation(spark):
     docs = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
     with _pytest.raises(ValueError):
         bigram_coverage(docs, top_m=0)
+
+
+def test_lm_score_hand_computed(spark):
+    """Tiny corpus, hand-checked add-one bigram LM: reference = docs
+    (self-trained), V = 3 ('a b a', 'b c'), contexts c1: a->1? No:
+    bigrams of 'a b a' = (a,b),(b,a); of 'b c' = (b,c). c1(a)=1,
+    c1(b)=2; c12 each 1. Scoring doc 'a b a': lp(a,b)=ln(2/(1+3)),
+    lp(b,a)=ln(2/(2+3))."""
+    import math
+
+    from sinew_spark.operators.quality import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "a")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert out[2].n_bigrams == 0 and out[2].sum_nll_x == 0
+    lp_ab = round(math.log(2 / 4) * 1_000_000)
+    lp_ba = round(math.log(2 / 5) * 1_000_000)
+    assert out[0].n_bigrams == 2
+    assert out[0].sum_nll_x == -(lp_ab + lp_ba)
+    assert out[0].avg_nll_x == out[0].sum_nll_x // 2
+    lp_bc = round(math.log(2 / 5) * 1_000_000)
+    assert out[1].sum_nll_x == -lp_bc
+
+
+def test_lm_score_pruning_and_oov(spark):
+    """OOV bigram/context back off: unseen bigram -> c12=0; a context
+    outside the top-m table -> c1=0 -> uniform 1/V floor. Gibberish
+    (all-OOV) docs must score strictly worse (higher avg nll) than
+    reference-like docs."""
+    from sinew_spark.operators.quality import lm_score
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zz qq kk vv")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lm_score(docs, reference=ref).collect()}
+    assert out[101].avg_nll_x > out[100].avg_nll_x
+
+
+def test_lm_score_partitioning_invariant(spark, sf_dir):
+    from sinew_spark.operators.quality import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(lm_score(docs, top_unigrams=10, top_bigrams=30).collect())
+    b = sorted(
+        lm_score(docs.repartition(17), top_unigrams=10, top_bigrams=30).collect()
+    )
+    assert a == b
+
+
+def test_lm_score_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.quality import lm_score
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        lm_score(docs, top_unigrams=0)

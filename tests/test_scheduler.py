@@ -216,3 +216,45 @@ def test_allocate_host_budget_validation(spark):
     hv2 = spark.createDataFrame([("a", 1)], "host string, value long")
     with _pytest.raises(ValueError):
         allocate_host_budget(hv2, -1)
+
+
+def test_adaptive_host_delay_hand_computed(spark):
+    from sinew_spark.operators.scheduler import adaptive_host_delay
+
+    log = spark.createDataFrame(
+        [
+            # slow healthy host: avg 1500 -> 2x -> 3000ms
+            ("slow", 1000, 200), ("slow", 2000, 200),
+            # fast healthy host: avg 10 -> 20ms -> floor 250
+            ("fast", 10, 200), ("fast", 10, 304),
+            # throttled host: avg 100 -> 200 -> err 50% >= 10% -> x4 -> 800
+            ("throttled", 100, 200), ("throttled", 100, 429),
+            # erroring host: huge latency -> cap 30000
+            ("dying", 60000, 503),
+        ],
+        ["host", "latency_ms", "status"],
+    )
+    out = {r.host: r for r in adaptive_host_delay(log).collect()}
+    assert out["slow"].delay_ms == 3000 and out["slow"].err_x1000 == 0
+    assert out["fast"].delay_ms == 250
+    assert out["throttled"].delay_ms == 800 and out["throttled"].err_x1000 == 500
+    assert out["dying"].delay_ms == 30000
+    assert out["slow"].avg_latency_ms == 1500
+
+
+def test_adaptive_host_delay_robots_floor_and_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.scheduler import adaptive_host_delay
+
+    log = spark.createDataFrame(
+        [("h", 10, 200, 5), ("h", 10, 200, None)],
+        "host string, latency_ms int, status int, crawl_delay_s int",
+    )
+    out = adaptive_host_delay(log, robots_delay_col="crawl_delay_s").collect()
+    # robots Crawl-delay 5s outranks both the latency rule and min_delay
+    assert out[0].delay_ms == 5000
+    with _pytest.raises(ValueError):
+        adaptive_host_delay(log, min_delay_ms=10, max_delay_ms=5)
+    with _pytest.raises(ValueError):
+        adaptive_host_delay(log, backoff_x1000=500)

@@ -146,3 +146,64 @@ def test_ivf_probe_cells_validation_and_boundary(spark):
     assert len(ivf_probe_cells(cent, q, n_probe=1)) == 1
     with pytest.raises(ValueError):
         ivf_probe_cells(cent, q, n_probe=1, probe_ratio=0.5)
+
+
+def test_semdedup_drops_planted_clones_keeps_originals(spark, emb):
+    from sinew_spark.operators.similarity import semdedup
+
+    base = emb.select("vec_id", "embedding")
+    planted = base.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    cent = np.array(
+        [r.embedding for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    out = semdedup(corpus, cent, threshold=0.95)
+    rows = {r.vec_id: r for r in out.collect()}
+    n_planted = planted.count()
+    assert len(rows) == base.count() + n_planted
+    dropped = {v for v, r in rows.items() if not r.kept}
+    # exactly the planted clones drop (only pairs >= 0.95 in this data),
+    # every original survives as the min-id representative
+    assert dropped == {r.vec_id for r in planted.select("vec_id").collect()}
+    # a clone's cell equals its original's (identical vector)
+    for v in dropped:
+        assert rows[v].cell == rows[v - 100000].cell
+
+
+def test_semdedup_partitioning_invariant(spark, emb):
+    from sinew_spark.operators.similarity import semdedup
+
+    cent = np.array(
+        [r.embedding for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    sub = emb.select("vec_id", "embedding").where(F.col("vec_id") < 120)
+    a = sorted(semdedup(sub, cent, threshold=0.3).collect())
+    b = sorted(semdedup(sub.repartition(13, "vec_id"), cent, threshold=0.3).collect())
+    assert a == b
+
+
+def test_semdedup_threshold_monotone(spark, emb):
+    """Lowering the threshold can only drop MORE rows (the duplicate
+    relation grows), and kept minima stay kept: the smallest id of any
+    cell can never be dropped."""
+    from sinew_spark.operators.similarity import semdedup
+
+    cent = np.array(
+        [r.embedding for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    sub = emb.select("vec_id", "embedding").where(F.col("vec_id") < 200)
+    hi = {r.vec_id for r in semdedup(sub, cent, threshold=0.5).collect() if not r.kept}
+    lo_rows = semdedup(sub, cent, threshold=0.2).collect()
+    lo = {r.vec_id for r in lo_rows if not r.kept}
+    assert hi <= lo
+    per_cell_min = {}
+    for r in lo_rows:
+        per_cell_min[r.cell] = min(per_cell_min.get(r.cell, 1 << 60), r.vec_id)
+    for r in lo_rows:
+        if r.vec_id == per_cell_min[r.cell]:
+            assert r.kept
