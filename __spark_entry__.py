@@ -4219,6 +4219,43 @@ def q_adaptive_politeness(spark, sf_dir):
     return adaptive_host_delay(log).orderBy("host")
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py mirror_hosts —
+    Bharat & Broder WWW8 1999): host pairs replicating pages at the
+    same path with the same content digest; overlap_x = shared * 1e6
+    div min(host sizes), integer-exact, degree-capped fingerprint
+    index. Construction: hosts h0..h9 from doc_id%10; planted full
+    mirror m0 (clones every h0 page) and half mirror m1 (clones h1's
+    doc_id%20==1 pages, plus unique /x pages for doc_id%20==11) —
+    expected pairs exactly (h0,m0) at 1e6 and (h1,m1) at 500k."""
+    from sinew_spark.operators.mirrors import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    base = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        F.concat(F.lit("/p"), did).alias("path"),
+        F.md5(F.concat(F.lit("pg|"), did)).alias("digest"),
+    )
+    m0 = d.where(F.col("doc_id") % 10 == 0).select(
+        F.lit("m0").alias("host"),
+        F.concat(F.lit("/p"), did).alias("path"),
+        F.md5(F.concat(F.lit("pg|"), did)).alias("digest"),
+    )
+    m1c = d.where(F.col("doc_id") % 20 == 1).select(
+        F.lit("m1").alias("host"),
+        F.concat(F.lit("/p"), did).alias("path"),
+        F.md5(F.concat(F.lit("pg|"), did)).alias("digest"),
+    )
+    m1u = d.where(F.col("doc_id") % 20 == 11).select(
+        F.lit("m1").alias("host"),
+        F.concat(F.lit("/x"), did).alias("path"),
+        F.md5(F.concat(F.lit("xx|"), did)).alias("digest"),
+    )
+    pages = base.unionByName(m0).unionByName(m1c).unionByName(m1u)
+    return mirror_hosts(pages, threshold_x=400_000).orderBy("host_a", "host_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -4277,15 +4314,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "lm_perplexity": q_lm_perplexity,
         "adaptive_politeness": q_adaptive_politeness,
+        "mirror_hosts": q_mirror_hosts,
         "ann_ivf": q_ann_ivf,
         "crawl_rounds": q_crawl_rounds,
         "media_perceptual_collapse": q_media_perceptual_collapse,
         "image_phash_neardup": q_image_phash_neardup,
+        # --- end of the 50-slot driver-sample prefix (the four
+        # session-2 additions semdedup/lm_perplexity/adaptive_politeness/
+        # mirror_hosts are never-sampled and take the slots of the
+        # r3-green canaries robots_gate/canonicalize_urls/pagerank/
+        # cache_probe) ---
         "cache_probe": q_cache_probe,
-        # --- end of the 50-slot driver-sample prefix (the three
-        # session-2 additions semdedup/lm_perplexity/adaptive_politeness
-        # are never-sampled and take the slots of the r3-green canaries
-        # robots_gate/canonicalize_urls/pagerank) ---
         "robots_gate": q_robots_gate,
         "canonicalize_urls": q_canonicalize_urls,
         "pagerank": q_pagerank,
@@ -4888,6 +4927,32 @@ def oracle_sql() -> dict[str, str]:
             "sum_nll_x // n_bigrams AS avg_nll_x FROM sc "
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
             "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
+        ),
+        # mirror_hosts: rebuild the page construction, fingerprint
+        # md5(path <0x1f> digest), per-host sizes, df-capped inverted
+        # index, pair counts, and the integer overlap floor
+        "mirror_hosts": (
+            "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents), "
+            "pages AS ("
+            "SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host, '/p' || s AS path, "
+            "md5('pg|' || s) AS digest FROM d "
+            "UNION ALL SELECT 'm0', '/p' || s, md5('pg|' || s) FROM d WHERE doc_id % 10 = 0 "
+            "UNION ALL SELECT 'm1', '/p' || s, md5('pg|' || s) FROM d WHERE doc_id % 20 = 1 "
+            "UNION ALL SELECT 'm1', '/x' || s, md5('xx|' || s) FROM d WHERE doc_id % 20 = 11), "
+            "fps AS (SELECT DISTINCT host, md5(path || chr(31) || digest) AS fp "
+            "FROM pages WHERE path IS NOT NULL AND digest IS NOT NULL), "
+            "sizes AS (SELECT host, count(*) AS n_pages FROM fps GROUP BY host), "
+            "freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp), "
+            "idx AS (SELECT fps.host, fps.fp FROM fps JOIN freq USING (fp) WHERE df <= 64), "
+            "pairs AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared "
+            "FROM idx a JOIN idx b ON a.fp = b.fp AND a.host < b.host "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "j AS (SELECT host_a, host_b, shared, sa.n_pages AS a_pages, "
+            "sb.n_pages AS b_pages, least(sa.n_pages, sb.n_pages) AS m FROM pairs "
+            "JOIN sizes sa ON sa.host = host_a JOIN sizes sb ON sb.host = host_b) "
+            "SELECT host_a, host_b, shared, a_pages, b_pages, "
+            "CAST((shared * 1000000) // m AS BIGINT) AS overlap_x FROM j "
+            "WHERE shared * 1000000 >= 400000 * m ORDER BY host_a, host_b"
         ),
         # adaptive_politeness: integer fixed-point replay (// == div on
         # non-negative operands)
