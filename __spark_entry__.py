@@ -4256,6 +4256,52 @@ def q_mirror_hosts(spark, sf_dir):
     return mirror_hosts(pages, threshold_x=400_000).orderBy("host_a", "host_b")
 
 
+def q_pack_multimodal(spark, sf_dir):
+    """Multimodal-aware shard packing: the spans_interleaved document
+    construction (two 5-token text spans + image + audio), per-doc cost
+    from operators/interleave.py multimodal_token_cost (text = whitespace
+    tokens, image = 64, audio = 32), packed by
+    pipeline.pack_by_token_budget at 8000 tokens/shard — budgets hold
+    for the model's sequence length, not just the text length. Cost per
+    doc = min(nt, 10) + 96, so the oracle replays it closed-form plus
+    the pack_shards exclusive-prefix-sum shard rule."""
+    from sinew_spark.operators.interleave import multimodal_token_cost
+    from sinew_spark.operators.pipeline import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nul = F.lit(None).cast("string")
+    mk_text = lambda t, off: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), t.alias("text"), nul.alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    mk_media = lambda kind, scheme, idx, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), nul.alias("text"),
+        F.concat(F.lit(scheme), F.col("doc_id").cast("string"), F.lit(idx)).alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    spans = F.array(
+        mk_text(F.array_join(F.slice(toks, 1, 5), " "), 0),
+        mk_media("image", "img://", "/0", 1),
+        mk_text(F.array_join(F.slice(toks, 6, 5), " "), 2),
+        mk_media("audio", "aud://", "/1", 3),
+    )
+    costed = multimodal_token_cost(
+        d.select("doc_id", spans.alias("spans")),
+        media_tokens={"image": 64, "audio": 32},
+    )
+    return (
+        pack_by_token_budget(costed.select("doc_id", "n_tokens"), budget=8000)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("token_offset").cast("bigint").alias("token_offset"),
+            F.col("shard").cast("bigint").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -4315,15 +4361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "adaptive_politeness": q_adaptive_politeness,
         "mirror_hosts": q_mirror_hosts,
-        "ann_ivf": q_ann_ivf,
+        "pack_multimodal": q_pack_multimodal,
         "crawl_rounds": q_crawl_rounds,
         "media_perceptual_collapse": q_media_perceptual_collapse,
         "image_phash_neardup": q_image_phash_neardup,
-        # --- end of the 50-slot driver-sample prefix (the four
+        # --- end of the 50-slot driver-sample prefix (the five
         # session-2 additions semdedup/lm_perplexity/adaptive_politeness/
-        # mirror_hosts are never-sampled and take the slots of the
-        # r3-green canaries robots_gate/canonicalize_urls/pagerank/
-        # cache_probe) ---
+        # mirror_hosts/pack_multimodal are never-sampled and take the
+        # slots of the r3/r4-green canaries robots_gate/canonicalize_urls/
+        # pagerank/cache_probe/ann_ivf — ann_ivf's multi-probe addition
+        # is test-pinned and its oracle path is unchanged since its
+        # r3-green row) ---
+        "ann_ivf": q_ann_ivf,
         "cache_probe": q_cache_probe,
         "robots_gate": q_robots_gate,
         "canonicalize_urls": q_canonicalize_urls,
@@ -4927,6 +4976,20 @@ def oracle_sql() -> dict[str, str]:
             "sum_nll_x // n_bigrams AS avg_nll_x FROM sc "
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
             "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
+        ),
+        # pack_multimodal: cost closed-form (min(nt,10) text tokens +
+        # 64 image + 32 audio = the spans construction's exact cost),
+        # then pack_shards' exclusive prefix sum at budget 8000
+        "pack_multimodal": (
+            "WITH d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt FROM documents), "
+            "t AS (SELECT doc_id, CAST(least(nt, 10) + 96 AS BIGINT) AS n_tokens FROM d), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, token_offset, "
+            "CAST(floor(token_offset / 8000) AS BIGINT) AS shard FROM s ORDER BY doc_id"
         ),
         # mirror_hosts: rebuild the page construction, fingerprint
         # md5(path <0x1f> digest), per-host sizes, df-capped inverted

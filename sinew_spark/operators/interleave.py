@@ -171,3 +171,42 @@ def strip_media(
         lambda s: F.coalesce(s["text"], F.lit("")),
     )
     return docs.withColumn("text_only", F.array_join(texts, sep))
+
+
+def multimodal_token_cost(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    media_tokens: Optional[Mapping[str, int]] = None,
+    default_media_tokens: int = 64,
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Training token cost of an interleaved document: text spans count
+    whitespace tokens (the ``_span_tokens`` rule shared with
+    main_content_spans), every other kind costs a fixed per-kind budget
+    — the multimodal-LM packing convention where an image costs its
+    patch count (e.g. 576 for ViT-L/14 @ 336px) and audio its frame
+    count, regardless of byte size. Feed the result straight into
+    ``pipeline.pack_by_token_budget`` for shard assembly whose budgets
+    hold for the MODEL's sequence length, not just the text length —
+    text-only counting under-packs media-heavy corpora by the whole
+    media budget.
+
+    One Catalyst fold per row — zero shuffle, zero Python, a Project
+    over the scan at any corpus size.
+    """
+    mt = media_tokens or {}
+
+    def cost(s: Column) -> Column:
+        c: Column = F.lit(int(default_media_tokens))
+        for k, v in mt.items():
+            c = F.when(s["kind"] == k, F.lit(int(v))).otherwise(c)
+        return F.when(s["kind"] == "text", _span_tokens(s)).otherwise(c)
+
+    return docs.withColumn(
+        out_col,
+        F.aggregate(
+            F.col(spans_col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + cost(s).cast("long"),
+        ),
+    )

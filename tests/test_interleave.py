@@ -189,3 +189,41 @@ def test_main_content_rejects_bad_thresholds(spark):
 
     with _pytest.raises(ValueError):
         main_content_spans(_doc(spark, []), min_tokens=0)
+
+
+def test_multimodal_token_cost_per_kind_and_text(spark):
+    from sinew_spark.operators.interleave import multimodal_token_cost
+
+    docs = spark.createDataFrame(
+        [
+            (0, [("text", "a b c", None, 0), ("image", None, "img://x", 1),
+                 ("audio", None, "aud://y", 2), ("video", None, "vid://z", 3)]),
+            (1, [("text", "  ", None, 0)]),  # blank text span counts 0
+            (2, []),
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r.doc_id: r.n_tokens for r in multimodal_token_cost(
+        docs, media_tokens={"image": 576, "audio": 32}
+    ).collect()}
+    # 3 text tokens + 576 image + 32 audio + 64 default (video)
+    assert out[0] == 3 + 576 + 32 + 64
+    assert out[1] == 0
+    assert out[2] == 0
+
+
+def test_multimodal_token_cost_feeds_packing(spark):
+    from sinew_spark.operators.interleave import multimodal_token_cost
+    from sinew_spark.operators.pipeline import pack_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, [("text", "w " * 5, None, 0), ("image", None, f"img://{i}", 1)])
+         for i in range(10)],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    costed = multimodal_token_cost(docs, media_tokens={"image": 95})
+    packed = pack_by_token_budget(costed.select("doc_id", "n_tokens"), budget=200)
+    rows = {r.doc_id: r for r in packed.collect()}
+    # every doc costs 5 text + 95 image = 100; budget 200 -> 2 docs/shard
+    assert all(r.n_tokens == 100 for r in rows.values())
+    assert [rows[i].shard for i in range(10)] == [i // 2 for i in range(10)]
