@@ -4302,6 +4302,22 @@ def q_pack_multimodal(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary training over the corpus (operators/bpe.py
+    bpe_train — Sennrich ACL 2016): distributed word counts + top-m
+    prune, then the exact merge loop on the bounded table. Output =
+    the 6 learned merges (rank, left, right, pair_count). The oracle
+    unrolls every round in SQL: adjacency pair counts (overlaps
+    included, frequency-weighted) -> argmax with (count desc, pair
+    asc) tie rule -> greedy left-to-right rewrite via the run-parity
+    rule (for left==right a run of L merges floor(L/2) pairs at odd
+    run offsets; for left!=right overlaps are impossible)."""
+    from sinew_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=6, top_words=50).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS for the driver's size-bounded correctness sample
@@ -4362,16 +4378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_politeness": q_adaptive_politeness,
         "mirror_hosts": q_mirror_hosts,
         "pack_multimodal": q_pack_multimodal,
-        "crawl_rounds": q_crawl_rounds,
+        "bpe_vocab": q_bpe_vocab,
         "media_perceptual_collapse": q_media_perceptual_collapse,
         "image_phash_neardup": q_image_phash_neardup,
-        # --- end of the 50-slot driver-sample prefix (the five
+        # --- end of the 50-slot driver-sample prefix (the six
         # session-2 additions semdedup/lm_perplexity/adaptive_politeness/
-        # mirror_hosts/pack_multimodal are never-sampled and take the
-        # slots of the r3/r4-green canaries robots_gate/canonicalize_urls/
-        # pagerank/cache_probe/ann_ivf — ann_ivf's multi-probe addition
-        # is test-pinned and its oracle path is unchanged since its
-        # r3-green row) ---
+        # mirror_hosts/pack_multimodal/bpe_vocab are never-sampled and
+        # take the slots of the r3/r4-green canaries robots_gate/
+        # canonicalize_urls/pagerank/cache_probe/ann_ivf/crawl_rounds —
+        # ann_ivf's multi-probe addition is test-pinned with its oracle
+        # path unchanged since its r3-green row; crawl_rounds was
+        # driver-confirmed in r4's own sample) ---
+        "crawl_rounds": q_crawl_rounds,
         "ann_ivf": q_ann_ivf,
         "cache_probe": q_cache_probe,
         "robots_gate": q_robots_gate,
@@ -4921,6 +4939,51 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT v, label FROM l2 ORDER BY v"
     )
 
+    # bpe_vocab: unroll 6 merge rounds. Per round: frequency-weighted
+    # adjacency pair counts (overlaps included) -> 1-row argmax with
+    # (count desc, left, right) ties -> greedy left-to-right rewrite.
+    # Greedy is vectorizable: for a != b two matches can never overlap;
+    # for a == b a run of L merges the pairs at ODD run offsets
+    # (floor(L/2) of them) — run offset = i - (last non-a position).
+    def _bpe_round(k: int) -> str:
+        p, s = f"seg{k - 1}", f"seg{k}"
+        return (
+            f"p{k} AS (SELECT s.w, s.c, r.i, s.seg[r.i] AS a, s.seg[r.i + 1] AS b "
+            f"FROM {p} s, unnest(range(1, len(s.seg))) AS r(i)), "
+            f"best{k} AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM p{k} "
+            f"GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1), "
+            f"x{k} AS (SELECT s.w, s.c, r.i, s.seg[r.i] AS sym, s.seg[r.i + 1] AS nxt "
+            f"FROM {p} s, unnest(range(1, len(s.seg) + 1)) AS r(i)), "
+            f"m{k} AS (SELECT x.w, x.c, x.i, x.sym, best{k}.a, best{k}.b, "
+            f"coalesce(x.sym = best{k}.a AND x.nxt = best{k}.b, FALSE) AND "
+            f"(best{k}.a <> best{k}.b OR (x.i - coalesce(max(CASE WHEN x.sym <> best{k}.a "
+            f"THEN x.i END) OVER (PARTITION BY x.w ORDER BY x.i "
+            f"ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1) AS merged "
+            f"FROM x{k} AS x, best{k}), "
+            f"e{k} AS (SELECT w, c, i, sym, a, b, merged, "
+            f"coalesce(lag(merged) OVER (PARTITION BY w ORDER BY i), FALSE) AS pm "
+            f"FROM m{k}), "
+            f"{s} AS (SELECT w, c, list(CASE WHEN merged THEN a || b ELSE sym END "
+            f"ORDER BY i) AS seg FROM e{k} WHERE merged OR NOT pm GROUP BY w, c)"
+        )
+
+    bpe_sql = (
+        "WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ("
+        "SELECT unnest(list_filter(string_split(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS w FROM documents) "
+        "GROUP BY w ORDER BY c DESC, w LIMIT 50), "
+        "seg0 AS (SELECT w, c, list_append(list_transform("
+        "range(1, len(w) + 1), i -> w[i:i]), '</w>') AS seg FROM wc), "
+        + ", ".join(_bpe_round(k) for k in range(1, 7))
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(
+            f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left", b AS "right", '
+            f"cnt AS pair_count FROM best{k}"
+            for k in range(1, 7)
+        )
+        + ") ORDER BY rank"
+    )
+
     return {
         # semdedup: replay cell assignment from the 8 seed centroids
         # (argmin of |e|^2 - 2e.c + |c|^2, ties to lowest centroid id =
@@ -4977,6 +5040,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
             "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
         ),
+        "bpe_vocab": bpe_sql,
         # pack_multimodal: cost closed-form (min(nt,10) text tokens +
         # 64 image + 32 audio = the spans construction's exact cost),
         # then pack_shards' exclusive prefix sum at budget 8000
