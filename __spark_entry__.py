@@ -4142,7 +4142,7 @@ def q_semdedup(spark, sf_dir):
     planted exact copies (vec_id%40==0 cloned at +100000 — the same
     construction as embedding_lsh_neardup, whose docstring pins that
     planted copies are the ONLY pairs >= 0.95 in this data); centroids
-    are the first 8 embedding rows themselves (seed centroids = Lloyd
+    are the first 16 embedding rows themselves (seed centroids = Lloyd
     iteration zero) so the oracle replays cell assignment in pure SQL
     (argmin of |e|^2 - 2e.c + |c|^2, ties to the lowest centroid id —
     the same first-min-index rule as assign_cells). Expect kept=false
@@ -4160,7 +4160,7 @@ def q_semdedup(spark, sf_dir):
     )
     corpus = base.unionByName(planted)
     cent = np.array(
-        [r.embedding for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        [r.embedding for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()],
         dtype=np.float64,
     )
     return semdedup(corpus, cent, threshold=0.95).orderBy("vec_id")
@@ -4993,7 +4993,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
             "planted AS (SELECT vec_id + 100000 AS vec_id, e FROM base WHERE vec_id % 40 = 0), "
             "s AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
-            "c AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 8), "
+            "c AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16), "
             "d AS (SELECT s.vec_id, c.cid, "
             "list_dot_product(s.e, s.e) - 2*list_dot_product(s.e, c.ce) + "
             "list_dot_product(c.ce, c.ce) AS dist FROM s CROSS JOIN c), "
@@ -5001,10 +5001,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
             "ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), "
             "sv AS (SELECT s.vec_id, s.e, cells.cell FROM s JOIN cells USING (vec_id)), "
-            "dropped AS (SELECT DISTINCT a.vec_id FROM sv a JOIN sv b "
+            "u AS (SELECT vec_id, cell, list_transform(e, x -> "
+            "x / sqrt(list_dot_product(e, e))) AS ue FROM sv), "
+            "dropped AS (SELECT DISTINCT a.vec_id FROM u a JOIN u b "
             "ON a.cell = b.cell AND b.vec_id < a.vec_id "
-            "WHERE round(list_dot_product(a.e, b.e) / "
-            "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95) "
+            "WHERE round(list_dot_product(a.ue, b.ue), 4) >= 0.95) "
             "SELECT sv.vec_id, CAST(sv.cell AS INTEGER) AS cell, "
             "(dropped.vec_id IS NULL) AS kept FROM sv "
             "LEFT JOIN dropped ON sv.vec_id = dropped.vec_id ORDER BY sv.vec_id"

