@@ -41,9 +41,15 @@ def shingle_sets(
     if k < 1:
         raise ValueError("k must be >= 1")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # zip k shifted slices so the lambda reads only its argument — a
+    # slice-of-free-expression lambda re-runs the tokenization per
+    # shingle (see quality.py _grams); the where() guarantees
+    # size - k + 1 >= 1 so every slice is full-length
+    length = F.size(toks) - k + 1
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(k)])
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        zipped,
+        lambda s: F.md5(F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
     )
     return (
         docs.where(F.size(toks) >= k)

@@ -381,11 +381,15 @@ def ngram_jaccard_pairs(
     intersection/union via array functions."""
 
     def ngrams(c):
+        # zip n shifted slices so the lambda reads only its argument — a
+        # slice-of-free-expression lambda re-runs the tokenization per
+        # n-gram (see quality.py _grams)
         toks = F.split(F.lower(F.trim(c)), r"\s+")
+        length = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(n)])
         return F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
             )
         )
 

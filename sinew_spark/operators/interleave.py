@@ -135,7 +135,16 @@ def main_content_spans(
     """
     if min_tokens <= 0 or link_min_tokens <= 0:
         raise ValueError("token thresholds must be positive")
-    arr = F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
+    # materialize the sorted array as a column BEFORE the filter lambda
+    # reads it: a free array_sort expression inside the lambda would
+    # re-sort the whole array for EVERY element's neighbor probe
+    # (higher-order-function lambdas re-evaluate free expression
+    # variables per element — same fix as quality.py's bigram_rows)
+    tmp = f"__{out_col}_sorted"
+    docs = docs.withColumn(
+        tmp, F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
+    )
+    arr = F.col(tmp)
     n = F.size(arr)
 
     def base(s: Column) -> Column:
@@ -155,7 +164,7 @@ def main_content_spans(
         )
         return base(s) | ((prev_base | next_base) & rides_along)
 
-    return docs.withColumn(out_col, F.filter(arr, keep))
+    return docs.withColumn(out_col, F.filter(arr, keep)).drop(tmp)
 
 
 def strip_media(

@@ -142,25 +142,46 @@ def drop_duplicate_paragraphs(
 
 
 def _grams(text: Column, n: int) -> Column:
-    """All word n-grams in order (NOT distinct — repetition is the point)."""
+    """All word n-grams in order (NOT distinct — repetition is the point).
+
+    Built by zipping n shifted slices of the token array so the lambda
+    touches only its struct argument — a slice-of-free-expression lambda
+    (``array_join(slice(TOKS, i+1, n))``) would re-run the split/lower
+    tokenization for every n-gram (higher-order-function lambdas
+    re-evaluate free expression variables per element). ``concat_ws``
+    skips the NULLs arrays_zip pads short docs with, matching the
+    short-slice join of the old form exactly."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
+    length = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, length) for i in range(n)])
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
 
 
 def top_ngram_frac_expr(text: Column, n: int) -> Column:
     """Fraction of the document's word n-grams occupied by its single most
-    frequent n-gram (Gopher repetition signal)."""
+    frequent n-gram (Gopher repetition signal). Mode multiplicity =
+    longest equal-run of the SORTED gram array, one aggregate fold whose
+    lambda reads only (acc, element) — the distinct×filter formulation
+    re-evaluated the gram construction per distinct gram and compared
+    O(distinct·total) pairs."""
     g = _grams(text, n)
-    mode_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(g),
-            lambda x: F.size(F.filter(g, lambda y: y == x)),
-        )
+    runs = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    return F.round(mode_cnt / F.size(g), 6)
+    return F.round(runs["best"] / F.size(g), 6)
 
 
 def dup_ngram_frac_expr(text: Column, n: int) -> Column:
