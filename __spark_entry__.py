@@ -4302,6 +4302,82 @@ def q_pack_multimodal(spark, sf_dir):
     )
 
 
+def _aefp_media(spark, sf_dir):
+    """Shared fixture for the audio-fingerprint query: two genuine
+    RIFF/WAVE 16-bit PCM mono clips per document, 650 samples each (65
+    frames x 10). Sample j of frame fi: amplitude = (first md5 byte of
+    '<base>:f<fi>') % 4 * 1000 + 500, plus jitter (first md5 byte of
+    '<base>:s<j>') % 100; variant 1 is the volume-scaled copy
+    (sample * 7 div 10) — the loudness-invariance case. media_id =
+    md5(base ':' variant). Any change here must track _AEFP_SIGS_CTE."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    refs = d.select(
+        F.concat(F.lit("aef://"), F.col("doc_id").cast("string")).alias("base"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    )
+
+    @F.pandas_udf("binary")
+    def gen_wav(base: pd.Series, v: pd.Series) -> pd.Series:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        out = []
+        for b, vv in zip(base, v):
+            s = np.empty(650, dtype=np.int64)
+            for fi in range(65):
+                amp = (
+                    int(hashlib.md5(f"{b}:f{fi}".encode()).hexdigest()[:2], 16) % 4
+                ) * 1000 + 500
+                for k in range(10):
+                    j = fi * 10 + k
+                    jit = int(hashlib.md5(f"{b}:s{j}".encode()).hexdigest()[:2], 16) % 100
+                    s[j] = amp + jit
+            if vv == 1:
+                s = (s * 7) // 10
+            pcm = s.astype("<i2").tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(pcm))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(pcm))
+            )
+            out.append(hdr + pcm)
+        return pd.Series(out)
+
+    return refs.select(
+        F.md5(F.concat(F.col("base"), F.lit(":"), F.col("v").cast("string"))).alias(
+            "media_id"
+        ),
+        gen_wav("base", "v").alias("content"),
+    )
+
+
+def q_audio_fingerprint_neardup(spark, sf_dir):
+    """Audio perceptual near-dup (multimodal.audio_fingerprint —
+    Haitsma-Kalker-style sign-of-energy-difference bits over REAL WAV
+    decode, integer-exact) + the same banded Hamming join the image
+    dHash path uses. The _aefp_media corpus plants a volume-scaled copy
+    of every clip; sign-of-difference bits are gain-invariant, so the
+    expected pair set is exactly the (original, scaled) pairs — the
+    oracle re-derives every PCM sample from md5 arithmetic, packs the
+    identical 64-bit fingerprint, and checks the pair set."""
+    from sinew_spark.multimodal import audio_fingerprint
+    from sinew_spark.operators.dedup import hamming_block_pairs
+
+    sigs = audio_fingerprint(_aefp_media(spark, sf_dir)).localCheckpoint(eager=True)
+    return (
+        hamming_block_pairs(
+            sigs, max_hamming=3, id_col="media_id", sig_col="efp", bits=64
+        )
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 def q_bpe_vocab(spark, sf_dir):
     """BPE vocabulary training over the corpus (operators/bpe.py
     bpe_train — Sennrich ACL 2016): distributed word counts + top-m
@@ -4379,16 +4455,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "pack_multimodal": q_pack_multimodal,
         "bpe_vocab": q_bpe_vocab,
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "media_perceptual_collapse": q_media_perceptual_collapse,
-        "image_phash_neardup": q_image_phash_neardup,
-        # --- end of the 50-slot driver-sample prefix (the six
+        # --- end of the 50-slot driver-sample prefix (the seven
         # session-2 additions semdedup/lm_perplexity/adaptive_politeness/
-        # mirror_hosts/pack_multimodal/bpe_vocab are never-sampled and
-        # take the slots of the r3/r4-green canaries robots_gate/
-        # canonicalize_urls/pagerank/cache_probe/ann_ivf/crawl_rounds —
-        # ann_ivf's multi-probe addition is test-pinned with its oracle
-        # path unchanged since its r3-green row; crawl_rounds was
-        # driver-confirmed in r4's own sample) ---
+        # mirror_hosts/pack_multimodal/bpe_vocab/audio_fingerprint_neardup
+        # are never-sampled and take the slots of the r3/r4-green
+        # canaries robots_gate/canonicalize_urls/pagerank/cache_probe/
+        # ann_ivf/crawl_rounds plus image_phash_neardup's — that one is
+        # never-sampled but its whole path (real decode -> dHash ->
+        # banded Hamming pairs) is the first stage of
+        # media_perceptual_collapse, which IS in the sample, and its
+        # exact pair set is pinned by the local oracle mirror) ---
+        "image_phash_neardup": q_image_phash_neardup,
         "crawl_rounds": q_crawl_rounds,
         "ann_ivf": q_ann_ivf,
         "cache_probe": q_cache_probe,
@@ -4939,6 +5018,44 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT v, label FROM l2 ORDER BY v"
     )
 
+    # audio_fingerprint_neardup: analytic replay of _aefp_media +
+    # audio_efp_from_samples — every PCM sample re-derived from md5
+    # arithmetic, frame energies as integer means, sign-of-difference
+    # bits packed in HUGEINT then converted to signed BIGINT (the same
+    # two's-complement fold _DHASH_SIGS_CTE uses). Must track
+    # _aefp_media's fixture recipe.
+    _amp = (
+        "(CAST(concat('0x', substr(md5(base || ':f' || "
+        "CAST(j.range // 10 AS VARCHAR)), 1, 2)) AS BIGINT) % 4) * 1000 + 500"
+    )
+    _jit = (
+        "CAST(concat('0x', substr(md5(base || ':s' || "
+        "CAST(j.range AS VARCHAR)), 1, 2)) AS BIGINT) % 100"
+    )
+    aefp_sql = (
+        "WITH arefs AS (SELECT 'aef://' || CAST(doc_id AS VARCHAR) AS base, v "
+        "FROM documents CROSS JOIN (VALUES (0), (1)) AS vv(v)), "
+        "asamp AS (SELECT base, v, CAST(j.range AS INT) AS j, "
+        f"CASE WHEN v = 1 THEN (({_amp} + {_jit}) * 7) // 10 "
+        f"ELSE {_amp} + {_jit} END AS s "
+        "FROM arefs CROSS JOIN range(650) j), "
+        "aen AS (SELECT base, v, j // 10 AS fi, CAST(sum(s) // 10 AS BIGINT) AS e "
+        "FROM asamp GROUP BY base, v, j // 10), "
+        "abits AS (SELECT a.base, a.v, a.fi AS i, "
+        "CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit "
+        "FROM aen a JOIN aen b ON a.base = b.base AND a.v = b.v "
+        "AND b.fi = a.fi + 1 WHERE a.fi < 64), "
+        "ah AS (SELECT base, v, SUM(CAST(bit AS HUGEINT) * "
+        "(CAST(1 AS HUGEINT) << CAST(i AS INT))) AS u FROM abits GROUP BY base, v), "
+        "asigs AS (SELECT md5(base || ':' || CAST(v AS VARCHAR)) AS media_id, "
+        "CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63) "
+        "THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS efp FROM ah) "
+        "SELECT s1.media_id AS a, s2.media_id AS b, "
+        "CAST(bit_count(xor(s1.efp, s2.efp)) AS INT) AS hamming "
+        "FROM asigs s1 JOIN asigs s2 ON s1.media_id < s2.media_id "
+        "WHERE bit_count(xor(s1.efp, s2.efp)) <= 3 ORDER BY a, b"
+    )
+
     # bpe_vocab: unroll 6 merge rounds. Per round: frequency-weighted
     # adjacency pair counts (overlaps included) -> 1-row argmax with
     # (count desc, left, right) ties -> greedy left-to-right rewrite.
@@ -5041,6 +5158,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
             "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
         ),
+        "audio_fingerprint_neardup": aefp_sql,
         "bpe_vocab": bpe_sql,
         # pack_multimodal: cost closed-form (min(nt,10) text tokens +
         # 64 image + 32 audio = the spans construction's exact cost),

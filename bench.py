@@ -373,6 +373,16 @@ def headline_queries(spark) -> dict:
         # media collapse (dHash -> pairs -> connected components)
         "image_phash_neardup",
         "media_perceptual_collapse",
+        # round-5 session-2 additions: semantic dedup, CCNet LM scoring,
+        # adaptive politeness, mirror hosts, multimodal packing, BPE
+        # vocabulary training
+        "semdedup",
+        "lm_perplexity",
+        "adaptive_politeness",
+        "mirror_hosts",
+        "pack_multimodal",
+        "bpe_vocab",
+        "audio_fingerprint_neardup",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

@@ -306,6 +306,38 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, n), info["sample_rate"]
 
 
+def wav_samples_int(data: bytes) -> tuple[np.ndarray, int]:
+    """Integer PCM WAV -> ((n_frames, n_channels) int64, sample_rate) —
+    the EXACT-arithmetic twin of ``decode_wav`` for fingerprinting:
+    energies computed from these are pure integer sums, replayable
+    bit-for-bit by a SQL oracle (float32 normalization would accumulate
+    rounding in a frame mean). 8-bit unsigned is re-centered to signed
+    (-128..127); IEEE-float WAVs raise (no exact integer reading)."""
+    info = wav_info(data)
+    pos = 12
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"data":
+            body = data[pos + 8 : pos + 8 + size]
+            bits, af = info["bits"], info["audio_format"]
+            if af == 1 and bits == 16:
+                samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+            elif af == 1 and bits == 8:
+                samples = np.frombuffer(body, dtype=np.uint8).astype(np.int64) - 128
+            elif af == 1 and bits == 32:
+                samples = np.frombuffer(body, dtype="<i4").astype(np.int64)
+            else:
+                raise ValueError(f"WAV: no exact integer read for format {af}/{bits}bit")
+            break
+        pos += 8 + size + (size & 1)
+    if samples is None:
+        raise ValueError("WAV: no data chunk")
+    n = info["n_channels"]
+    return samples.reshape(-1, n), info["sample_rate"]
+
+
 # --- transforms ---------------------------------------------------------------
 
 

@@ -338,3 +338,80 @@ def test_dhash_neardup_pairs(spark):
     # m1 ^ m3 = 0b11110001 -> 5, m2 ^ m3 -> hamming 7: none survive
     assert ("m0", "m3") not in pairs
     assert all("m4" not in k and "m3" not in k for k in pairs)
+
+
+def _wav16(samples, rate=8000, nch=1):
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_audio_efp_hand_computed():
+    from sinew_spark.multimodal import audio_efp_from_samples
+
+    # 4 frames of 2 samples -> energies [1, 3, 2, 10] -> bits e1>e0=1,
+    # e2>e1=0, e3>e2=1 -> 0b101 = 5
+    s = [1, 1, 3, 3, 2, 2, 10, 10]
+    assert audio_efp_from_samples(s, frames=4) == 0b101
+    # negative samples: |.| used; stereo: channel 0 only
+    import numpy as np
+
+    st = np.array([[-1, 99], [1, 99], [-3, 0], [3, 0], [2, 0], [-2, 0], [10, 0], [10, 0]])
+    assert audio_efp_from_samples(st, frames=4) == 0b101
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_efp_from_samples([1, 2], frames=4)
+
+
+def test_audio_fingerprint_loudness_invariant(spark):
+    """A volume-scaled copy of well-separated frame energies fingerprints
+    identically; garbage/float/short clips yield NULL."""
+    import numpy as np
+
+    from sinew_spark.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(7)
+    base = np.repeat(rng.permutation(64 + 1) * 400 + 100, 10) + rng.integers(
+        0, 50, 650
+    )
+    rows = [
+        ("orig", bytearray(_wav16(base))),
+        ("scaled", bytearray(_wav16((base * 7) // 10))),
+        ("garbage", bytearray(b"not a wav")),
+        ("short", bytearray(_wav16([5, 5, 5]))),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r.media_id: r.efp for r in audio_fingerprint(media).collect()}
+    assert out["orig"] is not None
+    assert out["orig"] == out["scaled"]
+    assert out["garbage"] is None and out["short"] is None
+
+
+def test_audio_fingerprint_pairs_via_hamming_join(spark):
+    import numpy as np
+
+    from sinew_spark.multimodal import audio_fingerprint
+    from sinew_spark.operators.dedup import hamming_block_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        base = np.repeat(rng.permutation(65) * 400 + 100, 10)
+        rows.append((f"c{i}", bytearray(_wav16(base))))
+        rows.append((f"c{i}v", bytearray(_wav16((base * 8) // 10))))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    sigs = audio_fingerprint(media)
+    pairs = hamming_block_pairs(
+        sigs, max_hamming=3, id_col="media_id", sig_col="efp", bits=64
+    ).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert got == {(f"c{i}", f"c{i}v") for i in range(6)}
+    assert all(r.hamming == 0 for r in pairs)
