@@ -465,6 +465,10 @@ def audio_efp_from_samples(samples, frames: int = 65) -> int:
     ``frames`` samples (no stable envelope to compare)."""
     import numpy as np
 
+    if not 2 <= frames <= 65:
+        # frames-1 bits must fit the int64 signature (and < 2 bits is no
+        # envelope at all); a 1 << 64 in uint64 would silently wrap
+        raise ValueError("frames must be in [2, 65]")
     a = np.asarray(samples)
     ch0 = a[:, 0] if a.ndim == 2 else a
     n = len(ch0)

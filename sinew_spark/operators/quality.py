@@ -441,6 +441,11 @@ def lm_score(
         .agg(F.countDistinct("t").alias("v"))
         .collect()[0][0]
     )
+    if not vocab_n:
+        # V = 0 would make the smoothing denominator 0 for OOV contexts:
+        # double division yields +inf, and the int64 quantization cast
+        # then throws under ANSI — fail loudly at the source instead
+        raise ValueError("lm_score: reference corpus has no tokens")
     big = (
         ref_bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))

@@ -415,3 +415,16 @@ def test_audio_fingerprint_pairs_via_hamming_join(spark):
     got = {(r.a, r.b) for r in pairs}
     assert got == {(f"c{i}", f"c{i}v") for i in range(6)}
     assert all(r.hamming == 0 for r in pairs)
+
+
+def test_audio_efp_frame_bounds():
+    import pytest as _pytest
+
+    from sinew_spark.multimodal import audio_efp_from_samples
+
+    with _pytest.raises(ValueError, match=r"\[2, 65\]"):
+        audio_efp_from_samples(list(range(100)), frames=66)
+    with _pytest.raises(ValueError, match=r"\[2, 65\]"):
+        audio_efp_from_samples(list(range(100)), frames=1)
+    # frames=2 -> single bit
+    assert audio_efp_from_samples([0, 0, 5, 5], frames=2) == 1

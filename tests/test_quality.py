@@ -309,3 +309,14 @@ def test_lm_score_validation(spark):
     docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         lm_score(docs, top_unigrams=0)
+
+
+def test_lm_score_empty_reference_raises(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.quality import lm_score
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    empty_ref = spark.createDataFrame([(9, "  ")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="no tokens"):
+        lm_score(docs, reference=empty_ref)
