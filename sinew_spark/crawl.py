@@ -250,6 +250,15 @@ class CrawlOptions:
     # mechanism (per-host max of all asks); derived from an O(delta)
     # pruned scan of last round's fetched delta, never the full history.
     auto_throttle: float | None = None
+    # latency-adaptive politeness (None = off): every host fetched in the
+    # PREVIOUS round is paced this round at `adaptive_politeness` x its
+    # observed mean request latency (Heritrix's delay-factor rule), with
+    # scheduler.adaptive_host_delay's clamps and its 4x AIMD backoff when
+    # the host's 429/5xx fraction trips. Complements auto_throttle (error
+    # pacing, fixed delay) with a load-proportional schedule; both compose
+    # with robots Crawl-delay via the per-host max of all asks. Forces the
+    # grouped (paced) fetch path whenever a previous round exists.
+    adaptive_politeness: float | None = None
     params: dict = field(default_factory=dict)
     headers: dict = field(default_factory=dict)  # default headers per request
     insecure: bool = False  # skip SSL verification (README.md:150)
@@ -421,35 +430,58 @@ class Crawler:
         adaptive throttling (opts.auto_throttle) — hosts that answered 429
         or 5xx (or transport errors) in the previous round get paced at
         auto_throttle sec/request this round, per-host max of all asks.
-        O(delta) pruned scan of last round's fetched rows (host + status
-        columns only); returns None when nothing needs pacing so the
+        Latency-adaptive pacing (opts.adaptive_politeness) adds a third
+        ask: every host fetched last round paced at delay-factor x its
+        observed mean latency (scheduler.adaptive_host_delay — clamps +
+        AIMD error backoff). O(delta) pruned scans of last round's
+        fetched rows; returns None when nothing needs pacing so the
         unpaced shuffle-free fetch path stays available."""
-        if self.opts.auto_throttle is None:
-            return self.crawl_delays
-        if self.fetched_t.current_snapshot() is None:
-            return self.crawl_delays
-        bad = (
-            (F.col("status") == 429)
-            | (F.col("status") >= 500)
-            | (F.col("status") < 0)
-        )
-        throttled = (
-            self.fetched_t.read()
-            .where(F.col("round") == rnd - 1)
-            .where(bad)
-            .select("host")
-            .distinct()
-            .withColumn("crawl_delay", F.lit(float(self.opts.auto_throttle)))
-        )
-        if self.crawl_delays is None:
-            # empty throttle set -> keep the unpaced fast path (one small
-            # pruned agg job; only paid when auto_throttle is on)
-            return throttled if throttled.limit(1).count() > 0 else None
-        return (
-            self.crawl_delays.select("host", "crawl_delay")
-            .unionByName(throttled)
-            .groupBy("host")
-            .agg(F.max("crawl_delay").alias("crawl_delay"))
+        prev_exists = self.fetched_t.current_snapshot() is not None
+        asks = []
+        if self.crawl_delays is not None:
+            asks.append(self.crawl_delays.select("host", "crawl_delay"))
+        if self.opts.auto_throttle is not None and prev_exists:
+            bad = (
+                (F.col("status") == 429)
+                | (F.col("status") >= 500)
+                | (F.col("status") < 0)
+            )
+            throttled = (
+                self.fetched_t.read()
+                .where(F.col("round") == rnd - 1)
+                .where(bad)
+                .select("host")
+                .distinct()
+                .withColumn("crawl_delay", F.lit(float(self.opts.auto_throttle)))
+            )
+            if asks or self.opts.adaptive_politeness is not None:
+                asks.append(throttled)
+            else:
+                # empty throttle set -> keep the unpaced fast path (one
+                # small pruned agg job; only paid when auto_throttle is on)
+                return throttled if throttled.limit(1).count() > 0 else None
+        if self.opts.adaptive_politeness is not None and prev_exists:
+            from sinew_spark.operators.scheduler import adaptive_host_delay
+
+            prev = (
+                self.fetched_t.read()
+                .where(F.col("round") == rnd - 1)
+                .select("host", F.coalesce("latency_ms", F.lit(0)).alias("latency_ms"), "status")
+            )
+            adaptive = adaptive_host_delay(
+                prev,
+                delay_factor_x1000=int(self.opts.adaptive_politeness * 1000),
+            ).select("host", (F.col("delay_ms") / 1000.0).alias("crawl_delay"))
+            asks.append(adaptive)
+        if not asks:
+            return None
+        if len(asks) == 1:
+            return asks[0]
+        merged = asks[0]
+        for a in asks[1:]:
+            merged = merged.unionByName(a)
+        return merged.groupBy("host").agg(
+            F.max("crawl_delay").alias("crawl_delay")
         )
 
     def current_round(self) -> int:

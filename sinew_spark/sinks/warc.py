@@ -634,6 +634,8 @@ def bootstrap_crawl_from_warc(
         F.lit(None).cast("string").alias("cookies"),
         F.lit(None).cast("string").alias("etag"),
         F.lit(None).cast("string").alias("last_modified"),
+        # archive replays carry no live request timing
+        F.lit(None).cast("long").alias("latency_ms"),
     )
     parsed = parse_documents(fetch_like).select("seq", "spans", "links")
     full = fetch_like.join(parsed, "seq").withColumn("round", F.lit(-1))

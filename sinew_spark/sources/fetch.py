@@ -57,6 +57,11 @@ FETCHED_SCHEMA = T.StructType(
         # status == 304 marks a not-modified revisit (body not re-transferred)
         T.StructField("etag", T.StringType()),
         T.StructField("last_modified", T.StringType()),
+        # wall-clock of the request incl. retries/redirect hops, for
+        # latency-adaptive politeness (CrawlOptions.adaptive_politeness
+        # -> scheduler.adaptive_host_delay). Observational, not replayed
+        # by oracles (like fetched_at).
+        T.StructField("latency_ms", T.LongType()),
     ]
 )
 
@@ -602,7 +607,7 @@ def make_fetch_fn(
         out = {
             "status": [], "content_type": [], "resp_body": [], "final_url": [],
             "n_attempts": [], "hops": [], "error": [], "fetched_at": [], "proxy": [],
-            "cookies": [], "etag": [], "last_modified": [],
+            "cookies": [], "etag": [], "last_modified": [], "latency_ms": [],
         }
         if parse:
             out["spans"] = []
@@ -623,11 +628,13 @@ def make_fetch_fn(
                     if isinstance(row.prior_last_modified, str)
                     else None
                 )
+            t_req = time.perf_counter()
             (status, ct, body, final_url, n_att, hops, error, jar, jar_chg,
              e_out, lm_out) = _fetch_one(
                 fetcher, row.url, row.method or "GET", row.body or "", retries, effective,
                 cookies=jar, proxy=proxy, etag=p_etag, last_modified=p_lm,
             )
+            out["latency_ms"].append(int((time.perf_counter() - t_req) * 1000))
             out["status"].append(status)
             out["content_type"].append(ct)
             out["resp_body"].append(body)
@@ -712,7 +719,7 @@ def make_fetch_arrow_fn(
             jars: dict = {}  # per-host jar threading within this batch (C11)
             status_c, ct_c, body_c, final_c = [], [], [], []
             natt_c, hops_c, err_c, ts_c, proxy_c, cookies_c = [], [], [], [], [], []
-            etag_c, lm_c = [], []
+            etag_c, lm_c, lat_c = [], [], []
             spans_c, links_c = [], []
             first = True
             for i in range(n):
@@ -723,12 +730,14 @@ def make_fetch_arrow_fn(
                 if host not in jars:
                     jars[host] = normalize_jar(host_cookies[i], host)
                 proxy = proxies[key % len(proxies)] if proxies else None
+                t_req = time.perf_counter()
                 (status, ct, body, final_url, n_att, hops, error, jar, jar_chg,
                  e_out, lm_out) = _fetch_one(
                     fetcher, url, d["method"][i] or "GET", d["body"][i] or "", retries, rate_limit,
                     cookies=jars[host], proxy=proxy, etag=prior_etag[i],
                     last_modified=prior_lm[i],
                 )
+                lat_c.append(int((time.perf_counter() - t_req) * 1000))
                 jars[host] = jar
                 status_c.append(status)
                 ct_c.append(ct)
@@ -777,6 +786,7 @@ def make_fetch_arrow_fn(
                 pa.array(cookies_c, type=pa.string()),
                 pa.array(etag_c, type=pa.string()),
                 pa.array(lm_c, type=pa.string()),
+                pa.array(lat_c, type=pa.int64()),
             ]
             if parse:
                 cols += [

@@ -208,3 +208,51 @@ def test_host_report_after_crawl(spark, tmp_path):
     # module function agrees with the method
     direct = {r.host: r.pages for r in host_report_fn(fetched).collect()}
     assert direct == {h: r.pages for h, r in rep.items()}
+
+
+def test_adaptive_politeness_paces_from_observed_latency(spark, tmp_path):
+    """Latency-adaptive pacing e2e: with adaptive_politeness set, round 1
+    paces every host at a delay derived from round 0's observed request
+    latencies — at minimum adaptive_host_delay's 250 ms floor, so 4
+    same-host requests cost >= 0.75 s wall; round 0 itself is unpaced."""
+    import time as _t
+
+    opts = CrawlOptions(retries=0, adaptive_politeness=2.0, force_errors=True,
+                        max_rounds=1)
+    c = Crawler(spark, str(tmp_path / "c"), FixtureFetcher(seed=42), opts)
+    c.seed([f"http://a.test/p{i}" for i in range(4)])
+    # round 0: no previous round -> no latency table -> unpaced fast path
+    assert c._throttle_delays(0) is None
+    c.run_round()
+    c2 = Crawler(spark, str(tmp_path / "c"), FixtureFetcher(seed=42), opts)
+    delays = c2._throttle_delays(c2.current_round())
+    rows = {r.host: r.crawl_delay for r in delays.collect()}
+    assert "a.test" in rows and rows["a.test"] >= 0.25
+    c2.seed([f"http://a.test/p{i}" for i in range(4)])
+    t0 = _t.time()
+    c2.run_round()
+    assert _t.time() - t0 >= 0.75
+
+
+def test_adaptive_politeness_composes_with_robots_and_throttle(spark, tmp_path):
+    """All three ask sources (robots Crawl-delay, auto_throttle errors,
+    adaptive latency) merge by per-host max."""
+    opts = CrawlOptions(retries=0, auto_throttle=5.0, adaptive_politeness=2.0,
+                        force_errors=True, max_rounds=1)
+    c = Crawler(
+        spark, str(tmp_path / "c"),
+        FixtureFetcher(seed=42, flaky={"err.test": 999}), opts,
+    )
+    c.seed(["http://err.test/p0", "http://ok.test/p0"])
+    c.run_round()
+    c2 = Crawler(
+        spark, str(tmp_path / "c"),
+        FixtureFetcher(seed=42, flaky={"err.test": 999}), opts,
+    )
+    rows = {r.host: r.crawl_delay for r in
+            c2._throttle_delays(c2.current_round()).collect()}
+    # errored host: max(auto_throttle 5.0, adaptive) = 5.0 (fixture
+    # latencies are far below 1.25s even after the 4x error backoff)
+    assert rows["err.test"] == 5.0
+    # healthy host: adaptive floor only
+    assert 0.25 <= rows["ok.test"] < 5.0
