@@ -5156,7 +5156,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bigrams, sum_nll_x, "
             "sum_nll_x // n_bigrams AS avg_nll_x FROM sc "
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
-            "CAST(0 AS BIGINT) FROM tok WHERE len(t) < 2 ORDER BY doc_id"
+            "CAST(0 AS BIGINT) FROM tok WHERE coalesce(len(t), 0) < 2 ORDER BY doc_id"
         ),
         "audio_fingerprint_neardup": aefp_sql,
         "bpe_vocab": bpe_sql,

@@ -109,7 +109,7 @@ def anti_join_seen(
       refetch (TTL as miss, test_base.rb:13-20)
     - force: all seen entries ignored (test_main.rb:28-36)
     - force_errors: error-class seen entries ignored (base.rb:39) —
-      status >= 400 AND status < 100 (the transport stamps -1 on
+      status >= 400 OR status < 100 (the transport stamps -1 on
       DNS/timeout/TLS and on a redirect-limit failure; those are errors
       a recrawl must retry just as much as a 5xx). Live = 100..399.
     """

@@ -488,7 +488,11 @@ def lm_score(
         F.expr("sum_nll_x div n_bigrams").alias("avg_nll_x"),
     )
     toks = tokenize_expr(F.col(text_col))
-    empties = docs.where(F.size(toks) < 2).select(
+    # coalesce: under Spark 4's ANSI default size(NULL) is NULL (not
+    # legacy -1), so a bare `size < 2` filter would drop NULL-text docs
+    # from BOTH branches and silently violate the one-row-per-doc
+    # contract
+    empties = docs.where(F.coalesce(F.size(toks), F.lit(0)) < 2).select(
         F.col(doc_col),
         F.lit(0).cast("long").alias("n_bigrams"),
         F.lit(0).cast("long").alias("sum_nll_x"),

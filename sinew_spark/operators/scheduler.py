@@ -328,10 +328,13 @@ def adaptive_host_delay(
         F.sum(is_err.cast("long")).alias("_n_err"),
     ]
     if robots_delay_col is not None:
+        # ms BEFORE the integer cast: robots Crawl-delay is fractional
+        # in the wild (functions/robots.py parses floats) and a whole-
+        # second truncation would zero out sub-second asks entirely
         aggs.append(
-            F.max(F.coalesce(F.col(robots_delay_col), F.lit(0)))
+            (F.max(F.coalesce(F.col(robots_delay_col), F.lit(0))) * 1000)
             .cast("long")
-            .alias("_robots_s")
+            .alias("_robots_ms")
         )
     g = fetchlog.groupBy(F.col(host_col).alias("host")).agg(*aggs)
     avg = F.expr("_lat_sum div n_fetches")
@@ -340,12 +343,16 @@ def adaptive_host_delay(
     raw = F.when(
         err_x >= err_threshold_x1000, F.expr(f"base_ms * {backoff_x1000} div 1000")
     ).otherwise(F.col("base_ms"))
-    floor = F.lit(min_delay_ms).cast("long")
-    if robots_delay_col is not None:
-        floor = F.greatest(floor, (F.col("_robots_s") * 1000).cast("long"))
     delay = F.least(
-        F.greatest(raw.cast("long"), floor), F.lit(max_delay_ms).cast("long")
+        F.greatest(raw.cast("long"), F.lit(min_delay_ms).cast("long")),
+        F.lit(max_delay_ms).cast("long"),
     )
+    if robots_delay_col is not None:
+        # the robots ask is a hard floor OUTSIDE the [min, max] clamp:
+        # max_delay_ms bounds the engine's own backoff, never a
+        # robots.txt mandate (clamping the floor would violate a
+        # Crawl-delay longer than max_delay_ms)
+        delay = F.greatest(delay, F.col("_robots_ms"))
     g = g.withColumn("base_ms", base)
     return g.select(
         "host",

@@ -320,3 +320,17 @@ def test_lm_score_empty_reference_raises(spark):
     empty_ref = spark.createDataFrame([(9, "  ")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="no tokens"):
         lm_score(docs, reference=empty_ref)
+
+
+def test_lm_score_null_text_emits_zero_row(spark):
+    """ANSI size(NULL) is NULL, not -1 — NULL-text docs must still get
+    their explicit zero row (one-row-per-doc contract)."""
+    from sinew_spark.operators.quality import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, None), (2, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1].n_bigrams == 0 and out[1].avg_nll_x == 0
+    assert out[2].n_bigrams == 0

@@ -258,3 +258,20 @@ def test_adaptive_host_delay_robots_floor_and_validation(spark):
         adaptive_host_delay(log, min_delay_ms=10, max_delay_ms=5)
     with _pytest.raises(ValueError):
         adaptive_host_delay(log, backoff_x1000=500)
+
+
+def test_adaptive_host_delay_robots_floor_fractional_and_above_max(spark):
+    """Fractional Crawl-delay survives (0.5s -> 500ms, not truncated to
+    0), and a robots ask LONGER than max_delay_ms is honored — the max
+    clamp bounds the engine's own backoff, never a robots mandate."""
+    from sinew_spark.operators.scheduler import adaptive_host_delay
+
+    log = spark.createDataFrame(
+        [("frac", 10, 200, 0.5), ("mandate", 10, 200, 60.0)],
+        "host string, latency_ms int, status int, crawl_delay_s double",
+    )
+    out = {r.host: r.delay_ms for r in adaptive_host_delay(
+        log, robots_delay_col="crawl_delay_s", max_delay_ms=30_000
+    ).collect()}
+    assert out["frac"] == 500
+    assert out["mandate"] == 60_000
