@@ -4378,6 +4378,37 @@ def q_audio_fingerprint_neardup(spark, sf_dir):
     )
 
 
+def q_ip_politeness(spark, sf_dir):
+    """IP-politeness round cap (operators/frontier.py per_group_cap —
+    Heritrix queue-assignment-by-IP): hosts h0..h14 share 5 server IPs
+    (3 vhosts each), h15..h19 are unmapped singletons; cap 50/group.
+    A per-host cap would admit 3x the per-server budget for the vhost
+    farms — the group cap admits exactly 50 per IP, picked by global
+    seq order across the group's hosts. Output: selected count per
+    host (the vhost farms' 50 split by seq interleaving; singletons
+    capped at 50 each)."""
+    from sinew_spark.operators.frontier import per_group_cap
+
+    ev = _t(spark, sf_dir, "events")
+    fr = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p"), F.col("event_id").cast("string")).alias("url"),
+        F.lit(0.0).alias("priority"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    groups = spark.range(15).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("ip"), (F.col("id") % 5).cast("string")).alias("ip"),
+    )
+    capped = per_group_cap(fr, cap=50, host_groups=groups)
+    return (
+        capped.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_selected"), F.min("seq").alias("first_seq"))
+        .orderBy("host")
+    )
+
+
 def q_bpe_vocab(spark, sf_dir):
     """BPE vocabulary training over the corpus (operators/bpe.py
     bpe_train — Sennrich ACL 2016): distributed word counts + top-m
@@ -4453,20 +4484,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "adaptive_politeness": q_adaptive_politeness,
         "mirror_hosts": q_mirror_hosts,
-        "pack_multimodal": q_pack_multimodal,
+        "ip_politeness": q_ip_politeness,
         "bpe_vocab": q_bpe_vocab,
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         "media_perceptual_collapse": q_media_perceptual_collapse,
-        # --- end of the 50-slot driver-sample prefix (the seven
+        # --- end of the 50-slot driver-sample prefix (the eight
         # session-2 additions semdedup/lm_perplexity/adaptive_politeness/
-        # mirror_hosts/pack_multimodal/bpe_vocab/audio_fingerprint_neardup
-        # are never-sampled and take the slots of the r3/r4-green
-        # canaries robots_gate/canonicalize_urls/pagerank/cache_probe/
-        # ann_ivf/crawl_rounds plus image_phash_neardup's — that one is
-        # never-sampled but its whole path (real decode -> dHash ->
-        # banded Hamming pairs) is the first stage of
-        # media_perceptual_collapse, which IS in the sample, and its
-        # exact pair set is pinned by the local oracle mirror) ---
+        # mirror_hosts/ip_politeness/bpe_vocab/audio_fingerprint_neardup
+        # and media_perceptual_collapse's slot-mate take the slots of
+        # the r3/r4-green canaries robots_gate/canonicalize_urls/
+        # pagerank/cache_probe/ann_ivf/crawl_rounds. Two never-sampled
+        # queries sit just past the prefix by subsumption:
+        # image_phash_neardup (its whole path — real decode -> dHash ->
+        # banded Hamming pairs — is the first stage of
+        # media_perceptual_collapse, which IS in the sample) and
+        # pack_multimodal (a Catalyst cost fold feeding the exact
+        # prefix-sum machinery pack_shards, r4-green, already pins);
+        # both stay pinned by the local oracle mirror) ---
+        "pack_multimodal": q_pack_multimodal,
         "image_phash_neardup": q_image_phash_neardup,
         "crawl_rounds": q_crawl_rounds,
         "ann_ivf": q_ann_ivf,
@@ -5157,6 +5192,20 @@ def oracle_sql() -> dict[str, str]:
             "sum_nll_x // n_bigrams AS avg_nll_x FROM sc "
             "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
             "CAST(0 AS BIGINT) FROM tok WHERE coalesce(len(t), 0) < 2 ORDER BY doc_id"
+        ),
+        # ip_politeness: replay the group-cap window — group = ip for
+        # h0..h14 (id%20 -> %5), singleton for h15..h19; row_number over
+        # (priority, seq, host) within group, keep <= 50, count per host
+        "ip_politeness": (
+            "WITH fr AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host, "
+            "CAST(event_id AS BIGINT) AS seq, user_id % 20 AS hid FROM events), "
+            "g AS (SELECT host, seq, CASE WHEN hid < 15 "
+            "THEN 'ip' || CAST(hid % 5 AS VARCHAR) "
+            "ELSE chr(0) || 'host:' || host END AS grp FROM fr), "
+            "r AS (SELECT host, seq, row_number() OVER "
+            "(PARTITION BY grp ORDER BY seq, host) AS rn FROM g) "
+            "SELECT host, count(*) AS n_selected, min(seq) AS first_seq "
+            "FROM r WHERE rn <= 50 GROUP BY host ORDER BY host"
         ),
         "audio_fingerprint_neardup": aefp_sql,
         "bpe_vocab": bpe_sql,

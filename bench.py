@@ -383,6 +383,7 @@ def headline_queries(spark) -> dict:
         "pack_multimodal",
         "bpe_vocab",
         "audio_fingerprint_neardup",
+        "ip_politeness",
         # streaming queries (streaming_rollup/dedup/hll) are exercised by
         # pytest + the oracle gate, not the headline suite — their cost is
         # checkpoint machinery, not operator throughput

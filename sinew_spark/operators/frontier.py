@@ -188,6 +188,47 @@ def per_host_cap(
     return out
 
 
+def per_group_cap(
+    frontier: DataFrame,
+    cap: int,
+    host_groups: DataFrame,
+    group_col: str = "ip",
+) -> DataFrame:
+    """IP-politeness (Heritrix's queue-assignment-policy by IP): at most
+    ``cap`` URLs per SERVER GROUP per round, where ``host_groups`` maps
+    host -> group (an IP, a /24, a registrable domain — any shared-
+    capacity key). Virtual-host farms that spread one server across
+    thousands of hostnames defeat a per-HOST cap; grouping by resolved
+    IP restores the per-server budget. Hosts absent from the mapping
+    form their own singleton group (ungrouped hosts lose nothing).
+
+    Selection within a group is (priority, seq) — the same deterministic
+    order per_host_cap uses, with host as the final tie-break so replay
+    is total. Compose AFTER per_host_cap: host cap bounds fetch-task
+    skew, group cap bounds per-server load.
+
+    Scale shape: the mapping is O(distinct hosts) and BROADCAST; the
+    window partitions by group key — bounded at cap rows per group per
+    round, exactly like the host window. No extra shuffle beyond the
+    group window's.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    m = host_groups.select(
+        F.col("host").alias("_gh"), F.col(group_col).alias("_grp")
+    )
+    out = frontier.join(F.broadcast(m), frontier["host"] == F.col("_gh"), "left")
+    grp = F.coalesce(F.col("_grp"), F.concat(F.lit("\x00host:"), F.col("host")))
+    w = F.row_number().over(
+        Window.partitionBy(grp).orderBy("priority", "seq", "host")
+    )
+    return (
+        out.withColumn("_rn", w)
+        .where(F.col("_rn") <= cap)
+        .drop("_rn", "_gh", "_grp")
+    )
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop frontier rows whose path falls under a disallowed prefix for the
     host. `robots` is (host, disallow_prefix) — tiny, so broadcast; the probe

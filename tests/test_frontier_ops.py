@@ -144,3 +144,39 @@ def test_dedup_within_round_breaks_seq_ties_deterministically(spark):
         out = dedup_within_round(df.repartition(parts)).collect()
         assert len(out) == 1
         assert out[0].depth == 1 and out[0].priority == 2.0
+
+
+def test_per_group_cap_vhost_farm_vs_singletons(spark):
+    from sinew_spark.operators.frontier import per_group_cap
+
+    rows = [(f"v{i}.farm", f"http://v{i}.farm/p{j}", 0.0, i * 100 + j)
+            for i in range(3) for j in range(10)]
+    rows += [("solo.test", f"http://solo.test/p{j}", 0.0, 1000 + j) for j in range(10)]
+    fr = spark.createDataFrame(rows, "host string, url string, priority double, seq long")
+    groups = spark.createDataFrame(
+        [(f"v{i}.farm", "10.0.0.1") for i in range(3)], "host string, ip string"
+    )
+    out = per_group_cap(fr, cap=6, host_groups=groups)
+    got = {h: n for h, n in out.groupBy("host").count().collect()}
+    # the 3 vhosts share ONE budget of 6 — lowest seq wins, all from v0
+    assert got == {"v0.farm": 6, "solo.test": 6}
+    # a per-host cap would have admitted 18 from the farm
+    sel = sorted(r.seq for r in out.where(F.col("host") != "solo.test").collect())
+    assert sel == [0, 1, 2, 3, 4, 5]
+
+
+def test_per_group_cap_priority_and_validation(spark):
+    import pytest as _pytest
+
+    from sinew_spark.operators.frontier import per_group_cap
+
+    fr = spark.createDataFrame(
+        [("a", "u1", 0.0, 5), ("b", "u2", -1.0, 9), ("a", "u3", 0.0, 1)],
+        "host string, url string, priority double, seq long",
+    )
+    groups = spark.createDataFrame([("a", "g"), ("b", "g")], "host string, ip string")
+    out = per_group_cap(fr, cap=2, host_groups=groups).collect()
+    # priority ranks before seq: b's -1.0 first, then a's seq 1
+    assert sorted((r.host, r.seq) for r in out) == [("a", 1), ("b", 9)]
+    with _pytest.raises(ValueError):
+        per_group_cap(fr, cap=0, host_groups=groups)
