@@ -213,12 +213,14 @@ def test_host_report_after_crawl(spark, tmp_path):
 def test_adaptive_politeness_paces_from_observed_latency(spark, tmp_path):
     """Latency-adaptive pacing e2e: with adaptive_politeness set, round 1
     paces every host at a delay derived from round 0's observed request
-    latencies — at minimum adaptive_host_delay's 250 ms floor, so 4
-    same-host requests cost >= 0.75 s wall; round 0 itself is unpaced."""
+    latencies — at minimum adaptive_host_delay's 250 ms floor. Round 1
+    seeds five NEW paths on the observed host (previously-seen 200s
+    would be seen-suppressed and fetch nothing — pacing only applies to
+    rows that actually fetch), so the in-group sleeps alone cost
+    >= 4 x 0.25 s wall; round 0 itself is unpaced."""
     import time as _t
 
-    opts = CrawlOptions(retries=0, adaptive_politeness=2.0, force_errors=True,
-                        max_rounds=1)
+    opts = CrawlOptions(retries=0, adaptive_politeness=2.0, max_rounds=1)
     c = Crawler(spark, str(tmp_path / "c"), FixtureFetcher(seed=42), opts)
     c.seed([f"http://a.test/p{i}" for i in range(4)])
     # round 0: no previous round -> no latency table -> unpaced fast path
@@ -228,10 +230,12 @@ def test_adaptive_politeness_paces_from_observed_latency(spark, tmp_path):
     delays = c2._throttle_delays(c2.current_round())
     rows = {r.host: r.crawl_delay for r in delays.collect()}
     assert "a.test" in rows and rows["a.test"] >= 0.25
-    c2.seed([f"http://a.test/p{i}" for i in range(4)])
+    c2.seed([f"http://a.test/new{i}" for i in range(5)])
     t0 = _t.time()
-    c2.run_round()
-    assert _t.time() - t0 >= 0.75
+    stats = c2.run_round()
+    wall = _t.time() - t0
+    assert stats["fetched"] == 5
+    assert wall >= 1.0, wall
 
 
 def test_adaptive_politeness_composes_with_robots_and_throttle(spark, tmp_path):
